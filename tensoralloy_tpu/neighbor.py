@@ -1,0 +1,131 @@
+"""Periodic neighbor lists and padding-bound computation.
+
+Standalone, vectorized (numpy + scipy cKDTree) replacement for the
+reference's ASE-backed neighbor machinery
+(`tensoralloy/neighbor.py:50-146`, which wraps
+`ase.neighborlist.neighbor_list`). Semantics match ASE's
+``neighbor_list('ijSdD')``: for every ordered pair (i, j) with
+``|R_j + S @ cell - R_i| < cutoff`` one entry is produced; both (i, j, S)
+and (j, i, -S) appear; the self-pair (i, i, 0) is excluded.
+
+These bounds feed the static-shape padding discipline of the TPU compute
+path (flat pair arrays padded to ``nij_max`` etc.).
+"""
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from .atoms import Structure
+from .utils import cantor_pairing
+
+__all__ = ["neighbor_list", "NeighborSize", "find_neighbor_size_of_atoms"]
+
+
+def _cell_heights(cell: np.ndarray) -> np.ndarray:
+    """Distance between opposite cell faces along each lattice direction."""
+    vol = abs(np.linalg.det(cell))
+    if vol < 1e-12:
+        return np.full(3, np.inf)
+    cross = np.cross(cell[[1, 2, 0]], cell[[2, 0, 1]])  # a2xa3, a3xa1, a1xa2
+    areas = np.linalg.norm(cross, axis=1)
+    return vol / np.maximum(areas, 1e-300)
+
+
+def neighbor_list(structure: Structure, cutoff: float
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                             np.ndarray, np.ndarray]:
+    """Build the full periodic neighbor list.
+
+    Returns
+    -------
+    ilist : [nij] int32 — first atom index
+    jlist : [nij] int32 — second atom index
+    shift : [nij, 3] float64 — integer lattice shifts S
+    dist : [nij] float64 — |R_j + S @ cell - R_i|
+    vec : [nij, 3] float64 — R_j + S @ cell - R_i
+    """
+    pos = structure.positions
+    cell = structure.cell
+    pbc = structure.pbc.copy()
+    n = len(structure)
+    if abs(np.linalg.det(cell)) < 1e-12:
+        pbc = np.zeros(3, dtype=bool)
+
+    heights = _cell_heights(cell)
+    reps = np.where(pbc, np.ceil(cutoff / heights).astype(np.int64), 0)
+    rng = [np.arange(-reps[d], reps[d] + 1) for d in range(3)]
+    shifts = np.array(np.meshgrid(*rng, indexing="ij"),
+                      dtype=np.float64).reshape(3, -1).T  # [ns, 3]
+
+    # All periodic images of every atom: [ns * n, 3]
+    disp = shifts @ cell
+    images = (pos[None, :, :] + disp[:, None, :]).reshape(-1, 3)
+
+    tree_i = cKDTree(pos)
+    tree_img = cKDTree(images)
+    coo = tree_i.sparse_distance_matrix(
+        tree_img, max_distance=cutoff, output_type="coo_matrix")
+    ii = coo.row.astype(np.int64)
+    flat = coo.col.astype(np.int64)
+    d = coo.data
+    s_idx = flat // n
+    jj = flat % n
+
+    # strictly inside the cutoff and not the trivial self pair
+    keep = (d < cutoff) & (d > 1e-10)
+    ii, jj, s_idx, d = ii[keep], jj[keep], s_idx[keep], d[keep]
+    shift = shifts[s_idx]
+    vec = pos[jj] + shift @ cell - pos[ii]
+
+    order = np.lexsort((s_idx, jj, ii))
+    return (ii[order].astype(np.int32), jj[order].astype(np.int32),
+            shift[order], d[order], vec[order])
+
+
+@dataclass(frozen=True)
+class NeighborSize:
+    """Padding bounds for one structure (reference `neighbor.py:34-47`)."""
+    nnl: int
+    nij: int
+    nijk: int
+    ij2k: int
+
+    def __getitem__(self, item: str):
+        return getattr(self, item)
+
+    def union(self, other: "NeighborSize") -> "NeighborSize":
+        return NeighborSize(nnl=max(self.nnl, other.nnl),
+                            nij=max(self.nij, other.nij),
+                            nijk=max(self.nijk, other.nijk),
+                            ij2k=max(self.ij2k, other.ij2k))
+
+
+def find_neighbor_size_of_atoms(structure: Structure, rc: float,
+                                angular: bool = False) -> NeighborSize:
+    """Compute (nij, nnl, nijk) padding bounds.
+
+    * ``nij``  — number of directed pairs within ``rc``.
+    * ``nnl``  — max neighbor count over (center atom, neighbor element).
+    * ``nijk`` — sum_i n_i (n_i - 1) / 2 over symmetric j<k triples
+      (only when ``angular``).
+    * ``ij2k`` — kept for schema parity with the reference; the flat
+      triple layout used here never needs it, so it is always 0.
+    """
+    ilist, jlist, _, _, _ = neighbor_list(structure, rc)
+    nij = len(ilist)
+    numbers = structure.numbers
+    nnl = 0
+    if nij:
+        pair_class = cantor_pairing(ilist.astype(np.int64) * 1000 +
+                                    numbers[ilist], numbers[jlist])
+        nnl = int(max(Counter(pair_class).values()))
+    nijk = 0
+    if angular and nij:
+        counts = np.bincount(ilist, minlength=len(structure))
+        nijk = int(np.sum(counts * (counts - 1) // 2))
+    return NeighborSize(nnl=nnl, nij=nij, nijk=nijk, ij2k=0)

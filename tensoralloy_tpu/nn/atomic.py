@@ -1,0 +1,155 @@
+"""Per-atom descriptor NN potential (the reference's `AtomicNN`,
+`tensoralloy/nn/atomic/atomic.py`).
+
+Architecture: descriptors g_i -> optional min-max scaling -> per-element
+MLP -> atomic energy; total energy is the masked sum. The VAP layout
+makes each element's atoms a *static* row slice, so "per-element MLP"
+compiles to one dense matmul chain per element on the MXU — no gather,
+no dynamic partition (contrast `nn/partition.py:18-139` in the
+reference).
+"""
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..transform.featurizer import Featurizer
+from ..utils import Defaults
+from .layers import (apply_dense_stack, init_dense_stack, l2_of_stack)
+
+
+class AtomicNN:
+    """Config object; all compute methods are pure functions of params."""
+
+    def __init__(self,
+                 featurizer: Featurizer,
+                 max_occurs: Counter,
+                 descriptor,
+                 hidden_sizes: Union[Sequence[int], Dict[str, Sequence[int]],
+                                     None] = None,
+                 activation: str = Defaults.activation,
+                 use_resnet_dt: bool = True,
+                 minmax_scale: bool = True,
+                 atomic_static_energy: Optional[Dict[str, float]] = None,
+                 fixed_static_energy: bool = False,
+                 kernel_initializer: str = "he_normal"):
+        self.featurizer = featurizer
+        self.max_occurs = Counter(max_occurs)
+        self.descriptor = descriptor
+        self.elements: List[str] = featurizer.elements
+        if hidden_sizes is None:
+            hidden_sizes = Defaults.hidden_sizes
+        if not isinstance(hidden_sizes, dict):
+            hidden_sizes = {e: list(hidden_sizes) for e in self.elements}
+        self.hidden_sizes = hidden_sizes
+        self.activation = activation
+        self.use_resnet_dt = use_resnet_dt
+        self.minmax_scale = minmax_scale
+        self.atomic_static_energy = dict(atomic_static_energy or {})
+        self.fixed_static_energy = fixed_static_energy
+        self.kernel_initializer = kernel_initializer
+
+        # static VAP row layout
+        offset = 1
+        self.layout: Dict[str, tuple] = {}
+        for e in self.elements:
+            cnt = int(self.max_occurs.get(e, 0))
+            self.layout[e] = (offset, cnt)
+            offset += cnt
+        self.n_atoms_vap = offset
+
+        self.feature_dim = descriptor.feature_dim(
+            featurizer.n_radial_slots, featurizer.n_angular_slots,
+            featurizer.angular)
+
+    # ------------------------------------------------------------------
+    def init_params(self, key) -> dict:
+        params = {}
+        for e in self.elements:
+            key, sub = jax.random.split(key)
+            bias0 = float(self.atomic_static_energy.get(e, 0.0))
+            p = {"mlp": init_dense_stack(
+                sub, self.feature_dim, self.hidden_sizes[e], out_dim=1,
+                output_bias=True, output_bias_mean=bias0,
+                resnet_dt=self.use_resnet_dt,
+                kernel_init=self.kernel_initializer)}
+            if self.minmax_scale:
+                dtype = p["mlp"]["layers"][0]["w"].dtype
+                p["norm"] = {
+                    "xlo": jnp.zeros((self.feature_dim,), dtype),
+                    "xhi": jnp.ones((self.feature_dim,), dtype)}
+            params[e] = p
+        return params
+
+    # ------------------------------------------------------------------
+    def descriptors(self, features) -> jnp.ndarray:
+        f = self.featurizer
+        return self.descriptor.compute(
+            features, f.rcut, f.acut, f.n_radial_slots, f.n_angular_slots,
+            f.angular)
+
+    def atomic_energies(self, params: dict, features) -> jnp.ndarray:
+        """-> [n_vap] atomic energies (zero at padding rows)."""
+        g = self.descriptors(features)
+        out = jnp.zeros((self.n_atoms_vap,), g.dtype)
+        for e in self.elements:
+            lo, cnt = self.layout[e]
+            if cnt == 0:
+                continue
+            x = jax.lax.dynamic_slice_in_dim(g, lo, cnt, axis=0)
+            if self.minmax_scale:
+                norm = jax.lax.stop_gradient(params[e]["norm"])
+                span = jnp.maximum(norm["xhi"] - norm["xlo"], 1e-12)
+                x = (x - norm["xlo"]) / span
+            y = apply_dense_stack(params[e]["mlp"], x,
+                                  self.activation)[:, 0]
+            out = jax.lax.dynamic_update_slice_in_dim(out, y, lo, axis=0)
+        return out * features["atom_masks"]
+
+    def energy(self, params: dict, features) -> jnp.ndarray:
+        """Total potential energy (scalar)."""
+        return jnp.sum(self.atomic_energies(params, features))
+
+    # `variational_energy` is what forces/stress differentiate; for the
+    # plain AtomicNN it IS the energy (reference `basic.py:190-202`).
+    variational_energy = energy
+
+    def l2_loss(self, params: dict) -> jnp.ndarray:
+        return sum(l2_of_stack(params[e]["mlp"]) for e in self.elements)
+
+    # ------------------------------------------------------------------
+    def update_norm_stats(self, params: dict, features_batch) -> dict:
+        """Running min/max of descriptors over a batch (host-called;
+        reference keeps xlo/xhi as running non-trainable variables)."""
+        g = jax.vmap(self.descriptors)(features_batch)  # [B, n_vap, D]
+        masks = features_batch["atom_masks"]
+        params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+        for e in self.elements:
+            lo, cnt = self.layout[e]
+            if cnt == 0 or not self.minmax_scale:
+                continue
+            ge = g[:, lo:lo + cnt].reshape(-1, g.shape[-1])
+            me = masks[:, lo:lo + cnt].reshape(-1) > 0
+            big = jnp.where(me[:, None], ge, -jnp.inf).max(0)
+            small = jnp.where(me[:, None], ge, jnp.inf).min(0)
+            norm = params[e]["norm"]
+            params[e] = dict(params[e])
+            params[e]["norm"] = {
+                "xlo": jnp.minimum(norm["xlo"], small),
+                "xhi": jnp.maximum(norm["xhi"], big)}
+        return params
+
+    def as_dict(self) -> dict:
+        return {"class": "AtomicNN",
+                "featurizer": self.featurizer.as_dict(),
+                "max_occurs": dict(self.max_occurs),
+                "descriptor": self.descriptor.as_dict(),
+                "hidden_sizes": self.hidden_sizes,
+                "activation": self.activation,
+                "use_resnet_dt": self.use_resnet_dt,
+                "minmax_scale": self.minmax_scale,
+                "atomic_static_energy": self.atomic_static_energy,
+                "fixed_static_energy": self.fixed_static_energy}

@@ -1,0 +1,129 @@
+"""Behler-Parrinello symmetry-function descriptors on flat pair/triple
+arrays (reference math: `tensoralloy/nn/atomic/sf.py:79-215`).
+
+G2 (radial), for center i, k-body slot s (neighbor element class), and
+parameter tau = (eta, omega):
+
+    G2[i, s, tau] = sum_{j in s} exp(-eta (r_ij - omega)^2 / rc^2) fc(r_ij)
+
+G4 (angular), slot s = unordered neighbor-element pair, tau = (beta,
+gamma, zeta):
+
+    G4[i, s, tau] = sum_{j<k in s} 2^(1-zeta) (1 + gamma cos t_ijk)^zeta
+                    exp(-beta (r_ij^2 + r_ik^2 + r_jk^2)/rc^2)
+                    fc(r_ij) fc(r_ik) fc(r_jk)
+
+Instead of the reference's dense `[terms, atoms, nnl]` scatter layout,
+each pair/triple contributes one `segment_sum` row keyed by
+``atom_row * n_slots + slot`` — a single XLA scatter-add per descriptor.
+Parameter-grid ordering matches the reference's sklearn `ParameterGrid`
+(sorted keys, last key fastest) so feature columns line up.
+"""
+from __future__ import annotations
+
+from itertools import product
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cutoffs import apply_cutoff
+from ..ops.pairs import pair_distances, triple_distances
+from ..precision import get_float_dtype
+
+
+class SymmetryFunction:
+    """Config + pure compute for SF descriptors."""
+
+    name = "SF"
+
+    def __init__(self, elements, eta=(0.05, 4.0, 20.0, 80.0), omega=(0.0,),
+                 beta=(0.005,), gamma=(1.0, -1.0), zeta=(1.0, 4.0),
+                 cutoff_function: str = "cosine"):
+        self.elements = sorted(elements)
+        self.eta = np.asarray(eta, dtype=np.float64)
+        self.omega = np.asarray(omega, dtype=np.float64)
+        self.beta = np.asarray(beta, dtype=np.float64)
+        self.gamma = np.asarray(gamma, dtype=np.float64)
+        self.zeta = np.asarray(zeta, dtype=np.float64)
+        self.cutoff_function = cutoff_function
+        # sklearn ParameterGrid order: sorted keys, product with last
+        # key fastest -> (eta slow, omega fast) / (beta, gamma, zeta).
+        self.radial_grid = np.array(
+            list(product(self.eta, self.omega)))       # [T2, 2]
+        self.angular_grid = np.array(
+            list(product(self.beta, self.gamma, self.zeta)))  # [T4, 3]
+
+    @property
+    def n_radial_params(self) -> int:
+        return len(self.radial_grid)
+
+    @property
+    def n_angular_params(self) -> int:
+        return len(self.angular_grid)
+
+    def feature_dim(self, n_radial_slots: int, n_angular_slots: int,
+                    angular: bool) -> int:
+        dim = n_radial_slots * self.n_radial_params
+        if angular:
+            dim += n_angular_slots * self.n_angular_params
+        return dim
+
+    # ------------------------------------------------------------------
+    def radial(self, features, rcut: float, n_slots: int) -> jnp.ndarray:
+        """-> [n_vap, n_slots * n_radial_params]."""
+        dtype = features["positions"].dtype
+        _, rij = pair_distances(features)
+        mask = features["pair_mask"]
+        fc = apply_cutoff(self.cutoff_function, rij, rcut) * mask
+        eta = jnp.asarray(self.radial_grid[:, 0], dtype)
+        omega = jnp.asarray(self.radial_grid[:, 1], dtype)
+        z = jnp.square(rij[:, None] - omega[None, :]) / (rcut * rcut)
+        v = jnp.exp(-eta[None, :] * z) * fc[:, None]        # [nij, T2]
+        n_vap = features["positions"].shape[0]
+        seg = features["pair_i"] * n_slots + features["pair_islot"]
+        g = jax.ops.segment_sum(v, seg, num_segments=n_vap * n_slots)
+        return g.reshape(n_vap, n_slots * self.n_radial_params)
+
+    def angular(self, features, acut: float, n_slots: int) -> jnp.ndarray:
+        """-> [n_vap, n_slots * n_angular_params]."""
+        dtype = features["positions"].dtype
+        rij, rik, rjk = triple_distances(features)
+        mask = features["trip_mask"]
+        rij2, rik2, rjk2 = rij * rij, rik * rik, rjk * rjk
+        z = (rij2 + rik2 + rjk2) / (acut * acut)
+        cos_theta = (rij2 + rik2 - rjk2) / (2.0 * rij * rik)
+        fc = (apply_cutoff(self.cutoff_function, rij, acut) *
+              apply_cutoff(self.cutoff_function, rik, acut) *
+              apply_cutoff(self.cutoff_function, rjk, acut) * mask)
+        beta = jnp.asarray(self.angular_grid[:, 0], dtype)
+        gamma = jnp.asarray(self.angular_grid[:, 1], dtype)
+        zeta = jnp.asarray(self.angular_grid[:, 2], dtype)
+        base = 1.0 + gamma[None, :] * cos_theta[:, None]
+        # base can dip slightly below 0 from fp error at theta ~ pi
+        base = jnp.maximum(base, 0.0)
+        outer = 2.0 ** (1.0 - zeta)
+        v = (outer[None, :] * base ** zeta[None, :] *
+             jnp.exp(-beta[None, :] * z[:, None]) * fc[:, None])
+        n_vap = features["positions"].shape[0]
+        seg = features["trip_i"] * n_slots + features["trip_aslot"]
+        g = jax.ops.segment_sum(v, seg, num_segments=n_vap * n_slots)
+        return g.reshape(n_vap, n_slots * self.n_angular_params)
+
+    # ------------------------------------------------------------------
+    def compute(self, features, rcut: float, acut: float,
+                n_radial_slots: int, n_angular_slots: int,
+                angular: bool) -> jnp.ndarray:
+        g = self.radial(features, rcut, n_radial_slots)
+        if angular:
+            g4 = self.angular(features, acut, n_angular_slots)
+            g = jnp.concatenate([g, g4], axis=1)
+        return g
+
+    def as_dict(self) -> dict:
+        return {"class": "SymmetryFunction", "elements": self.elements,
+                "eta": self.eta.tolist(), "omega": self.omega.tolist(),
+                "beta": self.beta.tolist(), "gamma": self.gamma.tolist(),
+                "zeta": self.zeta.tolist(),
+                "cutoff_function": self.cutoff_function}

@@ -1,0 +1,275 @@
+"""Featurization: structures -> fixed-shape device arrays.
+
+This is the TPU-native re-design of the reference's transformer layer
+(`tensoralloy/transformer/universal.py`). The reference scatters pair
+data into a dense ``[4, n_terms, n_atoms_vap, nnl_max, 1]`` g-tensor;
+here we keep **flat padded pair/triple index arrays** and let the model
+do `segment_sum` reductions on device — less padding waste, XLA-friendly
+scatter-adds, and autodiff-transparent.
+
+Host side produces only *indices and shifts* (int32 / small floats);
+interatomic distances are always recomputed on device from positions so
+forces/stress flow through `jax.grad` (same trade the reference makes
+for training, `universal.py:1086-1112`).
+
+Shape contract (`Features` dict):
+  positions   [n_vap, 3]        VAP layout, row 0 = virtual atom
+  cell        [3, 3]
+  atom_masks  [n_vap]           1.0 for real atoms
+  n_atoms     []                number of real atoms (int32)
+  etemperature []               electron temperature (eV), optional
+  pair_i / pair_j       [nij]   int32 VAP rows (0 for padding)
+  pair_shift  [nij, 3]          integer cell shifts (float dtype)
+  pair_islot  [nij]   int32     radial slot within center element's terms
+  pair_term   [nij]   int32     global radial k-body term id
+  pair_mask   [nij]             1.0 for real pairs
+  (angular only)
+  trip_i / trip_j / trip_k  [nijk] int32 VAP rows
+  trip_shift_j / trip_shift_k [nijk, 3]
+  trip_aslot  [nijk]  int32     angular slot within center element's terms
+  trip_mask   [nijk]
+"""
+from __future__ import annotations
+
+import json
+from collections import Counter
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..atoms import Structure
+from ..neighbor import neighbor_list, find_neighbor_size_of_atoms, NeighborSize
+from ..utils import get_kbody_terms, get_elements_from_kbody_term
+from ..vap import VirtualAtomMap
+
+Features = Dict[str, np.ndarray]
+
+
+class Featurizer:
+    """Stateless structure->arrays transformer (UniversalTransformer role).
+
+    Parameters
+    ----------
+    elements : supported chemical symbols (defines term tables & layout).
+    rcut : radial cutoff (Angstrom).
+    acut : angular cutoff; defaults to ``rcut`` when ``angular``.
+    angular : build 3-body triples.
+    symmetric : merge jk/kj angular classes (reference default True).
+    """
+
+    def __init__(self, elements: List[str], rcut: float,
+                 acut: Optional[float] = None, angular: bool = False,
+                 symmetric: bool = True, periodic: bool = True):
+        all_terms, terms_per_elem, elements = get_kbody_terms(
+            elements, angular=angular, symmetric=symmetric)
+        self.elements = elements
+        self.n_elements = len(elements)
+        self.rcut = float(rcut)
+        self.acut = float(acut if acut else rcut) if angular else 0.0
+        self.angular = bool(angular)
+        self.symmetric = bool(symmetric)
+        self.periodic = bool(periodic)
+        self.all_kbody_terms = all_terms
+        self.kbody_terms_for_element = terms_per_elem
+
+        n = self.n_elements
+        self.n_radial_slots = n
+        self.n_angular_slots = (n * (n + 1) // 2) if symmetric else n * n
+
+        # (center_idx, neighbor_idx) -> slot within center's radial terms
+        # and -> global term id.
+        self._rslot = np.zeros((n, n), dtype=np.int32)
+        self._rterm = np.zeros((n, n), dtype=np.int32)
+        for ci, ce in enumerate(elements):
+            for ni, ne in enumerate(elements):
+                term = ce + ne
+                self._rslot[ci, ni] = terms_per_elem[ce].index(term)
+                self._rterm[ci, ni] = all_terms.index(term)
+        if angular:
+            self._aslot = np.zeros((n, n, n), dtype=np.int32)
+            self._aterm = np.zeros((n, n, n), dtype=np.int32)
+            for ci, ce in enumerate(elements):
+                for ji, je in enumerate(elements):
+                    for ki, ke in enumerate(elements):
+                        if symmetric:
+                            suffix = "".join(sorted([je, ke]))
+                        else:
+                            suffix = je + ke
+                        term = ce + suffix
+                        # slot among angular terms only
+                        slot = terms_per_elem[ce].index(term) - n
+                        self._aslot[ci, ji, ki] = slot
+                        self._aterm[ci, ji, ki] = all_terms.index(term)
+
+    # ------------------------------------------------------------------
+    @property
+    def max_cutoff(self) -> float:
+        return max(self.rcut, self.acut)
+
+    def radial_term_name(self, term_id: int) -> str:
+        return self.all_kbody_terms[term_id]
+
+    def element_index(self, symbol: str) -> int:
+        return self.elements.index(symbol)
+
+    def vap_element_indices(self, vap: VirtualAtomMap) -> np.ndarray:
+        """[n_vap] element index of every VAP row (0 for the X row; row 0
+        is always masked out by atom_masks downstream)."""
+        out = np.zeros(vap.n_atoms_vap, dtype=np.int32)
+        for e in vap.elements:
+            lo = vap.element_offsets[e]
+            out[lo:lo + vap.max_occurs[e]] = self.element_index(e)
+        return out
+
+    # ------------------------------------------------------------------
+    def neighbor_size(self, structure: Structure) -> NeighborSize:
+        return find_neighbor_size_of_atoms(
+            structure, self.rcut, angular=self.angular)
+
+    def make_vap(self, structure: Structure,
+                 max_occurs: Optional[Counter] = None) -> VirtualAtomMap:
+        if max_occurs is None:
+            max_occurs = Counter(structure.symbols)
+        return VirtualAtomMap(max_occurs, structure.symbols)
+
+    # ------------------------------------------------------------------
+    def featurize(self, structure: Structure,
+                  vap: Optional[VirtualAtomMap] = None,
+                  nij_max: Optional[int] = None,
+                  nijk_max: Optional[int] = None,
+                  dtype=np.float64) -> Features:
+        """Build the fixed-shape feature arrays for one structure."""
+        structure = structure.ensure_cell()
+        if vap is None:
+            vap = self.make_vap(structure)
+        ilist, jlist, shift, dists, _ = neighbor_list(
+            structure, self.max_cutoff)
+        if self.angular and self.acut > self.rcut:
+            all_pairs = (ilist, jlist, shift, dists)
+            within_r = dists < self.rcut
+            ilist, jlist, shift, dists = (ilist[within_r], jlist[within_r],
+                                          shift[within_r], dists[within_r])
+        else:
+            all_pairs = None
+        nij = len(ilist)
+        if nij_max is None:
+            nij_max = nij
+
+        elem_idx_local = np.array(
+            [self.elements.index(s) for s in structure.symbols],
+            dtype=np.int32)
+
+        feats: Features = {}
+        pos_vap = vap.map_positions(structure.positions).astype(dtype)
+        feats["positions"] = pos_vap
+        feats["cell"] = structure.cell.astype(dtype)
+        feats["atom_masks"] = vap.atom_masks.astype(dtype)
+        feats["n_atoms"] = np.int32(len(structure))
+        feats["etemperature"] = np.asarray(
+            structure.info.get("etemperature", 0.0), dtype=dtype)
+
+        pad = nij_max - nij
+        if pad < 0:
+            raise ValueError(f"nij={nij} exceeds nij_max={nij_max}")
+        ci = elem_idx_local[ilist]
+        cj = elem_idx_local[jlist]
+        feats["pair_i"] = _pad(vap.local_to_vap[ilist], nij_max, 0)
+        feats["pair_j"] = _pad(vap.local_to_vap[jlist], nij_max, 0)
+        feats["pair_shift"] = np.concatenate(
+            [shift, np.zeros((pad, 3))], axis=0).astype(dtype)
+        feats["pair_islot"] = _pad(self._rslot[ci, cj], nij_max, 0)
+        feats["pair_term"] = _pad(self._rterm[ci, cj], nij_max, 0)
+        feats["pair_mask"] = np.concatenate(
+            [np.ones(nij), np.zeros(pad)]).astype(dtype)
+
+        if self.angular:
+            a_i, a_j, a_s, a_d = all_pairs if all_pairs is not None else (
+                ilist, jlist, shift, dists)
+            self._build_triples(feats, structure, vap, a_i, a_j, a_s,
+                                a_d, elem_idx_local, nijk_max, dtype)
+        return feats
+
+    def _build_triples(self, feats, structure, vap, ilist, jlist, shift,
+                       dists, elem_idx_local, nijk_max, dtype):
+        within = dists < self.acut
+        ii, jj, ss = ilist[within], jlist[within], shift[within]
+        # group pairs by center atom; emit j<k combinations
+        order = np.argsort(ii, kind="stable")
+        ii, jj, ss = ii[order], jj[order], ss[order]
+        counts = np.bincount(ii, minlength=len(structure))
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        t_i, t_j, t_k, t_sj, t_sk = [], [], [], [], []
+        for a in range(len(structure)):
+            lo, hi = offsets[a], offsets[a + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            p, q = np.triu_indices(m, k=1)
+            t_i.append(np.full(len(p), a, dtype=np.int64))
+            t_j.append(jj[lo + p])
+            t_k.append(jj[lo + q])
+            t_sj.append(ss[lo + p])
+            t_sk.append(ss[lo + q])
+        if t_i:
+            t_i = np.concatenate(t_i)
+            t_j = np.concatenate(t_j)
+            t_k = np.concatenate(t_k)
+            t_sj = np.concatenate(t_sj)
+            t_sk = np.concatenate(t_sk)
+        else:
+            t_i = np.zeros(0, np.int64)
+            t_j = np.zeros(0, np.int64)
+            t_k = np.zeros(0, np.int64)
+            t_sj = np.zeros((0, 3))
+            t_sk = np.zeros((0, 3))
+        nijk = len(t_i)
+        if nijk_max is None:
+            nijk_max = nijk
+        pad = nijk_max - nijk
+        if pad < 0:
+            raise ValueError(f"nijk={nijk} exceeds nijk_max={nijk_max}")
+        ci = elem_idx_local[t_i]
+        cj = elem_idx_local[t_j]
+        ck = elem_idx_local[t_k]
+        feats["trip_i"] = _pad(vap.local_to_vap[t_i], nijk_max, 0)
+        feats["trip_j"] = _pad(vap.local_to_vap[t_j], nijk_max, 0)
+        feats["trip_k"] = _pad(vap.local_to_vap[t_k], nijk_max, 0)
+        feats["trip_shift_j"] = np.concatenate(
+            [t_sj, np.zeros((pad, 3))], axis=0).astype(dtype)
+        feats["trip_shift_k"] = np.concatenate(
+            [t_sk, np.zeros((pad, 3))], axis=0).astype(dtype)
+        feats["trip_aslot"] = _pad(self._aslot[ci, cj, ck], nijk_max, 0)
+        feats["trip_mask"] = np.concatenate(
+            [np.ones(nijk), np.zeros(pad)]).astype(dtype)
+
+    # ------------------------------------------------------------------
+    def as_dict(self) -> dict:
+        return {"class": "Featurizer", "elements": self.elements,
+                "rcut": self.rcut, "acut": self.acut,
+                "angular": self.angular, "symmetric": self.symmetric,
+                "periodic": self.periodic}
+
+    def to_json(self) -> str:
+        return json.dumps(self.as_dict())
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Featurizer":
+        d = dict(d)
+        d.pop("class", None)
+        return cls(elements=d["elements"], rcut=d["rcut"],
+                   acut=d.get("acut") or None, angular=d.get("angular", False),
+                   symmetric=d.get("symmetric", True),
+                   periodic=d.get("periodic", True))
+
+
+def _pad(arr: np.ndarray, size: int, fill) -> np.ndarray:
+    arr = np.asarray(arr, dtype=np.int32)
+    out = np.full(size, fill, dtype=np.int32)
+    out[:len(arr)] = arr
+    return out
+
+
+def batch_features(feature_list: List[Features]) -> Features:
+    """Stack per-structure feature dicts along a leading batch axis."""
+    keys = feature_list[0].keys()
+    return {k: np.stack([f[k] for f in feature_list], axis=0) for k in keys}
