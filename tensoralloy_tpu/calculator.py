@@ -1,0 +1,191 @@
+"""Inference calculator over a saved model (reference
+`tensoralloy/calculator.py`: `TensorAlloyCalculator`, an ASE calculator
+over a frozen graph).
+
+ASE is not a dependency here, but the interface mirrors ASE's
+`Calculator` (get_potential_energy / get_forces / get_stress /
+get_hessian / ...) over our `Structure`; if ASE is installed an adapter
+(`as_ase_calculator`) wraps it for drop-in MD use.
+
+Design for TPU inference: per-formula VAP cache, and the padded pair
+count is *bucketed* to powers-of-two so XLA compiles one executable per
+bucket instead of one per structure — this plus on-device distance
+computation removes the reference's dominant featurize/feed-dict
+bottleneck (SURVEY §6: 26.6 s neighbor + 70.6 s feed for 128k atoms).
+"""
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .atoms import Structure
+from .nn.fields import make_efs_fn, make_hessian_fn
+from .vap import VirtualAtomMap
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+class TensorAlloyCalculator:
+    """Evaluate energy/forces/stress/Hessian of arbitrary structures."""
+
+    implemented_properties = ("energy", "free_energy", "forces", "stress",
+                              "pressure", "hessian", "atomic_energies")
+
+    def __init__(self, model_or_path, params: Optional[dict] = None,
+                 use_ema: bool = True):
+        if isinstance(model_or_path, str):
+            from .io.model import load_model
+            self.model, self.params, self.config = load_model(model_or_path)
+        else:
+            self.model = model_or_path
+            self.params = params
+            self.config = {}
+        self.featurizer = self.model.featurizer
+        # per-layout caches: the model's VAP row layout is static under
+        # jit, so each (bucketed) stoichiometry gets its own re-laid-out
+        # model clone + compiled executable
+        self._variant_cache: Dict[tuple, tuple] = {}
+        self._vap_cache: Dict[str, VirtualAtomMap] = {}
+        self.results: Dict[str, np.ndarray] = {}
+        self._last = None
+
+    @property
+    def elements(self):
+        return self.featurizer.elements
+
+    # ------------------------------------------------------------------
+    def _bucketed_occurs(self, structure: Structure) -> Counter:
+        """Round per-element counts up to powers of two: bounds the
+        number of distinct compiled layouts for MD/scan workloads."""
+        unknown = set(structure.symbols) - set(self.elements)
+        if unknown:
+            raise ValueError(
+                f"structure contains element(s) {sorted(unknown)} not "
+                f"supported by this model (elements: {self.elements})")
+        counts = Counter(structure.symbols)
+        out = Counter()
+        for e, c in counts.items():
+            b = 1
+            while b < c:
+                b *= 2
+            out[e] = b
+        return out
+
+    def _get_variant(self, structure: Structure):
+        """(model clone, jitted efs, jitted hessian) for this layout."""
+        occurs = self._bucketed_occurs(structure)
+        key = tuple(sorted(occurs.items()))
+        hit = self._variant_cache.get(key)
+        if hit is None:
+            model = self.model.clone_for(Counter(dict(key)))
+            efs = jax.jit(make_efs_fn(model.energy))
+            hess = jax.jit(make_hessian_fn(model.energy))
+            hit = (model, efs, hess)
+            self._variant_cache[key] = hit
+        return hit
+
+    def _get_vap(self, structure: Structure) -> VirtualAtomMap:
+        # keyed by the exact symbol sequence: the local->VAP index map
+        # depends on atom order, not just the reduced formula
+        key = tuple(structure.symbols)
+        vap = self._vap_cache.get(key)
+        if vap is None:
+            vap = VirtualAtomMap(self._bucketed_occurs(structure),
+                                 structure.symbols)
+            self._vap_cache[key] = vap
+        return vap
+
+    def _features(self, structure: Structure, vap: VirtualAtomMap):
+        fz = self.featurizer
+        sizes = fz.neighbor_size(structure)
+        nij_max = _bucket(max(sizes.nij, 1))
+        nijk_max = _bucket(max(sizes.nijk, 1)) if fz.angular else None
+        feats = fz.featurize(structure, vap, nij_max=nij_max,
+                             nijk_max=nijk_max,
+                             dtype=np.float64 if jax.config.jax_enable_x64
+                             else np.float32)
+        return {k: jnp.asarray(v) for k, v in feats.items()}
+
+    # ------------------------------------------------------------------
+    def calculate(self, structure: Structure) -> Dict[str, np.ndarray]:
+        vap = self._get_vap(structure)
+        model, efs, _ = self._get_variant(structure)
+        feats = self._features(structure, vap)
+        out = efs(self.params, feats)
+        forces = vap.reverse_map(np.asarray(out["forces"]))
+        self.results = {
+            "energy": float(out["energy"]),
+            "free_energy": float(out.get("free_energy", out["energy"])),
+            "forces": forces,
+            "stress": np.asarray(out["stress_voigt"]),
+            "pressure": float(out["total_pressure"]),
+        }
+        if hasattr(model, "atomic_energies"):
+            ae = np.asarray(model.atomic_energies(self.params, feats))
+            self.results["atomic_energies"] = vap.reverse_map(ae)
+        self._last = structure
+        return self.results
+
+    def _maybe_calculate(self, structure: Optional[Structure]):
+        if structure is not None and structure is not self._last:
+            self.calculate(structure)
+        return self.results
+
+    # ------------------------------------------------------------------
+    def get_potential_energy(self, structure: Optional[Structure] = None
+                             ) -> float:
+        return self._maybe_calculate(structure)["energy"]
+
+    def get_forces(self, structure: Optional[Structure] = None
+                   ) -> np.ndarray:
+        return self._maybe_calculate(structure)["forces"]
+
+    def get_stress(self, structure: Optional[Structure] = None
+                   ) -> np.ndarray:
+        return self._maybe_calculate(structure)["stress"]
+
+    def get_total_pressure(self, structure: Optional[Structure] = None
+                           ) -> float:
+        return self._maybe_calculate(structure)["pressure"]
+
+    def get_atomic_energies(self, structure: Optional[Structure] = None
+                            ) -> np.ndarray:
+        return self._maybe_calculate(structure)["atomic_energies"]
+
+    def get_hessian(self, structure: Structure,
+                    phonopy_format: bool = False) -> np.ndarray:
+        vap = self._get_vap(structure)
+        _, _, hess = self._get_variant(structure)
+        feats = self._features(structure, vap)
+        h = np.asarray(hess(self.params, feats))
+        return vap.reverse_map_hessian(h, phonopy_format=phonopy_format)
+
+    # ------------------------------------------------------------------
+    def as_ase_calculator(self):
+        """Optional adapter when ASE is importable."""
+        from ase.calculators.calculator import Calculator, all_changes
+
+        outer = self
+
+        class _Adapter(Calculator):
+            implemented_properties = ["energy", "free_energy", "forces",
+                                      "stress"]
+
+            def calculate(self, atoms=None, properties=("energy",),
+                          system_changes=all_changes):
+                super().calculate(atoms, properties, system_changes)
+                s = Structure(atoms.numbers, atoms.positions,
+                              np.asarray(atoms.cell), atoms.pbc)
+                res = outer.calculate(s)
+                self.results = dict(res)
+
+        return _Adapter()

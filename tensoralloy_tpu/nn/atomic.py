@@ -66,6 +66,21 @@ class AtomicNN:
             featurizer.angular)
 
     # ------------------------------------------------------------------
+    def clone_for(self, max_occurs: Counter) -> "AtomicNN":
+        """Same weights/hyperparams, different VAP row layout.
+
+        Params are layout-independent (per-element MLPs), so inference
+        on an arbitrary stoichiometry re-lays-out the model and reuses
+        the trained params unchanged."""
+        return type(self)(self.featurizer, max_occurs, self.descriptor,
+                          hidden_sizes=self.hidden_sizes,
+                          activation=self.activation,
+                          use_resnet_dt=self.use_resnet_dt,
+                          minmax_scale=self.minmax_scale,
+                          atomic_static_energy=self.atomic_static_energy,
+                          fixed_static_energy=self.fixed_static_energy,
+                          kernel_initializer=self.kernel_initializer)
+
     def init_params(self, key) -> dict:
         params = {}
         for e in self.elements:

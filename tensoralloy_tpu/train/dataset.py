@@ -1,0 +1,153 @@
+"""Dataset pipeline: database -> featurized, padded, batched arrays.
+
+TPU-first redesign of the reference's tfrecord pipeline
+(`tensoralloy/train/dataset/dataset.py`): instead of protobuf encode /
+decode, structures are featurized once into fixed-shape numpy arrays,
+cached as a compressed ``.npz`` shard next to the database (file name
+carries the same signature discipline: name, split, k_max, rc,
+precision, count), and batches are sliced + `device_put` on demand.
+Labels are VAP-mapped on the host so the device loss is pure array math.
+"""
+from __future__ import annotations
+
+import os
+from collections import Counter
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..atoms import Structure
+from ..io.sqlite import CoreDatabase
+from ..transform.featurizer import Featurizer, batch_features
+from ..neighbor import NeighborSize
+
+Arrays = Dict[str, np.ndarray]
+
+
+class Dataset:
+    """Featurize-once dataset with train/test split."""
+
+    def __init__(self, database: CoreDatabase, featurizer: Featurizer,
+                 name: str = "dataset", test_size: float | int = 0.2,
+                 seed: int = 611, dtype=np.float32,
+                 cache_dir: Optional[str] = None):
+        self.db = database
+        self.featurizer = featurizer
+        self.name = name
+        self.test_size = test_size
+        self.seed = seed
+        self.dtype = dtype
+        self.cache_dir = cache_dir or os.path.dirname(database.filename)
+        self.max_occurs = database.max_occurs
+        self.sizes: NeighborSize = database.get_neighbor_sizes(
+            featurizer.max_cutoff, angular=featurizer.angular)
+        # modest headroom so slightly larger eval structures still fit
+        self.nij_max = int(self.sizes.nij)
+        self.nijk_max = int(self.sizes.nijk)
+        self.n_atoms_vap = int(sum(self.max_occurs.values()) + 1)
+
+    # ------------------------------------------------------------------
+    @property
+    def signature(self) -> str:
+        k = 3 if self.featurizer.angular else 2
+        fp = {np.dtype(np.float32): "fp32",
+              np.dtype(np.float64): "fp64"}[np.dtype(self.dtype)]
+        return (f"{self.name}-k{k}-rc{self.featurizer.rcut:.2f}-{fp}-"
+                f"{len(self.db)}")
+
+    @property
+    def cache_path(self) -> str:
+        return os.path.join(self.cache_dir, self.signature + ".npz")
+
+    # ------------------------------------------------------------------
+    def _featurize_one(self, s: Structure) -> Tuple[Arrays, Arrays]:
+        fz = self.featurizer
+        vap = fz.make_vap(s, self.max_occurs)
+        feats = fz.featurize(s, vap, nij_max=self.nij_max,
+                             nijk_max=self.nijk_max or None,
+                             dtype=self.dtype)
+        labels: Arrays = {
+            "energy": np.asarray(s.energy if s.energy is not None else 0.0,
+                                 dtype=self.dtype),
+            "n_atoms": np.asarray(len(s), dtype=self.dtype),
+        }
+        forces = s.forces
+        labels["forces"] = (vap.map_forces(forces).astype(self.dtype)
+                            if forces is not None
+                            else np.zeros((vap.n_atoms_vap, 3), self.dtype))
+        stress = s.stress
+        labels["stress"] = (np.asarray(stress, dtype=self.dtype)
+                            if stress is not None
+                            else np.zeros(6, self.dtype))
+        labels["has_stress"] = np.asarray(
+            0.0 if stress is None else 1.0, dtype=self.dtype)
+        w = np.asarray(s.info.get("weights", [1.0, 1.0, 1.0]),
+                       dtype=self.dtype)
+        if w.size < 3:
+            w = np.pad(w, (0, 3 - w.size), constant_values=1.0)
+        labels["weights"] = w
+        labels["eentropy"] = np.asarray(
+            s.info.get("eentropy", 0.0), dtype=self.dtype)
+        labels["free_energy"] = np.asarray(
+            s.info.get("free_energy", s.energy or 0.0), dtype=self.dtype)
+        return feats, labels
+
+    # ------------------------------------------------------------------
+    def build(self, force: bool = False, verbose: bool = False
+              ) -> Tuple[Arrays, Arrays]:
+        """Featurize the whole database (cached to .npz)."""
+        if not force and os.path.exists(self.cache_path):
+            with np.load(self.cache_path) as z:
+                data = {k: z[k] for k in z.files}
+        else:
+            feats_list, labels_list = [], []
+            for i, s in enumerate(self.db):
+                f, l = self._featurize_one(s)
+                feats_list.append(f)
+                labels_list.append(l)
+                if verbose and (i + 1) % 500 == 0:
+                    print(f"featurized {i + 1}/{len(self.db)}")
+            feats = batch_features(feats_list)
+            labels = batch_features(labels_list)
+            data = {**{f"f_{k}": v for k, v in feats.items()},
+                    **{f"l_{k}": v for k, v in labels.items()}}
+            np.savez_compressed(self.cache_path, **data)
+        feats = {k[2:]: v for k, v in data.items() if k.startswith("f_")}
+        labels = {k[2:]: v for k, v in data.items() if k.startswith("l_")}
+        return feats, labels
+
+    # ------------------------------------------------------------------
+    def split(self, feats: Arrays, labels: Arrays
+              ) -> Tuple[Arrays, Arrays, Arrays, Arrays]:
+        n = len(labels["energy"])
+        rng = np.random.RandomState(self.seed)
+        idx = rng.permutation(n)
+        n_test = (int(self.test_size) if self.test_size >= 1
+                  else max(1, int(round(self.test_size * n))))
+        n_test = min(n_test, n - 1) if n > 1 else 0
+        test_idx, train_idx = idx[:n_test], idx[n_test:]
+        take = lambda d, i: {k: v[i] for k, v in d.items()}
+        return (take(feats, train_idx), take(labels, train_idx),
+                take(feats, test_idx), take(labels, test_idx))
+
+
+def batches(feats: Arrays, labels: Arrays, batch_size: int, seed: int = 0,
+            shuffle: bool = True, drop_remainder: bool = True,
+            repeat: bool = False) -> Iterator[Tuple[Arrays, Arrays]]:
+    """Simple host-side batch iterator (device_put left to the caller)."""
+    n = len(labels["energy"])
+    rng = np.random.RandomState(seed)
+    while True:
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        if n < batch_size:
+            # tiny dataset: wrap-pad so one full batch is always emitted
+            idx = np.resize(idx, batch_size)
+        stop = len(idx) - batch_size + 1 if drop_remainder else len(idx)
+        for lo in range(0, stop, batch_size):
+            sel = idx[lo:lo + batch_size]
+            if len(sel) < batch_size:
+                sel = np.resize(sel, batch_size)  # wrap-pad final batch
+            yield ({k: v[sel] for k, v in feats.items()},
+                   {k: v[sel] for k, v in labels.items()})
+        if not repeat:
+            return

@@ -1,0 +1,356 @@
+"""Training orchestration: optax optimizer, EMA, jitted data-parallel
+train/eval steps, checkpointing.
+
+Replaces the reference's Estimator machinery
+(`tensoralloy/train/training.py`, `nn/opt.py`, `nn/hooks.py`) with a
+functional JAX loop: one jitted `train_step` (grads -> optax update ->
+EMA), one jitted `eval_step` (MAE/MSE metrics with EMA params), orbax
+checkpoints, and a 1-D device mesh for data parallelism.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..nn import losses as loss_ops
+from ..nn.fields import make_efs_fn
+from ..parallel.mesh import (make_mesh, shard_batch, replicate,
+                             batch_sharding, replicated_sharding)
+from .dataset import batches
+
+
+@dataclasses.dataclass
+class OptParameters:
+    """Reference `[opt]` section (`nn/dataclasses.py`, `nn/utils.py`)."""
+    method: str = "adam"
+    learning_rate: float = 0.01
+    decay_function: Optional[str] = None     # exponential | inverse_time | cosine
+    decay_rate: float = 0.95
+    decay_steps: int = 1000
+    staircase: bool = False
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    rho: float = 0.95                         # adadelta
+    momentum: float = 0.9                     # rmsprop / sgd
+    clip_norm: float = 0.0
+
+
+@dataclasses.dataclass
+class TrainParameters:
+    batch_size: int = 32
+    train_steps: int = 10000
+    eval_steps: int = 1000
+    summary_steps: int = 100
+    log_steps: int = 100
+    max_checkpoints_to_keep: int = 5
+    ema_decay: float = 0.999
+    seed: int = 611
+    model_dir: str = "train"
+
+
+def make_lr_schedule(opt: OptParameters):
+    lr = opt.learning_rate
+    if opt.decay_function in (None, "", "none", False):
+        return optax.constant_schedule(lr)
+    if opt.decay_function == "exponential":
+        return optax.exponential_decay(
+            lr, opt.decay_steps, opt.decay_rate, staircase=opt.staircase)
+    if opt.decay_function == "inverse_time":
+        return lambda step: lr / (1.0 + opt.decay_rate *
+                                  jnp.asarray(step, jnp.float32) /
+                                  opt.decay_steps)
+    if opt.decay_function == "cosine":
+        return optax.cosine_decay_schedule(lr, opt.decay_steps)
+    raise ValueError(f"unknown decay_function {opt.decay_function}")
+
+
+def make_optimizer(opt: OptParameters) -> optax.GradientTransformation:
+    sched = make_lr_schedule(opt)
+    method = opt.method.lower()
+    if method == "adam":
+        tx = optax.adam(sched, b1=opt.beta1, b2=opt.beta2)
+    elif method == "adamw":
+        tx = optax.adamw(sched, b1=opt.beta1, b2=opt.beta2,
+                         weight_decay=opt.weight_decay or 1e-4)
+    elif method == "nadam":
+        tx = optax.nadam(sched, b1=opt.beta1, b2=opt.beta2)
+    elif method == "adadelta":
+        tx = optax.adadelta(sched, rho=opt.rho)
+    elif method == "rmsprop":
+        tx = optax.rmsprop(sched, momentum=opt.momentum)
+    elif method in ("sgd", "nesterov"):
+        tx = optax.sgd(sched, momentum=opt.momentum, nesterov=True)
+    else:
+        raise ValueError(f"unknown optimizer {opt.method}")
+    if opt.clip_norm and opt.clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(opt.clip_norm), tx)
+    return tx
+
+
+# ----------------------------------------------------------------------
+class Trainer:
+    """Train a potential model on a featurized dataset."""
+
+    def __init__(self, model, loss_parameters: loss_ops.LossParameters,
+                 opt_parameters: OptParameters,
+                 train_parameters: TrainParameters,
+                 minimize_properties=("energy", "forces", "stress"),
+                 n_devices: Optional[int] = None):
+        self.model = model
+        self.loss_parameters = loss_parameters
+        self.opt_parameters = opt_parameters
+        self.train_parameters = train_parameters
+        self.minimize = tuple(minimize_properties)
+        self.tx = make_optimizer(opt_parameters)
+        self.mesh = make_mesh(n_devices)
+        self.efs = make_efs_fn(model.energy)
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def batched_predictions(self, params, feats) -> Dict[str, jnp.ndarray]:
+        return jax.vmap(lambda f: self.efs(params, f))(feats)
+
+    def total_loss(self, params, feats, labels, step
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        lp = self.loss_parameters
+        preds = self.batched_predictions(params, feats)
+        n_atoms = labels["n_atoms"]
+        atom_masks = feats["atom_masks"]
+        max_steps = self.train_parameters.train_steps
+        w_struct = labels.get("weights")  # [B, 3] energy/forces/stress
+
+        if "forces" in self.minimize and lp.adaptive_sample_weight.enabled:
+            asw = loss_ops.adaptive_sample_weight(
+                labels["forces"], atom_masks, n_atoms,
+                lp.adaptive_sample_weight)
+            normalized = lp.adaptive_sample_weight.normalized
+        else:
+            asw, normalized = None, False
+
+        def weights_for(i, base):
+            """Combine adaptive and per-structure label weights."""
+            w = base
+            if w_struct is not None:
+                col = w_struct[:, i]
+                w = col if w is None else w * col
+            return w
+
+        out: Dict[str, jnp.ndarray] = {}
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        w_e = weights_for(0, asw)
+        loss_e, mae_e = loss_ops.scalar_property_loss(
+            labels["energy"], preds["energy"], lp.energy, n_atoms=n_atoms,
+            sample_weight=w_e, normalized=normalized or w_e is not None)
+        out["energy"] = loss_e * loss_ops.resolve_weight(
+            lp.energy.weight, step, max_steps,
+            lp.energy.logscaled_dynamic_weight)
+        metrics["energy/mae"] = mae_e
+        metrics["energy/mae/atom"] = jnp.mean(
+            jnp.abs(labels["energy"] - preds["energy"]) / n_atoms)
+
+        if "forces" in self.minimize:
+            w_f = weights_for(1, asw)
+            loss_f, mae_f = loss_ops.forces_loss(
+                labels["forces"], preds["forces"], atom_masks, lp.forces,
+                sample_weight=w_f, normalized=True)
+            out["forces"] = loss_f * loss_ops.resolve_weight(
+                lp.forces.weight, step, max_steps,
+                lp.forces.logscaled_dynamic_weight)
+            metrics["forces/mae"] = mae_f
+
+        if "stress" in self.minimize:
+            w_s = weights_for(2, asw)
+            has = labels.get("has_stress")
+            lbl = labels["stress"]
+            prd = preds["stress_voigt"]
+            if has is not None:
+                w_s = has if w_s is None else w_s * has
+            loss_s, mae_s = loss_ops.stress_loss(
+                lbl, prd, lp.stress, sample_weight=w_s,
+                normalized=w_s is not None)
+            out["stress"] = loss_s * loss_ops.resolve_weight(
+                lp.stress.weight, step, max_steps,
+                lp.stress.logscaled_dynamic_weight)
+            metrics["stress/mae"] = mae_s
+
+        if lp.l2.weight > 0:
+            l2 = self.model.l2_loss(params)
+            w = lp.l2.weight
+            if lp.l2.decayed:
+                w = w * lp.l2.decay_rate ** (
+                    jnp.asarray(step, jnp.float32) / lp.l2.decay_steps)
+            out["l2"] = l2 * w
+
+        total = sum(out.values())
+        metrics.update({f"loss/{k}": v for k, v in out.items()})
+        metrics["loss/total"] = total
+        return total, metrics
+
+    # ------------------------------------------------------------------
+    def init_state(self, params) -> dict:
+        # Fresh buffers for both params and ema: the train step donates
+        # its input state, so aliasing the caller's arrays (or each
+        # other) would invalidate them on the first step.
+        copy = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), t)
+        params = copy(params)
+        ema = copy(params)
+        return {"params": params,
+                "opt_state": self.tx.init(params),
+                "ema_params": ema,
+                "step": jnp.zeros((), jnp.int32)}
+
+    def _build_train_step(self):
+        decay = self.train_parameters.ema_decay
+
+        def train_step(state, feats, labels):
+            step = state["step"]
+            (loss, metrics), grads = jax.value_and_grad(
+                self.total_loss, has_aux=True)(
+                    state["params"], feats, labels, step)
+            updates, opt_state = self.tx.update(
+                grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1.0 - decay) * p,
+                state["ema_params"], params)
+            new_state = {"params": params, "opt_state": opt_state,
+                         "ema_params": ema, "step": step + 1}
+            return new_state, metrics
+
+        # Inputs arrive pre-sharded (batch over the data axis, state
+        # replicated); jit honors argument shardings and XLA inserts the
+        # gradient all-reduce over ICI.
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def eval_step(params, feats, labels):
+            preds = self.batched_predictions(params, feats)
+            n_atoms = labels["n_atoms"]
+            mask = feats["atom_masks"][:, 1:]
+            diff_f = (labels["forces"][:, 1:] - preds["forces"][:, 1:]) \
+                * mask[..., None]
+            n_f = jnp.maximum(jnp.sum(mask) * 3.0, 1.0)
+            out = {
+                "energy/mae": jnp.mean(jnp.abs(labels["energy"] -
+                                               preds["energy"])),
+                "energy/mae/atom": jnp.mean(
+                    jnp.abs(labels["energy"] - preds["energy"]) / n_atoms),
+                "forces/mae": jnp.sum(jnp.abs(diff_f)) / n_f,
+                "stress/mae": jnp.mean(jnp.abs(labels["stress"] -
+                                               preds["stress_voigt"])),
+            }
+            return out
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def fit(self, train_feats, train_labels, test_feats=None,
+            test_labels=None, params=None, verbose: bool = True,
+            callback: Optional[Callable] = None) -> dict:
+        tp = self.train_parameters
+        if params is None:
+            params = self.model.init_params(
+                jax.random.PRNGKey(tp.seed))
+            if getattr(self.model, "minmax_scale", False):
+                n0 = min(len(train_labels["energy"]), 512)
+                sample = {k: jnp.asarray(v[:n0])
+                          for k, v in train_feats.items()}
+                params = self.model.update_norm_stats(params, sample)
+
+        bs = tp.batch_size
+        self._feat_struct = {k: None for k in train_feats}
+        self._label_struct = {k: None for k in train_labels}
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+            self._eval_step = self._build_eval_step()
+
+        state = replicate(self.init_state(params), self.mesh)
+        it = batches(train_feats, train_labels, bs, seed=tp.seed,
+                     repeat=True)
+        history = []
+        t0 = time.time()
+        examples = 0
+        for step in range(tp.train_steps):
+            bf, bl = next(it)
+            bf = shard_batch(bf, self.mesh)
+            bl = shard_batch(bl, self.mesh)
+            state, metrics = self._train_step(state, bf, bl)
+            examples += bs
+            if verbose and (step + 1) % tp.log_steps == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                print(f"step {step + 1}: loss={m['loss/total']:.6f} "
+                      f"e_mae/atom={m['energy/mae/atom']:.6f} "
+                      f"f_mae={m.get('forces/mae', 0.0):.6f} "
+                      f"({examples / dt:.1f} structures/s)")
+            if callback is not None:
+                callback(step, state, metrics)
+            if test_feats is not None and len(test_labels["energy"]) and \
+                    (step + 1) % tp.eval_steps == 0:
+                ev = self.evaluate(state["ema_params"], test_feats,
+                                   test_labels)
+                history.append({"step": step + 1, **ev})
+                if verbose:
+                    print(f"  eval@{step + 1}: " +
+                          " ".join(f"{k}={v:.6f}" for k, v in ev.items()))
+        self.state = state
+        return {"state": state, "history": history,
+                "throughput": examples / (time.time() - t0)}
+
+    def evaluate(self, params, feats, labels, batch_size: int = 0) -> dict:
+        n = len(labels["energy"])
+        bs = batch_size or min(n, self.train_parameters.batch_size)
+        outs = []
+        for lo in range(0, n, bs):
+            sel = slice(lo, min(lo + bs, n))
+            bf = {k: jnp.asarray(v[sel]) for k, v in feats.items()}
+            bl = {k: jnp.asarray(v[sel]) for k, v in labels.items()}
+            outs.append({k: float(v)
+                         for k, v in self._eval_step(params, bf, bl).items()})
+        return {k: float(np.mean([o[k] for o in outs])) for k in outs[0]}
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str, state: dict, extra: dict = None):
+        """Flat-npz checkpoint of params + EMA params + step."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        flat = {}
+        for name, tree in (("params", state["params"]),
+                           ("ema", state["ema_params"])):
+            leaves = jax.tree_util.tree_leaves_with_path(tree)
+            for kp, leaf in leaves:
+                key = name + "/" + "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in kp)
+                flat[key] = np.asarray(leaf)
+        flat["step"] = np.asarray(state["step"])
+        np.savez(path, **flat)
+        if extra:
+            with open(path + ".json", "w") as fh:
+                json.dump(extra, fh)
+
+    def load_checkpoint(self, path: str, params_template: dict
+                        ) -> Tuple[dict, dict, int]:
+        with np.load(path) as z:
+            flat = {k: z[k] for k in z.files}
+
+        def unflatten(prefix, tree):
+            def visit(kp, leaf):
+                key = prefix + "/" + "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in kp)
+                return jnp.asarray(flat[key])
+            return jax.tree_util.tree_map_with_path(visit, tree)
+
+        return (unflatten("params", params_template),
+                unflatten("ema", params_template), int(flat["step"]))

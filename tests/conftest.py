@@ -6,7 +6,7 @@ virtual CPU mesh.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +14,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides JAX_PLATFORMS; force CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,249 @@
+"""Integration: db -> dataset -> train -> export -> calculator.
+
+Mirrors the reference's `train/tests/test_training.py` wiring tests and
+short-train smoke runs, on the bundled ethanol fixture database.
+"""
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensoralloy_tpu.io.sqlite import connect
+from tensoralloy_tpu.transform import Featurizer
+from tensoralloy_tpu.nn.sf import SymmetryFunction
+from tensoralloy_tpu.nn.atomic import AtomicNN
+from tensoralloy_tpu.nn import losses as L
+from tensoralloy_tpu.train.dataset import Dataset, batches
+from tensoralloy_tpu.train.trainer import (Trainer, OptParameters,
+                                           TrainParameters)
+
+DB_SRC = "/root/reference/test_files/datasets/ethanol/ethanol.db"
+
+
+@pytest.fixture(scope="module")
+def ethanol_db(tmp_path_factory):
+    path = tmp_path_factory.mktemp("db") / "ethanol.db"
+    shutil.copy(DB_SRC, path)
+    return connect(str(path))
+
+
+def test_db_read(ethanol_db):
+    db = ethanol_db
+    assert len(db) == 10
+    assert db.elements == ["C", "H", "O"]
+    s = db.get(1)
+    assert len(s) == 9
+    assert s.energy is not None
+    assert s.forces.shape == (9, 3)
+    occurs = db.max_occurs
+    assert occurs["C"] == 2 and occurs["H"] == 6 and occurs["O"] == 1
+
+
+def test_db_static_energy(ethanol_db):
+    # cached metadata (written by the reference) is honored as-is
+    se = ethanol_db.get_atomic_static_energy()
+    assert set(se) == {"C", "H", "O"}
+
+    # recomputation from scratch must match an independent lstsq in
+    # *prediction* space (composition matrix may be rank-deficient)
+    md = ethanol_db.metadata
+    md.pop("atomic_static_energy")
+    ethanol_db.metadata = md
+    se2 = ethanol_db.get_atomic_static_energy()
+    rows, b = [], []
+    for s in ethanol_db:
+        c = s.count()
+        rows.append([c.get(e, 0) for e in ["C", "H", "O"]])
+        b.append(s.energy)
+    a = np.asarray(rows, float)
+    b = np.asarray(b)
+    x = np.linalg.lstsq(a, b, rcond=None)[0]
+    got = np.array([se2["C"], se2["H"], se2["O"]])
+    np.testing.assert_allclose(a @ got, a @ x, rtol=1e-8)
+    # restore the reference cache for downstream fixtures
+    ethanol_db._update_metadata(atomic_static_energy=se)
+
+
+def test_db_roundtrip(tmp_path, ethanol_db):
+    out = connect(str(tmp_path / "copy.db"))
+    s0 = ethanol_db.get(1)
+    out.write(s0)
+    back = out.get(1)
+    np.testing.assert_allclose(back.positions, s0.positions)
+    np.testing.assert_allclose(back.forces, s0.forces)
+    assert back.energy == pytest.approx(s0.energy)
+    np.testing.assert_array_equal(back.numbers, s0.numbers)
+
+
+def test_dataset_build_and_batches(ethanol_db, tmp_path):
+    fz = Featurizer(ethanol_db.elements, rcut=5.0)
+    ds = Dataset(ethanol_db, fz, name="ethanol", test_size=2,
+                 dtype=np.float64, cache_dir=str(tmp_path))
+    feats, labels = ds.build()
+    assert feats["positions"].shape == (10, ds.n_atoms_vap, 3)
+    assert feats["pair_i"].shape == (10, ds.nij_max)
+    tf_, tl_, ef_, el_ = ds.split(feats, labels)
+    assert len(el_["energy"]) == 2 and len(tl_["energy"]) == 8
+    bf, bl = next(batches(tf_, tl_, 4, seed=1, repeat=True))
+    assert bf["pair_i"].shape == (4, ds.nij_max)
+    # cache reload produces identical arrays
+    feats2, labels2 = ds.build()
+    np.testing.assert_array_equal(feats["pair_i"], feats2["pair_i"])
+
+
+@pytest.fixture(scope="module")
+def trained(ethanol_db, tmp_path_factory):
+    fz = Featurizer(ethanol_db.elements, rcut=5.0)
+    ds = Dataset(ethanol_db, fz, name="ethanol", test_size=2,
+                 dtype=np.float64,
+                 cache_dir=str(tmp_path_factory.mktemp("cache")))
+    feats, labels = ds.build()
+    tf_, tl_, ef_, el_ = ds.split(feats, labels)
+    sf = SymmetryFunction(ethanol_db.elements)
+    model = AtomicNN(fz, ds.max_occurs, sf, hidden_sizes=[16, 16],
+                     atomic_static_energy=
+                     ethanol_db.get_atomic_static_energy())
+    trainer = Trainer(model, L.LossParameters(),
+                      OptParameters(learning_rate=0.005),
+                      TrainParameters(batch_size=4, train_steps=60,
+                                      eval_steps=30, log_steps=1000),
+                      minimize_properties=("energy", "forces"),
+                      n_devices=1)
+    out = trainer.fit(tf_, tl_, ef_, el_, verbose=False)
+    return model, trainer, out, (tf_, tl_, ef_, el_)
+
+
+def test_training_loss_decreases(trained):
+    model, trainer, out, (tf_, tl_, ef_, el_) = trained
+    state = out["state"]
+    loss0, _ = trainer.total_loss(
+        model.init_params(jax.random.PRNGKey(611)),
+        {k: jnp.asarray(v[:4]) for k, v in tf_.items()},
+        {k: jnp.asarray(v[:4]) for k, v in tl_.items()}, 0)
+    loss1, _ = trainer.total_loss(
+        jax.device_get(state["params"]),
+        {k: jnp.asarray(v[:4]) for k, v in tf_.items()},
+        {k: jnp.asarray(v[:4]) for k, v in tl_.items()}, 0)
+    assert float(loss1) < float(loss0)
+    assert int(state["step"]) == 60
+
+
+def test_ema_differs_from_params(trained):
+    _, _, out, _ = trained
+    state = out["state"]
+    p = jax.tree_util.tree_leaves(state["params"])[0]
+    e = jax.tree_util.tree_leaves(state["ema_params"])[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+
+
+def test_checkpoint_roundtrip(trained, tmp_path):
+    model, trainer, out, _ = trained
+    state = jax.device_get(out["state"])
+    path = str(tmp_path / "ckpt.npz")
+    trainer.save_checkpoint(path, state)
+    params, ema, step = trainer.load_checkpoint(path, state["params"])
+    assert step == 60
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_and_calculator(trained, tmp_path, ethanol_db):
+    from tensoralloy_tpu.io.model import save_model, load_model
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    model, trainer, out, _ = trained
+    params = jax.device_get(out["state"]["ema_params"])
+    path = str(tmp_path / "model.npz")
+    save_model(path, model, params)
+
+    calc = TensorAlloyCalculator(path)
+    s = ethanol_db.get(3)
+    e = calc.get_potential_energy(s)
+    f = calc.get_forces(s)
+    assert np.isfinite(e)
+    assert f.shape == (9, 3)
+    # direct-model evaluation must agree with the reloaded model
+    calc2 = TensorAlloyCalculator(model, params)
+    assert calc2.get_potential_energy(s) == pytest.approx(e, abs=1e-8)
+    # translation invariance
+    s2 = s.copy()
+    s2.positions = s2.positions + 0.37
+    assert calc.get_potential_energy(s2) == pytest.approx(e, abs=1e-6)
+    ae = calc.get_atomic_energies(s)
+    assert ae.shape == (9,)
+    assert np.sum(ae) == pytest.approx(e, abs=1e-8)
+
+
+def test_data_parallel_matches_single_device(ethanol_db, tmp_path):
+    """Same batch, 1-device vs 2-device mesh -> identical loss/grads."""
+    fz = Featurizer(ethanol_db.elements, rcut=5.0)
+    ds = Dataset(ethanol_db, fz, name="ethanol", test_size=2,
+                 dtype=np.float64, cache_dir=str(tmp_path))
+    feats, labels = ds.build()
+    sf = SymmetryFunction(ethanol_db.elements)
+    model = AtomicNN(fz, ds.max_occurs, sf, hidden_sizes=[8],
+                     minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    losses = []
+    from tensoralloy_tpu.parallel.mesh import shard_batch, replicate
+    for ndev in (1, 2):
+        trainer = Trainer(model, L.LossParameters(),
+                          OptParameters(learning_rate=1e-3),
+                          TrainParameters(batch_size=4, train_steps=1),
+                          minimize_properties=("energy", "forces"),
+                          n_devices=ndev)
+        step_fn = trainer._build_train_step()
+        state = replicate(trainer.init_state(params), trainer.mesh)
+        bf = shard_batch({k: jnp.asarray(v[:4]) for k, v in feats.items()},
+                         trainer.mesh)
+        bl = shard_batch({k: jnp.asarray(v[:4]) for k, v in labels.items()},
+                         trainer.mesh)
+        _, metrics = step_fn(state, bf, bl)
+        losses.append(float(metrics["loss/total"]))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-12)
+
+
+def test_calculator_arbitrary_stoichiometry(trained, ethanol_db):
+    """Inference must re-layout the model for structures whose
+    stoichiometry differs from the training max_occurs (the calculator
+    buckets per-element counts and clones the model layout)."""
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    from tensoralloy_tpu.atoms import Structure
+    model, trainer, out, _ = trained
+    params = jax.device_get(out["state"]["ema_params"])
+    calc = TensorAlloyCalculator(model, params)
+
+    s = ethanol_db.get(2)
+    e0 = calc.get_potential_energy(s)
+
+    # rigid rotation: energy invariant, forces co-rotate
+    th = 0.7
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    f0 = calc.get_forces(s)
+    s2 = s.copy()
+    s2.positions = s.positions @ rot.T
+    assert calc.get_potential_energy(s2) == pytest.approx(e0, abs=1e-9)
+    np.testing.assert_allclose(calc.get_forces(s2), f0 @ rot.T, atol=1e-9)
+
+    # unknown element -> clear error
+    with pytest.raises(ValueError, match="Fe"):
+        calc.get_potential_energy(Structure.from_symbols(
+            ["Fe", "H"], [[0, 0, 0], [1, 0, 0]], np.eye(3) * 10))
+
+    # bigger molecule than any training structure
+    rng = np.random.RandomState(0)
+    big = Structure.from_symbols(
+        ["C"] * 4 + ["H"] * 10 + ["O"] * 2,
+        rng.uniform(0, 6, (16, 3)), np.eye(3) * 12)
+    assert np.isfinite(calc.get_potential_energy(big))
+
+    # two different atom orders of the same formula agree
+    perm = np.array([3, 0, 5, 1, 8, 2, 7, 4, 6])
+    s3 = Structure(s.numbers[perm], s.positions[perm], s.cell.copy(),
+                   s.pbc.copy())
+    assert calc.get_potential_energy(s3) == pytest.approx(e0, abs=1e-9)
+    np.testing.assert_allclose(calc.get_forces(s3), f0[perm], atol=1e-9)
