@@ -15,6 +15,7 @@ from typing import Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..transform.featurizer import Featurizer
 from ..utils import Defaults
@@ -65,6 +66,13 @@ class AtomicNN:
             featurizer.n_radial_slots, featurizer.n_angular_slots,
             featurizer.angular)
 
+        # static: element index of every VAP row (X row -> 0, masked)
+        vei = np.zeros(self.n_atoms_vap, dtype=np.int32)
+        for e in self.elements:
+            lo, cnt = self.layout[e]
+            vei[lo:lo + cnt] = self.elements.index(e)
+        self.vap_element_idx = vei
+
     # ------------------------------------------------------------------
     def clone_for(self, max_occurs: Counter) -> "AtomicNN":
         """Same weights/hyperparams, different VAP row layout.
@@ -83,6 +91,10 @@ class AtomicNN:
 
     def init_params(self, key) -> dict:
         params = {}
+        key, sub = jax.random.split(key)
+        dparams = self.descriptor.init_params(sub)
+        if dparams:
+            params["descriptor"] = dparams
         for e in self.elements:
             key, sub = jax.random.split(key)
             bias0 = float(self.atomic_static_energy.get(e, 0.0))
@@ -100,15 +112,16 @@ class AtomicNN:
         return params
 
     # ------------------------------------------------------------------
-    def descriptors(self, features) -> jnp.ndarray:
+    def descriptors(self, features, params: dict = None) -> jnp.ndarray:
         f = self.featurizer
         return self.descriptor.compute(
             features, f.rcut, f.acut, f.n_radial_slots, f.n_angular_slots,
-            f.angular)
+            f.angular, params=(params or {}).get("descriptor"),
+            vap_element_idx=self.vap_element_idx)
 
     def atomic_energies(self, params: dict, features) -> jnp.ndarray:
         """-> [n_vap] atomic energies (zero at padding rows)."""
-        g = self.descriptors(features)
+        g = self.descriptors(features, params)
         out = jnp.zeros((self.n_atoms_vap,), g.dtype)
         for e in self.elements:
             lo, cnt = self.layout[e]
@@ -139,7 +152,8 @@ class AtomicNN:
     def update_norm_stats(self, params: dict, features_batch) -> dict:
         """Running min/max of descriptors over a batch (host-called;
         reference keeps xlo/xhi as running non-trainable variables)."""
-        g = jax.vmap(self.descriptors)(features_batch)  # [B, n_vap, D]
+        g = jax.vmap(lambda f: self.descriptors(f, params))(
+            features_batch)  # [B, n_vap, D]
         masks = features_batch["atom_masks"]
         params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
         for e in self.elements:

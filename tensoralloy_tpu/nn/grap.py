@@ -1,0 +1,308 @@
+"""GRAP — Generic Radial Atomic Potential descriptors
+(reference `tensoralloy/nn/atomic/grap.py`).
+
+Radial filter bank H x moment-tensor basis M -> rotation-invariant
+per-atom features:
+
+    P[i, s, k, d] = sum_{j in s} H_k(r_ij) fc(r_ij) M_d(r̂_ij)
+    S = P^2;  Q[i, s, k, m] = sum_d S[i, s, k, d] T[d, m]
+    G = [sign(P_0) sqrt(Q_0 + eps), Q_1, ..., Q_mm]
+
+with T the multiplicity tensor over the compressed monomial basis
+(moments <= 3: unique components x counts, optional traceless
+"symmetric" correction; moments 4-5: full outer-product basis).
+
+In the flat-pair layout the whole descriptor is one elementwise filter
+bank + one `segment_sum` of the H (x) M outer product — the Pallas
+fusion target for the hot path (SURVEY §7).
+
+Radial algorithms: 'sf' (eta, omega), 'density' (A, beta, re), 'morse'
+(D, gamma, r0), 'pexp' (rl, pl), or 'nn' (learned filter MLP, shared
+across elements, input optionally scaled by the center element's
+covalent radius).
+"""
+from __future__ import annotations
+
+from itertools import product as iter_product
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..elements import atomic_numbers, covalent_radii
+from ..ops.cutoffs import apply_cutoff
+from ..ops.generic import density_exp, morse, power_exp
+from ..ops.pairs import pair_vectors, safe_norm
+from .layers import apply_dense_stack, init_dense_stack
+
+_ALGO_KEYS = {
+    "sf": ["eta", "omega"],
+    "density": ["A", "beta", "re"],
+    "morse": ["D", "gamma", "r0"],
+    "pexp": ["pl", "rl"],
+}
+
+
+def _param_grid(algorithm: str, parameters: dict, method: str) -> np.ndarray:
+    """[K, n_keys] parameter table; 'cross' = product over sorted keys
+    (sklearn ParameterGrid order), 'pair' = aligned lists."""
+    keys = sorted(_ALGO_KEYS[algorithm])
+    cols = [np.atleast_1d(np.asarray(parameters[k], np.float64))
+            for k in keys]
+    if method == "cross":
+        rows = np.array(list(iter_product(*cols)))
+    else:
+        n = {len(c) for c in cols}
+        if len(n) > 1:
+            raise ValueError("pair param space needs equal-length lists")
+        rows = np.stack(cols, axis=1)
+    return rows, keys
+
+
+# ----------------------------------------------------------------------
+# Compressed monomial bases and multiplicity tensors
+# ----------------------------------------------------------------------
+
+_AB = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+_AB_MULT = [1, 2, 2, 1, 2, 1]
+_ABC = [(0, 0, 0), (0, 0, 1), (0, 0, 2), (0, 1, 1), (0, 1, 2),
+        (0, 2, 2), (1, 1, 1), (1, 1, 2), (1, 2, 2), (2, 2, 2)]
+_ABC_MULT = [1, 3, 3, 3, 6, 3, 1, 3, 3, 1]
+
+_FULL_DIMS = {0: 1, 1: 4, 2: 13, 3: 40, 4: 121, 5: 364}
+_COMPRESSED_DIMS = {0: 1, 1: 4, 2: 10, 3: 20}
+
+
+def multiplicity_tensor(max_moment: int, symmetric: bool = False
+                        ) -> np.ndarray:
+    """T[d, m] over the compressed basis (reference `grap.py:470-495`)."""
+    if max_moment > 3:
+        return full_multiplicity_tensor(max_moment)
+    d = _COMPRESSED_DIMS[max_moment]
+    t = np.zeros((d, max_moment + 1))
+    t[0, 0] = 1.0
+    if max_moment >= 1:
+        t[1:4, 1] = 1.0
+    if max_moment >= 2:
+        t[4:10, 2] = _AB_MULT
+        if symmetric:
+            t[0, 2] = -1.0 / 3.0
+    if max_moment >= 3:
+        t[10:20, 3] = _ABC_MULT
+        if symmetric:
+            t[1:4, 3] = -3.0 / 5.0
+    return t
+
+
+def full_multiplicity_tensor(max_moment: int) -> np.ndarray:
+    """Indicator T over the full outer-product basis
+    (reference `grap.py:576-594`)."""
+    dims = [1, 4, 13, 40, 121, 364]
+    d = dims[max_moment]
+    t = np.zeros((d, max_moment + 1))
+    bounds = [0, 1, 4, 13, 40, 121, 364]
+    for m in range(max_moment + 1):
+        t[bounds[m]:bounds[m + 1], m] = 1.0
+    return t
+
+
+def moment_basis(unit: jnp.ndarray, max_moment: int) -> jnp.ndarray:
+    """M [nij, D]: monomials of the unit vector components.
+
+    Compressed unique-component basis for moments <= 3; full outer
+    products (x^a stacked via repeated outer-flatten) for 4-5."""
+    n = unit.shape[0]
+    ones = jnp.ones((n, 1), unit.dtype)
+    if max_moment <= 3:
+        cols = [ones]
+        if max_moment >= 1:
+            cols.append(unit)                                   # x y z
+        if max_moment >= 2:
+            cols.append(jnp.stack(
+                [unit[:, a] * unit[:, b] for a, b in _AB], axis=1))
+        if max_moment >= 3:
+            cols.append(jnp.stack(
+                [unit[:, a] * unit[:, b] * unit[:, c]
+                 for a, b, c in _ABC], axis=1))
+        return jnp.concatenate(cols, axis=1)
+    cols = [ones, unit]
+    prev = unit
+    for _ in range(2, max_moment + 1):
+        prev = (prev[:, :, None] * unit[:, None, :]).reshape(n, -1)
+        cols.append(prev)
+    return jnp.concatenate(cols, axis=1)
+
+
+# ----------------------------------------------------------------------
+class GenericRadialAtomicPotential:
+    """Config + pure compute for GRAP descriptors."""
+
+    name = "GRAP"
+
+    def __init__(self, elements: List[str], algorithm: str = "sf",
+                 parameters: Optional[dict] = None,
+                 param_space_method: str = "pair",
+                 moment_tensors: Union[int, List[int]] = 0,
+                 cutoff_function: str = "cosine",
+                 symmetric: bool = False,
+                 legacy_mode: bool = False):
+        self.elements = sorted(elements)
+        self.algorithm = algorithm
+        self.parameters = parameters or {}
+        self.param_space_method = param_space_method
+        if isinstance(moment_tensors, int):
+            moment_tensors = [moment_tensors]
+        self.moment_tensors = sorted(set(moment_tensors))
+        self.max_moment = max(self.moment_tensors)
+        self.cutoff_function = cutoff_function
+        self.symmetric = symmetric
+        self.legacy_mode = legacy_mode
+
+        if algorithm == "nn":
+            if legacy_mode:
+                raise ValueError("NN filters require non-legacy GRAP")
+            p = self.parameters
+            self.nn_hidden = list(p.get("hidden_sizes", [32, 32, 32]))
+            self.nn_activation = p.get("activation", "softplus")
+            self.nn_filters = int(p.get("num_filters", 16))
+            self.nn_resnet_dt = bool(p.get("use_resnet_dt", True))
+            self.h_modifier = int(p.get("h_abck_modifier", 0))
+            self.n_filters = self.nn_filters
+            self._grid = None
+        else:
+            self._grid, self._grid_keys = _param_grid(
+                algorithm, self.parameters, param_space_method)
+            self.n_filters = len(self._grid)
+
+    # ------------------------------------------------------------------
+    def feature_dim(self, n_radial_slots: int, n_angular_slots: int,
+                    angular: bool) -> int:
+        if self.legacy_mode:
+            return n_radial_slots * self.n_filters * len(self.moment_tensors)
+        return n_radial_slots * self.n_filters * (self.max_moment + 1)
+
+    def init_params(self, key) -> dict:
+        if self.algorithm != "nn":
+            return {}
+        return {"filters": init_dense_stack(
+            key, 1, self.nn_hidden, out_dim=self.nn_filters,
+            output_bias=False, resnet_dt=self.nn_resnet_dt)}
+
+    # ------------------------------------------------------------------
+    def _filter_values(self, rij: jnp.ndarray, rcut: float,
+                       params: Optional[dict],
+                       rcov_per_pair: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """H [nij, K] before cutoff."""
+        if self.algorithm == "nn":
+            x = rij
+            if self.h_modifier == 1:
+                x = rij / rcov_per_pair
+            elif self.h_modifier == 2:
+                x = jnp.exp(-rij / rcov_per_pair)
+            return apply_dense_stack(params["filters"], x[:, None],
+                                     self.nn_activation)
+        g = self._grid
+        dtype = rij.dtype
+        cols = {k: jnp.asarray(g[:, i], dtype)
+                for i, k in enumerate(self._grid_keys)}
+        r = rij[:, None]
+        if self.algorithm == "sf":
+            return jnp.exp(-cols["eta"] * jnp.square(r - cols["omega"]) /
+                           (rcut * rcut))
+        if self.algorithm == "density":
+            return density_exp(r, cols["A"], cols["beta"], cols["re"])
+        if self.algorithm == "morse":
+            return morse(r, cols["D"], cols["gamma"], cols["r0"])
+        if self.algorithm == "pexp":
+            return power_exp(r, cols["rl"], cols["pl"])
+        raise ValueError(self.algorithm)
+
+    # ------------------------------------------------------------------
+    def compute(self, features, rcut: float, acut: float,
+                n_radial_slots: int, n_angular_slots: int, angular: bool,
+                params: Optional[dict] = None,
+                vap_element_idx: Optional[np.ndarray] = None) -> jnp.ndarray:
+        vec = pair_vectors(features)
+        mask = features["pair_mask"]
+        rij = safe_norm(vec)
+        rij = jnp.where(mask > 0, rij, 1.0)
+        unit = vec / rij[:, None]
+        fc = apply_cutoff(self.cutoff_function, rij, rcut) * mask
+
+        rcov_pp = None
+        if self.algorithm == "nn" and self.h_modifier != 0:
+            rcov_vap = jnp.asarray(
+                covalent_radii[[atomic_numbers[self.elements[i]]
+                                for i in np.asarray(vap_element_idx)]],
+                rij.dtype)
+            rcov_pp = rcov_vap[features["pair_i"]]
+
+        h = self._filter_values(rij, rcut, params, rcov_pp) * fc[:, None]
+
+        n_vap = features["positions"].shape[0]
+        seg = features["pair_i"] * n_radial_slots + features["pair_islot"]
+        nseg = n_vap * n_radial_slots
+
+        if self.legacy_mode:
+            return self._legacy(h, unit, seg, nseg, n_vap, n_radial_slots)
+
+        m = moment_basis(unit, self.max_moment)        # [nij, D]
+        hm = h[:, :, None] * m[:, None, :]             # [nij, K, D]
+        p = jax.ops.segment_sum(hm, seg, num_segments=nseg)
+        s = jnp.square(p)
+        t = jnp.asarray(multiplicity_tensor(self.max_moment, self.symmetric),
+                        h.dtype)
+        q = s @ t                                      # [nseg, K, mm+1]
+        eps = 1e-16
+        g0 = jnp.sign(p[..., 0]) * jnp.sqrt(q[..., 0] + eps)
+        g = jnp.concatenate([g0[..., None], q[..., 1:]], axis=-1)
+        return g.reshape(n_vap, n_radial_slots * self.n_filters *
+                         (self.max_moment + 1))
+
+    def _legacy(self, h, unit, seg, nseg, n_vap, n_slots) -> jnp.ndarray:
+        """Legacy per-kbody-term scalar contractions
+        (reference `grap.py:384-468`): per tau and moment,
+        0: sum, 1: sum_a (sum_j h u_a)^2, 2: sum_ab (sum_j h u_a u_b)^2
+        over all 9 ordered (a, b)."""
+        outs = []
+        for moment in self.moment_tensors:
+            if moment == 0:
+                g = jax.ops.segment_sum(h, seg, num_segments=nseg)
+            elif moment == 1:
+                hm = h[:, :, None] * unit[:, None, :]
+                p = jax.ops.segment_sum(hm, seg, num_segments=nseg)
+                g = jnp.sum(jnp.square(p), axis=-1)
+            elif moment == 2:
+                ab = unit[:, :, None] * unit[:, None, :]   # [nij, 3, 3]
+                hm = h[:, :, None] * ab.reshape(-1, 9)[:, None, :]
+                p = jax.ops.segment_sum(hm, seg, num_segments=nseg)
+                g = jnp.sum(jnp.square(p), axis=-1)
+            else:
+                raise ValueError("legacy GRAP supports moments 0-2")
+            outs.append(g)
+        g = jnp.stack(outs, axis=-1)   # [nseg, K, n_moments]
+        return g.reshape(n_vap, n_slots * self.n_filters *
+                         len(self.moment_tensors))
+
+    # ------------------------------------------------------------------
+    def as_dict(self) -> dict:
+        return {"class": "GenericRadialAtomicPotential",
+                "elements": self.elements,
+                "algorithm": self.algorithm,
+                "parameters": self.parameters,
+                "param_space_method": self.param_space_method,
+                "moment_tensors": self.moment_tensors,
+                "cutoff_function": self.cutoff_function,
+                "symmetric": self.symmetric,
+                "legacy_mode": self.legacy_mode}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GenericRadialAtomicPotential":
+        return cls(elements=d["elements"], algorithm=d["algorithm"],
+                   parameters=d.get("parameters"),
+                   param_space_method=d.get("param_space_method", "pair"),
+                   moment_tensors=d.get("moment_tensors", 0),
+                   cutoff_function=d.get("cutoff_function", "cosine"),
+                   symmetric=d.get("symmetric", False),
+                   legacy_mode=d.get("legacy_mode", False))

@@ -112,9 +112,13 @@ class SymmetryFunction:
         return g.reshape(n_vap, n_slots * self.n_angular_params)
 
     # ------------------------------------------------------------------
+    def init_params(self, key) -> dict:
+        return {}
+
     def compute(self, features, rcut: float, acut: float,
                 n_radial_slots: int, n_angular_slots: int,
-                angular: bool) -> jnp.ndarray:
+                angular: bool, params=None,
+                vap_element_idx=None) -> jnp.ndarray:
         g = self.radial(features, rcut, n_radial_slots)
         if angular:
             g4 = self.angular(features, acut, n_angular_slots)
