@@ -1,0 +1,238 @@
+"""`tensoralloy_tpu` command line (reference `tensoralloy/cli/entry.py`:
+subcommands build / run / export / print / compute)."""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    # Allow forcing the JAX platform (the axon TPU plugin ignores the
+    # standard JAX_PLATFORMS env override, so do it in-process).
+    platform = os.environ.get("TENSORALLOY_TPU_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+    parser = argparse.ArgumentParser(
+        prog="tensoralloy_tpu",
+        description="TPU-native neural-network interatomic potentials")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_build = sub.add_parser(
+        "build", help="build a sqlite database from xyz/extxyz")
+    p_build.add_argument("filename")
+    p_build.add_argument("--output", default=None,
+                         help="output db path (default: alongside input)")
+    p_build.add_argument("--energy-unit", default="eV",
+                         choices=["eV", "Hartree", "kcal/mol"])
+    p_build.add_argument("--fmax", type=float, default=None,
+                         help="drop structures with |F|max above this")
+    p_build.add_argument("--vacuum", type=float, default=20.0)
+
+    p_run = sub.add_parser("run", help="train a model from a TOML file")
+    p_run.add_argument("filename")
+    p_run.add_argument("--quiet", action="store_true")
+    p_run.add_argument("--no-export", action="store_true")
+
+    p_exp = sub.add_parser(
+        "export", help="export a deployable model from a checkpoint")
+    p_exp.add_argument("filename", help="TOML input file")
+    p_exp.add_argument("--checkpoint", default=None)
+    p_exp.add_argument("--no-ema", action="store_true")
+
+    p_print = sub.add_parser(
+        "print", help="summarize a training history.json to CSV")
+    p_print.add_argument("filename")
+    p_print.add_argument("--output", default=None)
+
+    p_comp = sub.add_parser("compute", help="analysis computations")
+    comp_sub = p_comp.add_subparsers(dest="task", required=True)
+
+    c_scatter = comp_sub.add_parser(
+        "scatter", help="predicted-vs-label scatter data over a db")
+    c_scatter.add_argument("model", help="saved model .npz")
+    c_scatter.add_argument("db", help="sqlite database")
+    c_scatter.add_argument("--output", default="scatter.csv")
+
+    c_dbnum = comp_sub.add_parser("dbnum", help="db composition metrics")
+    c_dbnum.add_argument("db")
+
+    c_dbfstd = comp_sub.add_parser("dbfstd", help="db force std")
+    c_dbfstd.add_argument("db")
+
+    c_eos = comp_sub.add_parser("eos", help="E-V curve + EOS fit")
+    c_eos.add_argument("model")
+    c_eos.add_argument("crystal", help="cif/extxyz file of the crystal")
+    c_eos.add_argument("--xlo", type=float, default=0.90)
+    c_eos.add_argument("--xhi", type=float, default=1.10)
+    c_eos.add_argument("--num", type=int, default=21)
+    c_eos.add_argument("--eos", default="birchmurnaghan")
+    c_eos.add_argument("--output", default=None)
+
+    c_elastic = comp_sub.add_parser(
+        "elastic", help="elastic constants of a crystal with a model")
+    c_elastic.add_argument("model")
+    c_elastic.add_argument("crystal")
+
+    args = parser.parse_args(argv)
+    return {
+        "build": _cmd_build,
+        "run": _cmd_run,
+        "export": _cmd_export,
+        "print": _cmd_print,
+        "compute": _cmd_compute,
+    }[args.command](args)
+
+
+# ----------------------------------------------------------------------
+def _cmd_build(args):
+    from ..io.sqlite import read_file
+    units = {"eV": 1.0, "Hartree": 27.211386024367243,
+             "kcal/mol": 0.04336410390059322}
+    db = read_file(args.filename, db_path=args.output,
+                   unit_energy=units[args.energy_unit],
+                   fmax_limit=args.fmax, vacuum=args.vacuum)
+    print(f"built {db.filename}: {len(db)} structures, "
+          f"elements {db.elements}")
+    return 0
+
+
+def _cmd_run(args):
+    from ..train.manager import TrainingManager
+    manager = TrainingManager(args.filename)
+    manager.train_and_evaluate(verbose=not args.quiet)
+    if not args.no_export:
+        path = manager.export()
+        print(f"exported model to {path}")
+    return 0
+
+
+def _cmd_export(args):
+    import jax
+    from ..train.manager import TrainingManager
+    manager = TrainingManager(args.filename)
+    ckpt = args.checkpoint or os.path.join(manager.model_dir,
+                                           "checkpoint.npz")
+    template = manager.model.init_params(jax.random.PRNGKey(0))
+    params, ema, step = manager.trainer.load_checkpoint(ckpt, template)
+    state = {"params": params, "ema_params": ema, "step": step}
+    path = manager.export(state=state, use_ema=not args.no_ema)
+    print(f"exported model (step {step}) to {path}")
+    return 0
+
+
+def _cmd_print(args):
+    with open(args.filename) as fh:
+        history = json.load(fh)
+    if not history:
+        print("empty history")
+        return 0
+    keys = list(history[0].keys())
+    out = args.output or "summary.csv"
+    with open(out, "w") as fh:
+        fh.write(",".join(keys) + "\n")
+        for row in history:
+            fh.write(",".join(str(row.get(k, "")) for k in keys) + "\n")
+    print(f"wrote {out} ({len(history)} rows)")
+    return 0
+
+
+def _cmd_compute(args):
+    if args.task == "dbnum":
+        from ..io.sqlite import connect
+        from collections import Counter
+        db = connect(args.db)
+        comp = Counter()
+        for s in db:
+            comp[s.formula] += 1
+        print(f"{len(db)} structures, elements {db.elements}")
+        for formula, count in comp.most_common():
+            print(f"  {formula}: {count}")
+        return 0
+    if args.task == "dbfstd":
+        import numpy as np
+        from ..io.sqlite import connect
+        db = connect(args.db)
+        forces = [s.forces for s in db if s.forces is not None]
+        if forces:
+            allf = np.concatenate([f.reshape(-1) for f in forces])
+            print(f"force std: {allf.std():.6f} eV/A over "
+                  f"{len(forces)} structures")
+        return 0
+    if args.task == "scatter":
+        import numpy as np
+        from ..calculator import TensorAlloyCalculator
+        from ..io.sqlite import connect
+        calc = TensorAlloyCalculator(args.model)
+        db = connect(args.db)
+        rows = []
+        for s in db:
+            e = calc.get_potential_energy(s)
+            rows.append((len(s), s.energy, e))
+        with open(args.output, "w") as fh:
+            fh.write("natoms,label,predicted\n")
+            for n, lbl, prd in rows:
+                fh.write(f"{n},{lbl},{prd}\n")
+        err = np.array([(lbl - prd) / n for n, lbl, prd in rows
+                        if lbl is not None])
+        print(f"wrote {args.output}; energy MAE/atom = "
+              f"{np.abs(err).mean():.6f} eV")
+        return 0
+    if args.task == "eos":
+        return _compute_eos(args)
+    if args.task == "elastic":
+        return _compute_elastic(args)
+    raise ValueError(args.task)
+
+
+def _load_crystal(path):
+    from ..io.extxyz import read_extxyz
+    if path.endswith(".cif"):
+        from ..io.cif import read_cif
+        return read_cif(path)
+    return read_extxyz(path)[0]
+
+
+def _compute_eos(args):
+    import numpy as np
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.eos import EquationOfState
+    calc = TensorAlloyCalculator(args.model)
+    crystal = _load_crystal(args.crystal)
+    volumes, energies = [], []
+    for x in np.linspace(args.xlo, args.xhi, args.num):
+        s = crystal.copy()
+        scale = x ** (1.0 / 3.0)
+        s.cell = s.cell * scale
+        s.positions = s.positions * scale
+        volumes.append(s.volume)
+        energies.append(calc.get_potential_energy(s))
+    eos = EquationOfState(volumes, energies, eos=args.eos)
+    v0, e0, b = eos.fit()
+    from ..nn.fields import EV_ANGSTROM3_TO_GPA
+    print(f"E0 = {e0:.6f} eV, V0 = {v0:.6f} A^3, "
+          f"B = {b * EV_ANGSTROM3_TO_GPA:.2f} GPa")
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write("volume,energy\n")
+            for v, e in zip(volumes, energies):
+                fh.write(f"{v},{e}\n")
+    return 0
+
+
+def _compute_elastic(args):
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.elastic import compute_elastic_tensor
+    calc = TensorAlloyCalculator(args.model)
+    crystal = _load_crystal(args.crystal)
+    c = compute_elastic_tensor(calc, crystal)
+    print("elastic tensor (GPa):")
+    for row in c:
+        print("  " + " ".join(f"{x:10.2f}" for x in row))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

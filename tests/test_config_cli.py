@@ -1,0 +1,223 @@
+"""Config system, TrainingManager wiring, CLI subcommands, analysis."""
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tensoralloy_tpu.io.input import InputReader
+from tensoralloy_tpu.train.manager import PairStyle, TrainingManager
+
+
+def test_input_reader_defaults(tmp_path):
+    toml = tmp_path / "in.toml"
+    toml.write_text("""
+pair_style = "atomic/sf"
+[dataset]
+sqlite3 = "data.db"
+name = "test"
+""")
+    r = InputReader(str(toml))
+    assert r["precision"] == "medium"
+    assert r["rcut"] == 6.0
+    assert r["nn.loss.energy.weight"] == 1.0
+    assert r["opt.method"] == "adam"
+    # relative path resolved against the toml's directory
+    assert r["dataset.sqlite3"] == str(tmp_path / "data.db")
+    assert "nn.loss.energy.method" in r
+    assert r.get("nope.nope", 42) == 42
+
+
+def test_input_reader_validation(tmp_path):
+    toml = tmp_path / "bad.toml"
+    toml.write_text("""
+pair_style = "bogus/style"
+[dataset]
+sqlite3 = "d.db"
+name = "x"
+""")
+    with pytest.raises(ValueError, match="pair_style"):
+        InputReader(str(toml))
+    toml2 = tmp_path / "required.toml"
+    toml2.write_text('pair_style = "atomic/sf"\n')
+    with pytest.raises(ValueError, match="dataset"):
+        InputReader(str(toml2))
+
+
+def test_pair_style_parse():
+    ps = PairStyle.parse("eam/alloy")
+    assert ps.category == "eam" and ps.model == "alloy"
+    ps = PairStyle.parse("atomic/sf/angular")
+    assert ps.angular and ps.model == "sf"
+    ps = PairStyle.parse("td/grap")
+    assert ps.finite_temperature and ps.model == "grap"
+    assert not PairStyle.parse("atomic/grap").angular
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    shutil.copy("/root/reference/test_files/datasets/ethanol/ethanol.db",
+                d / "ethanol.db")
+    return d
+
+
+def test_training_manager_wiring_atomic(workdir):
+    toml = workdir / "atomic.toml"
+    toml.write_text("""
+precision = "high"
+pair_style = "atomic/grap"
+rcut = 5.0
+[dataset]
+sqlite3 = "ethanol.db"
+name = "ethanol"
+test_size = 2
+tfrecords_dir = "."
+[nn]
+minimize = ['energy', 'forces']
+[nn.atomic.grap]
+algorithm = 'pexp'
+moment_tensors = [0, 1, 2]
+[nn.atomic.grap.pexp]
+rl = [1.0, 2.0]
+pl = [2.0, 2.0]
+[train]
+model_dir = "m_atomic"
+train_steps = 4
+batch_size = 4
+eval_steps = 4
+""")
+    mgr = TrainingManager(str(toml))
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+    from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+    assert isinstance(mgr.model, AtomicNN)
+    assert isinstance(mgr.model.descriptor, GenericRadialAtomicPotential)
+    assert mgr.model.descriptor.n_filters == 2
+    assert mgr.featurizer.rcut == 5.0
+    assert mgr.trainer.train_parameters.train_steps == 4
+    out = mgr.train_and_evaluate(verbose=False)
+    assert os.path.exists(os.path.join(mgr.model_dir, "checkpoint.npz"))
+    path = mgr.export()
+    assert os.path.exists(path)
+
+
+def test_training_manager_wiring_eam(workdir, tmp_path):
+    from tensoralloy_tpu.io.sqlite import read_file
+    db = read_file("/root/reference/test_files/datasets/Ni/Ni.extxyz",
+                   db_path=str(tmp_path / "Ni.db"))
+    toml = tmp_path / "eam.toml"
+    toml.write_text("""
+precision = "high"
+pair_style = "eam/alloy"
+rcut = 6.0
+[dataset]
+sqlite3 = "Ni.db"
+name = "ni"
+test_size = 1
+tfrecords_dir = "."
+[nn.eam.rho]
+Ni = "zjw04"
+[nn.eam.embed]
+Ni = "zjw04"
+[nn.eam.phi]
+NiNi = "zjw04"
+[train]
+model_dir = "m_eam"
+train_steps = 2
+batch_size = 2
+eval_steps = 2
+""")
+    mgr = TrainingManager(str(toml))
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    assert isinstance(mgr.model, EamAlloyNN)
+    assert mgr.model.potentials["Ni"]["rho"] == "zjw04"
+    assert mgr.model.potentials["NiNi"]["phi"] == "zjw04"
+
+
+def test_eos_fit_roundtrip():
+    from tensoralloy_tpu.analysis.eos import (EquationOfState,
+                                              birchmurnaghan)
+    v = np.linspace(9.0, 13.0, 15)
+    e = birchmurnaghan(v, -4.5, 1.1, 4.2, 10.9)
+    eos = EquationOfState(v, e, eos="birchmurnaghan")
+    v0, e0, b = eos.fit()
+    assert v0 == pytest.approx(10.9, abs=1e-6)
+    assert e0 == pytest.approx(-4.5, abs=1e-8)
+    assert b == pytest.approx(1.1, abs=1e-6)
+    # rose form also fits its own data
+    from tensoralloy_tpu.analysis.eos import rose
+    e2 = rose(v, -4.5, 1.1, 0.005, 10.9)
+    eos2 = EquationOfState(v, e2, eos="rose")
+    v0, e0, b = eos2.fit()
+    assert v0 == pytest.approx(10.9, abs=1e-4)
+
+
+def test_cif_reader():
+    from tensoralloy_tpu.io.cif import read_cif
+    s = read_cif("/root/reference/test_files/crystals/Ni.cif")
+    assert s.symbols == ["Ni"]
+    assert s.volume == pytest.approx(10.904, abs=1e-2)
+    # 60-degree rhombohedral primitive fcc cell
+    a = np.linalg.norm(s.cell[0])
+    assert a == pytest.approx(2.48902, abs=1e-5)
+
+
+def test_elastic_cubic_zjw04():
+    """Elastic constants of conventional fcc Ni with zjw04 must show
+    cubic symmetry and be in the physical ballpark."""
+    from collections import Counter
+    import jax
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    from tensoralloy_tpu.analysis.elastic import (compute_elastic_tensor,
+                                                  cubic_constants)
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]]) * a0
+    s = Structure.from_symbols(["Ni"] * 4, base, np.eye(3) * a0,
+                               pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}), custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    calc = TensorAlloyCalculator(model, params)
+    c = compute_elastic_tensor(calc, s)
+    cc = cubic_constants(c)
+    # cubic symmetry within numerical tolerance
+    assert abs(c[0, 0] - c[1, 1]) < 2.0
+    assert abs(c[3, 3] - c[4, 4]) < 2.0
+    assert abs(c[0, 3]) < 2.0
+    # zjw04 Ni: c11 ~ 247, c12 ~ 148, c44 ~ 125 GPa at its own a0;
+    # at a0 = 3.52 values shift but stay in the 100-400 GPa range
+    assert 100 < cc["c11"] < 450
+    assert 50 < cc["c12"] < 300
+    assert 30 < cc["c44"] < 250
+
+
+def test_cli_build_and_print(tmp_path):
+    env = dict(os.environ)
+    env["TENSORALLOY_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "build",
+         "/root/reference/test_files/datasets/Ni/Ni.extxyz",
+         "--output", str(tmp_path / "ni.db")],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "2 structures" in out.stdout
+
+    hist = tmp_path / "history.json"
+    hist.write_text(json.dumps([{"step": 1, "energy/mae": 0.5},
+                                {"step": 2, "energy/mae": 0.25}]))
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "print", str(hist),
+         "--output", str(tmp_path / "s.csv")],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert out.returncode == 0, out.stderr
+    lines = (tmp_path / "s.csv").read_text().splitlines()
+    assert lines[0] == "step,energy/mae"
+    assert len(lines) == 3
