@@ -87,8 +87,10 @@ class TensorAlloyCalculator:
         hit = self._variant_cache.get(key)
         if hit is None:
             model = self.model.clone_for(Counter(dict(key)))
-            efs = jax.jit(make_efs_fn(model.energy))
-            hess = jax.jit(make_hessian_fn(model.energy))
+            # forces/stress/Hessian differentiate the variational energy
+            # (free energy for finite-temperature models)
+            efs = jax.jit(make_efs_fn(model.variational_energy))
+            hess = jax.jit(make_hessian_fn(model.variational_energy))
             hit = (model, efs, hess)
             self._variant_cache[key] = hit
         return hit
@@ -129,6 +131,12 @@ class TensorAlloyCalculator:
             "stress": np.asarray(out["stress_voigt"]),
             "pressure": float(out["total_pressure"]),
         }
+        if hasattr(model, "energy_ops"):
+            ops = {k: float(v) for k, v in
+                   model.energy_ops(self.params, feats).items()}
+            self.results["energy"] = ops["energy"]
+            self.results["eentropy"] = ops["eentropy"]
+            self.results["free_energy"] = ops["free_energy"]
         if hasattr(model, "atomic_energies"):
             ae = np.asarray(model.atomic_energies(self.params, feats))
             self.results["atomic_energies"] = vap.reverse_map(ae)
@@ -161,6 +169,14 @@ class TensorAlloyCalculator:
                             ) -> np.ndarray:
         return self._maybe_calculate(structure)["atomic_energies"]
 
+    def get_electron_entropy(self, structure: Optional[Structure] = None
+                             ) -> float:
+        return self._maybe_calculate(structure)["eentropy"]
+
+    def get_free_energy(self, structure: Optional[Structure] = None
+                        ) -> float:
+        return self._maybe_calculate(structure)["free_energy"]
+
     def get_hessian(self, structure: Structure,
                     phonopy_format: bool = False) -> np.ndarray:
         vap = self._get_vap(structure)
@@ -189,3 +205,4 @@ class TensorAlloyCalculator:
                 self.results = dict(res)
 
         return _Adapter()
+

@@ -87,8 +87,9 @@ def model_from_dict(d: dict):
         from ..nn.finite_temperature import TemperatureDependentAtomicNN
         return TemperatureDependentAtomicNN(
             fz, max_occurs, desc,
-            layers=d.get("layers"),
+            layers=d.get("layers", [128, 128]),
             eentropy_algo=d.get("eentropy_algo", "default"),
+            ft_activation=d.get("ft_activation", "softplus"),
             **kwargs)
     if cls in ("EamAlloyNN", "EamFsNN", "AdpNN"):
         from ..nn.eam import model_from_dict as eam_from_dict

@@ -73,6 +73,7 @@ class TrainingManager:
         strategy = r.get("distribute.strategy", "off")
         if strategy in ("off", "one_device"):
             n_devices = 1
+        self.constraints = self._build_constraints()
         self.trainer = Trainer(
             self.model, self.loss_parameters, self.opt_parameters,
             self.train_parameters,
@@ -80,7 +81,70 @@ class TrainingManager:
                 p for p in r["nn.minimize"]
                 if p in ("energy", "forces", "stress", "total_pressure",
                          "eentropy", "free_energy")),
-            n_devices=n_devices)
+            n_devices=n_devices,
+            constraints=self.constraints)
+
+    def _build_constraints(self) -> list:
+        """Construct constraint-loss objects named in `nn.minimize`
+        (reference wires these inside `get_total_loss`,
+        `basic.py:579-631`)."""
+        from ..nn import constraints as C
+        r = self.reader
+        base_dir = os.path.dirname(os.path.abspath(
+            r["dataset.sqlite3"]))
+        minimize = r["nn.minimize"]
+        out = []
+        if "elastic" in minimize and r.get("nn.loss.elastic.crystals"):
+            ec = r.get("nn.loss.elastic.constraint", {})
+            out.append(C.ElasticConstraint(
+                self.model, r["nn.loss.elastic.crystals"],
+                weight=r.get("nn.loss.elastic.weight", 0.1),
+                options=C.ElasticConstraintOptions(
+                    use_kbar=ec.get("use_kbar", True),
+                    forces_weight=ec.get("forces_weight", 1.0),
+                    stress_weight=ec.get("stress_weight", 0.1),
+                    tau=ec.get("tau", 1.0)),
+                base_dir=base_dir))
+        if "rose" in minimize and r.get("nn.loss.rose.crystals"):
+            out.append(C.RoseConstraint(
+                self.model, C.RoseConstraintOptions(
+                    crystals=r["nn.loss.rose.crystals"],
+                    weight=r.get("nn.loss.rose.weight", 1.0),
+                    beta=r.get("nn.loss.rose.beta", []),
+                    dx=r.get("nn.loss.rose.dx", 0.01),
+                    xlo=r.get("nn.loss.rose.xlo", 0.90),
+                    xhi=r.get("nn.loss.rose.xhi", 1.02),
+                    p_target=r.get("nn.loss.rose.p_target", []),
+                    E_target=r.get("nn.loss.rose.E_target", [])),
+                base_dir=base_dir))
+        if "ediff" in minimize and r.get("nn.loss.ediff.crystals"):
+            out.append(C.EnergyDifferenceConstraint(
+                self.model,
+                references=r.get("nn.loss.ediff.references", []),
+                crystals=r.get("nn.loss.ediff.crystals", []),
+                diffs=r.get("nn.loss.ediff.diff", []),
+                weight=r.get("nn.loss.ediff.weight", 1.0),
+                method=r.get("nn.loss.ediff.method", "mae"),
+                base_dir=base_dir))
+        if "eentropy/c" in minimize and                 r.get("nn.loss.eentropy_constraint.crystals"):
+            out.append(C.EntropyConstraint(
+                self.model, r["nn.loss.eentropy_constraint.crystals"],
+                weight=r.get("nn.loss.eentropy_constraint.weight", 1.0),
+                base_dir=base_dir))
+        if "hessian/c" in minimize and                 r.get("nn.loss.hessian_constraint.crystals"):
+            out.append(C.ForceConstantsConstraint(
+                self.model, r["nn.loss.hessian_constraint.crystals"],
+                weight=r.get("nn.loss.hessian_constraint.weight", 1.0),
+                forces_weight=r.get(
+                    "nn.loss.hessian_constraint.forces_weight", 1.0),
+                base_dir=base_dir))
+        if "extra/c" in minimize and                 r.get("nn.loss.extra_constraint.filename") and                 os.path.exists(r["nn.loss.extra_constraint.filename"]):
+            out.append(C.ExtraDatabaseConstraint(
+                self.model, r["nn.loss.extra_constraint.filename"],
+                weight=r.get("nn.loss.extra_constraint.weight", 1.0),
+                minimize=r.get("nn.loss.extra_constraint.minimize",
+                               ["energy"])))
+        return out
 
     # ------------------------------------------------------------------
     def _build_model(self):

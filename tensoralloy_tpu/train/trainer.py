@@ -104,21 +104,31 @@ class Trainer:
                  opt_parameters: OptParameters,
                  train_parameters: TrainParameters,
                  minimize_properties=("energy", "forces", "stress"),
-                 n_devices: Optional[int] = None):
+                 n_devices: Optional[int] = None,
+                 constraints: Optional[list] = None):
         self.model = model
         self.loss_parameters = loss_parameters
         self.opt_parameters = opt_parameters
         self.train_parameters = train_parameters
         self.minimize = tuple(minimize_properties)
+        self.constraints = list(constraints or [])
         self.tx = make_optimizer(opt_parameters)
         self.mesh = make_mesh(n_devices)
-        self.efs = make_efs_fn(model.energy)
+        self.efs = make_efs_fn(model.variational_energy)
         self._train_step = None
         self._eval_step = None
 
     # ------------------------------------------------------------------
     def batched_predictions(self, params, feats) -> Dict[str, jnp.ndarray]:
-        return jax.vmap(lambda f: self.efs(params, f))(feats)
+        out = jax.vmap(lambda f: self.efs(params, f))(feats)
+        if hasattr(self.model, "energy_ops"):
+            # finite-temperature models: forces/stress derive from the
+            # free energy, but the energy/eentropy/free_energy heads are
+            # separate predictions (XLA CSE dedups the shared trunk)
+            ops = jax.vmap(lambda f: self.model.energy_ops(params, f))(
+                feats)
+            out.update(ops)
+        return out
 
     def total_loss(self, params, feats, labels, step
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -184,6 +194,16 @@ class Trainer:
                 lp.stress.logscaled_dynamic_weight)
             metrics["stress/mae"] = mae_s
 
+        for prop, opts in (("eentropy", lp.eentropy),
+                           ("free_energy", lp.free_energy)):
+            if prop in self.minimize and prop in preds:
+                loss_p, mae_p = loss_ops.scalar_property_loss(
+                    labels[prop], preds[prop], opts, n_atoms=n_atoms)
+                out[prop] = loss_p * loss_ops.resolve_weight(
+                    opts.weight, step, max_steps,
+                    opts.logscaled_dynamic_weight)
+                metrics[f"{prop}/mae"] = mae_p
+
         if lp.l2.weight > 0:
             l2 = self.model.l2_loss(params)
             w = lp.l2.weight
@@ -191,6 +211,9 @@ class Trainer:
                 w = w * lp.l2.decay_rate ** (
                     jnp.asarray(step, jnp.float32) / lp.l2.decay_steps)
             out["l2"] = l2 * w
+
+        for constraint in self.constraints:
+            out[constraint.name] = constraint.loss(params)
 
         total = sum(out.values())
         metrics.update({f"loss/{k}": v for k, v in out.items()})
