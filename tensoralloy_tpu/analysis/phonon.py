@@ -1,0 +1,147 @@
+"""Phonon analysis from the autodiff Hessian (reference
+`tensoralloy/analysis/phonon.py`, which forks Phonopy and computes
+force sets from the in-graph Hessian).
+
+No phonopy dependency: force constants come directly from the model's
+exact Hessian of a supercell; the dynamical matrix is folded per
+q-point and diagonalized. Provides band structures along q-paths
+(standard fcc/bcc paths built in) and a gamma-point frequency check.
+
+Units: Hessian in eV/A^2, masses in amu -> frequencies in THz via
+sqrt(eV/(A^2 amu)) = 98.22695 rad/ps => nu = 15.633302 sqrt(.) THz.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..atoms import Structure
+
+# sqrt(eV / (amu A^2)) -> THz (ordinary frequency)
+VASP_TO_THZ = 15.633302
+
+
+def supercell_force_constants(calc, primitive: Structure,
+                              supercell: Tuple[int, int, int]
+                              ) -> Tuple[np.ndarray, Structure,
+                                         np.ndarray, np.ndarray]:
+    """Hessian of the supercell + bookkeeping for folding.
+
+    Returns (fc [Ns, Ns, 3, 3], supercell structure,
+    cell_index [Ns] -> lattice-vector id, atom_index [Ns] -> primitive
+    atom id, lattice_vectors [ncells, 3]).
+    """
+    n1, n2, n3 = supercell
+    sc = primitive.repeat((n1, n2, n3))
+    n_prim = len(primitive)
+    ncells = n1 * n2 * n3
+    # repeat() orders atoms cell-major: for each (i,j,k), all prim atoms
+    lattice_vectors = np.array(
+        [(i, j, k) for i in range(n1) for j in range(n2)
+         for k in range(n3)], dtype=np.float64) @ primitive.cell
+    cell_index = np.repeat(np.arange(ncells), n_prim)
+    atom_index = np.tile(np.arange(n_prim), ncells)
+    fc = calc.get_hessian(sc, phonopy_format=True)   # [Ns, Ns, 3, 3]
+    return fc, sc, cell_index, atom_index, lattice_vectors
+
+
+class PhononCalculator:
+    """Phonon frequencies/band structure for a primitive structure."""
+
+    def __init__(self, calc, primitive: Structure,
+                 supercell: Tuple[int, int, int] = (2, 2, 2)):
+        self.calc = calc
+        self.primitive = primitive
+        self.supercell = supercell
+        (self.fc, self.sc, self.cell_index, self.atom_index,
+         self.lattice_vectors) = supercell_force_constants(
+            calc, primitive, supercell)
+        self.masses = primitive.masses
+
+    def dynamical_matrix(self, q_frac: np.ndarray) -> np.ndarray:
+        """D(q) [3n, 3n] for q in fractional reciprocal coordinates of
+        the *primitive* cell."""
+        n = len(self.primitive)
+        recip = 2.0 * np.pi * np.linalg.inv(self.primitive.cell).T
+        q_cart = np.asarray(q_frac) @ recip
+        d = np.zeros((n, n, 3, 3), dtype=np.complex128)
+        # reference atom for each primitive index: the copy in cell 0
+        ref_rows = [np.where((self.cell_index == 0) &
+                             (self.atom_index == k))[0][0]
+                    for k in range(n)]
+        for col in range(self.fc.shape[1]):
+            kp = self.atom_index[col]
+            lvec = self.lattice_vectors[self.cell_index[col]]
+            phase = np.exp(1j * q_cart @ lvec)
+            for k in range(n):
+                d[k, kp] += self.fc[ref_rows[k], col] * phase
+        # mass weighting
+        for k in range(n):
+            for kp in range(n):
+                d[k, kp] /= np.sqrt(self.masses[k] * self.masses[kp])
+        return d.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+
+    def frequencies(self, q_frac: np.ndarray) -> np.ndarray:
+        """Phonon frequencies (THz) at one q-point; imaginary modes
+        are returned negative."""
+        dmat = self.dynamical_matrix(q_frac)
+        dmat = 0.5 * (dmat + dmat.conj().T)
+        w2 = np.linalg.eigvalsh(dmat)
+        return np.sign(w2) * np.sqrt(np.abs(w2)) * VASP_TO_THZ
+
+    def band_structure(self, qpoints: Sequence[Tuple[str, np.ndarray]],
+                       npoints: int = 30) -> Dict:
+        """Frequencies along straight segments between labelled
+        q-points. Returns {'labels', 'distances', 'frequencies'}."""
+        recip = 2.0 * np.pi * np.linalg.inv(self.primitive.cell).T
+        dists: List[float] = []
+        freqs: List[np.ndarray] = []
+        ticks = [(0.0, qpoints[0][0])]
+        total = 0.0
+        for (la, qa), (lb, qb) in zip(qpoints[:-1], qpoints[1:]):
+            qa = np.asarray(qa, dtype=np.float64)
+            qb = np.asarray(qb, dtype=np.float64)
+            seg = np.linalg.norm((qb - qa) @ recip)
+            for t in np.linspace(0.0, 1.0, npoints, endpoint=False):
+                q = qa + (qb - qa) * t
+                dists.append(total + seg * t)
+                freqs.append(self.frequencies(q))
+            total += seg
+            ticks.append((total, lb))
+        dists.append(total)
+        freqs.append(self.frequencies(np.asarray(qpoints[-1][1])))
+        return {"labels": ticks, "distances": np.asarray(dists),
+                "frequencies": np.asarray(freqs)}
+
+    def gamma_frequencies(self) -> np.ndarray:
+        return self.frequencies(np.zeros(3))
+
+    def dos(self, qmesh: Tuple[int, int, int] = (8, 8, 8),
+            sigma: float = 0.2, num_bins: int = 201
+            ) -> Tuple[np.ndarray, np.ndarray]:
+        """Gaussian-smeared phonon DOS over a Monkhorst-Pack mesh."""
+        freqs = []
+        for i in range(qmesh[0]):
+            for j in range(qmesh[1]):
+                for k in range(qmesh[2]):
+                    q = np.array([i / qmesh[0], j / qmesh[1],
+                                  k / qmesh[2]])
+                    freqs.append(self.frequencies(q))
+        freqs = np.concatenate(freqs)
+        lo, hi = freqs.min() - 1.0, freqs.max() + 1.0
+        grid = np.linspace(lo, hi, num_bins)
+        dos = np.zeros_like(grid)
+        for f in freqs:
+            dos += np.exp(-0.5 * ((grid - f) / sigma) ** 2)
+        dos /= (len(freqs) * sigma * np.sqrt(2 * np.pi))
+        return grid, dos
+
+
+FCC_PATH = [("G", [0.0, 0.0, 0.0]), ("X", [0.5, 0.0, 0.5]),
+            ("W", [0.5, 0.25, 0.75]), ("K", [0.375, 0.375, 0.75]),
+            ("G", [0.0, 0.0, 0.0]), ("L", [0.5, 0.5, 0.5])]
+
+BCC_PATH = [("G", [0.0, 0.0, 0.0]), ("H", [0.5, -0.5, 0.5]),
+            ("N", [0.0, 0.0, 0.5]), ("G", [0.0, 0.0, 0.0]),
+            ("P", [0.25, 0.25, 0.25])]
