@@ -1,0 +1,80 @@
+"""Large-cell inference benchmark (EAM/zjw04 energy+forces+stress).
+
+Reference baseline (BASELINE.md): 128,000-atom MoNi prediction took
+~71.6 s end-to-end on the reference workstation (26.6 s neighbor list
++ 70.6 s feed-dict in Python + ~1.0 s GPU graph). Here featurization is
+a native C++ cell list and the whole property computation is ONE jitted
+TPU executable.
+
+Prints one JSON line per size. Not the driver headline (see bench.py);
+run manually: `python bench_inference.py [natoms_per_axis]`.
+
+Note: this host's vCPU is heavily throttled and bursty — host-side
+featurization timings fluctuate by up to 10x between runs; the device
+execution time is stable.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(n: int = 20):
+    import jax
+    import jax.numpy as jnp
+    from collections import Counter
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.nn.fields import make_efs_fn
+
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    rng = np.random.RandomState(0)
+    frac = np.concatenate([base + [i, j, k] for i in range(n)
+                           for j in range(n) for k in range(n)])
+    pos = frac * a0 + rng.normal(0, 0.05, (len(frac), 3))
+    s = Structure.from_symbols(["Ni"] * len(frac), pos,
+                               np.eye(3) * a0 * n, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    t0 = time.perf_counter()
+    vap = fz.make_vap(s)
+    feats = fz.featurize(s, vap,
+                         pair_bucket=lambda m: 1 << (m - 1).bit_length(),
+                         dtype=np.float32)
+    t_feat = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dfeats = {k: jax.device_put(jnp.asarray(v)) for k, v in feats.items()}
+    jax.block_until_ready(list(dfeats.values()))
+    t_h2d = time.perf_counter() - t0
+
+    efs = jax.jit(make_efs_fn(model.variational_energy))
+    out = efs(params, dfeats)
+    jax.block_until_ready(out)          # compile + first run
+    t0 = time.perf_counter()
+    out = efs(params, dfeats)
+    jax.block_until_ready(out)
+    t_exec = time.perf_counter() - t0
+
+    total = t_feat + t_h2d + t_exec
+    baseline_total = 71.6 * len(s) / 128000.0
+    print(json.dumps({
+        "metric": f"efs_inference_{len(s)}_atoms",
+        "value": round(total, 3),
+        "unit": "s (featurize+transfer+device)",
+        "featurize_s": round(t_feat, 3),
+        "h2d_s": round(t_h2d, 3),
+        "device_exec_s": round(t_exec, 4),
+        "vs_baseline": round(baseline_total / total, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)

@@ -87,9 +87,22 @@ class TensorAlloyCalculator:
         hit = self._variant_cache.get(key)
         if hit is None:
             model = self.model.clone_for(Counter(dict(key)))
+
             # forces/stress/Hessian differentiate the variational energy
-            # (free energy for finite-temperature models)
-            efs = jax.jit(make_efs_fn(model.variational_energy))
+            # (free energy for finite-temperature models); atomic
+            # energies and finite-T heads ride in the SAME executable so
+            # inference is exactly one device call.
+            def extras(params, feats, model=model):
+                out = {"atomic_energies":
+                       model.atomic_energies(params, feats)}
+                if hasattr(model, "energy_ops"):
+                    ops = model.energy_ops(params, feats)
+                    out["energy_U"] = ops["energy"]
+                    out["eentropy"] = ops["eentropy"]
+                    out["free_energy_F"] = ops["free_energy"]
+                return out
+
+            efs = jax.jit(make_efs_fn(model.variational_energy, extras))
             hess = jax.jit(make_hessian_fn(model.variational_energy))
             hit = (model, efs, hess)
             self._variant_cache[key] = hit
@@ -108,11 +121,9 @@ class TensorAlloyCalculator:
 
     def _features(self, structure: Structure, vap: VirtualAtomMap):
         fz = self.featurizer
-        sizes = fz.neighbor_size(structure)
-        nij_max = _bucket(max(sizes.nij, 1))
-        nijk_max = _bucket(max(sizes.nijk, 1)) if fz.angular else None
-        feats = fz.featurize(structure, vap, nij_max=nij_max,
-                             nijk_max=nijk_max,
+        feats = fz.featurize(structure, vap,
+                             pair_bucket=lambda n: _bucket(max(n, 1)),
+                             trip_bucket=lambda n: _bucket(max(n, 1)),
                              dtype=np.float64 if jax.config.jax_enable_x64
                              else np.float32)
         return {k: jnp.asarray(v) for k, v in feats.items()}
@@ -122,24 +133,20 @@ class TensorAlloyCalculator:
         vap = self._get_vap(structure)
         model, efs, _ = self._get_variant(structure)
         feats = self._features(structure, vap)
-        out = efs(self.params, feats)
-        forces = vap.reverse_map(np.asarray(out["forces"]))
+        out = jax.device_get(efs(self.params, feats))
+        forces = vap.reverse_map(out["forces"])
         self.results = {
             "energy": float(out["energy"]),
-            "free_energy": float(out.get("free_energy", out["energy"])),
+            "free_energy": float(out["energy"]),
             "forces": forces,
             "stress": np.asarray(out["stress_voigt"]),
             "pressure": float(out["total_pressure"]),
+            "atomic_energies": vap.reverse_map(out["atomic_energies"]),
         }
-        if hasattr(model, "energy_ops"):
-            ops = {k: float(v) for k, v in
-                   model.energy_ops(self.params, feats).items()}
-            self.results["energy"] = ops["energy"]
-            self.results["eentropy"] = ops["eentropy"]
-            self.results["free_energy"] = ops["free_energy"]
-        if hasattr(model, "atomic_energies"):
-            ae = np.asarray(model.atomic_energies(self.params, feats))
-            self.results["atomic_energies"] = vap.reverse_map(ae)
+        if "energy_U" in out:        # finite-temperature heads
+            self.results["energy"] = float(out["energy_U"])
+            self.results["eentropy"] = float(out["eentropy"])
+            self.results["free_energy"] = float(out["free_energy_F"])
         self._last = structure
         return self.results
 

@@ -13,6 +13,7 @@ path (flat pair arrays padded to ``nij_max`` etc.).
 """
 from __future__ import annotations
 
+import os
 from collections import Counter
 from dataclasses import dataclass
 from typing import Tuple
@@ -36,7 +37,8 @@ def _cell_heights(cell: np.ndarray) -> np.ndarray:
     return vol / np.maximum(areas, 1e-300)
 
 
-def neighbor_list(structure: Structure, cutoff: float
+def neighbor_list(structure: Structure, cutoff: float,
+                  use_native: bool = True
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                              np.ndarray, np.ndarray]:
     """Build the full periodic neighbor list.
@@ -55,6 +57,16 @@ def neighbor_list(structure: Structure, cutoff: float
     n = len(structure)
     if abs(np.linalg.det(cell)) < 1e-12:
         pbc = np.zeros(3, dtype=bool)
+
+    if use_native and not os.environ.get("TENSORALLOY_TPU_NO_NATIVE"):
+        from .native import native_neighbor_list
+        got = native_neighbor_list(pos, cell, pbc, cutoff)
+        if got is not None:
+            ii, jj, shift, d, vec = got
+            order = np.lexsort((shift[:, 2], shift[:, 1], shift[:, 0],
+                                jj, ii))
+            return (ii[order], jj[order], shift[order], d[order],
+                    vec[order])
 
     heights = _cell_heights(cell)
     reps = np.where(pbc, np.ceil(cutoff / heights).astype(np.int64), 0)

@@ -29,12 +29,15 @@ def full_to_voigt(s: jnp.ndarray) -> jnp.ndarray:
                       0.5 * (s[..., 0, 1] + s[..., 1, 0])], axis=-1)
 
 
-def make_efs_fn(energy_fn: Callable) -> Callable:
+def make_efs_fn(energy_fn: Callable,
+                extras_fn: Callable = None) -> Callable:
     """energy_fn(params, features) -> scalar.
 
-    Returns fn(params, features) -> dict with energy, atomic zero-point
-    untouched, forces [n_vap, 3], virial/stress [3,3], stress_voigt [6],
-    total_pressure (GPa).
+    Returns fn(params, features) -> dict with energy, forces
+    [n_vap, 3], virial/stress [3,3], stress_voigt [6], total_pressure
+    (GPa); `extras_fn(params, features) -> dict` outputs (e.g. atomic
+    energies, finite-T heads) are merged in so everything compiles into
+    ONE executable (critical over slow host<->device links).
     """
 
     def efs(params, features) -> Dict[str, jnp.ndarray]:
@@ -55,9 +58,12 @@ def make_efs_fn(energy_fn: Callable) -> Callable:
         stress = virial / volume
         voigt = full_to_voigt(stress)
         pressure = -jnp.trace(stress) / 3.0 * EV_ANGSTROM3_TO_GPA
-        return {"energy": energy, "forces": forces, "virial": virial,
-                "stress": stress, "stress_voigt": voigt,
-                "total_pressure": pressure}
+        out = {"energy": energy, "forces": forces, "virial": virial,
+               "stress": stress, "stress_voigt": voigt,
+               "total_pressure": pressure}
+        if extras_fn is not None:
+            out.update(extras_fn(params, features))
+        return out
 
     return efs
 

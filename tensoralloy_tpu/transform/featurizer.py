@@ -32,6 +32,7 @@ Shape contract (`Features` dict):
 from __future__ import annotations
 
 import json
+import os
 from collections import Counter
 from typing import Dict, List, Optional
 
@@ -137,8 +138,13 @@ class Featurizer:
                   vap: Optional[VirtualAtomMap] = None,
                   nij_max: Optional[int] = None,
                   nijk_max: Optional[int] = None,
-                  dtype=np.float64) -> Features:
-        """Build the fixed-shape feature arrays for one structure."""
+                  dtype=np.float64,
+                  pair_bucket=None, trip_bucket=None) -> Features:
+        """Build the fixed-shape feature arrays for one structure.
+
+        `pair_bucket`/`trip_bucket` round the exact pair/triple counts
+        up (e.g. to powers of two) when no explicit max is given —
+        single neighbor-list pass, bounded recompilation."""
         structure = structure.ensure_cell()
         if vap is None:
             vap = self.make_vap(structure)
@@ -153,11 +159,18 @@ class Featurizer:
             all_pairs = None
         nij = len(ilist)
         if nij_max is None:
-            nij_max = nij
+            nij_max = pair_bucket(nij) if pair_bucket else nij
 
-        elem_idx_local = np.array(
-            [self.elements.index(s) for s in structure.symbols],
-            dtype=np.int32)
+        # vectorized symbol -> element-index map
+        lut = np.full(128, -1, dtype=np.int32)
+        from ..elements import atomic_numbers
+        for idx, e in enumerate(self.elements):
+            lut[atomic_numbers[e]] = idx
+        elem_idx_local = lut[structure.numbers]
+        if elem_idx_local.min(initial=0) < 0:
+            bad = sorted(set(np.asarray(structure.symbols)[
+                elem_idx_local < 0].tolist()))
+            raise ValueError(f"unsupported element(s): {bad}")
 
         feats: Features = {}
         pos_vap = vap.map_positions(structure.positions).astype(dtype)
@@ -186,45 +199,58 @@ class Featurizer:
             a_i, a_j, a_s, a_d = all_pairs if all_pairs is not None else (
                 ilist, jlist, shift, dists)
             self._build_triples(feats, structure, vap, a_i, a_j, a_s,
-                                a_d, elem_idx_local, nijk_max, dtype)
+                                a_d, elem_idx_local, nijk_max, dtype,
+                                trip_bucket)
         return feats
 
     def _build_triples(self, feats, structure, vap, ilist, jlist, shift,
-                       dists, elem_idx_local, nijk_max, dtype):
+                       dists, elem_idx_local, nijk_max, dtype,
+                       trip_bucket=None):
         within = dists < self.acut
         ii, jj, ss = ilist[within], jlist[within], shift[within]
         # group pairs by center atom; emit j<k combinations
         order = np.argsort(ii, kind="stable")
         ii, jj, ss = ii[order], jj[order], ss[order]
-        counts = np.bincount(ii, minlength=len(structure))
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        t_i, t_j, t_k, t_sj, t_sk = [], [], [], [], []
-        for a in range(len(structure)):
-            lo, hi = offsets[a], offsets[a + 1]
-            m = hi - lo
-            if m < 2:
-                continue
-            p, q = np.triu_indices(m, k=1)
-            t_i.append(np.full(len(p), a, dtype=np.int64))
-            t_j.append(jj[lo + p])
-            t_k.append(jj[lo + q])
-            t_sj.append(ss[lo + p])
-            t_sk.append(ss[lo + q])
-        if t_i:
-            t_i = np.concatenate(t_i)
-            t_j = np.concatenate(t_j)
-            t_k = np.concatenate(t_k)
-            t_sj = np.concatenate(t_sj)
-            t_sk = np.concatenate(t_sk)
+
+        pq = None
+        if not os.environ.get("TENSORALLOY_TPU_NO_NATIVE"):
+            from ..native import native_triple_list
+            pq = native_triple_list(ii, len(structure))
+        if pq is not None:
+            p, q = pq
+            t_i = ii[p].astype(np.int64)
+            t_j, t_k = jj[p], jj[q]
+            t_sj, t_sk = ss[p], ss[q]
         else:
-            t_i = np.zeros(0, np.int64)
-            t_j = np.zeros(0, np.int64)
-            t_k = np.zeros(0, np.int64)
-            t_sj = np.zeros((0, 3))
-            t_sk = np.zeros((0, 3))
+            counts = np.bincount(ii, minlength=len(structure))
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            t_i, t_j, t_k, t_sj, t_sk = [], [], [], [], []
+            for a in range(len(structure)):
+                lo, hi = offsets[a], offsets[a + 1]
+                m = hi - lo
+                if m < 2:
+                    continue
+                p, q = np.triu_indices(m, k=1)
+                t_i.append(np.full(len(p), a, dtype=np.int64))
+                t_j.append(jj[lo + p])
+                t_k.append(jj[lo + q])
+                t_sj.append(ss[lo + p])
+                t_sk.append(ss[lo + q])
+            if t_i:
+                t_i = np.concatenate(t_i)
+                t_j = np.concatenate(t_j)
+                t_k = np.concatenate(t_k)
+                t_sj = np.concatenate(t_sj)
+                t_sk = np.concatenate(t_sk)
+            else:
+                t_i = np.zeros(0, np.int64)
+                t_j = np.zeros(0, np.int64)
+                t_k = np.zeros(0, np.int64)
+                t_sj = np.zeros((0, 3))
+                t_sk = np.zeros((0, 3))
         nijk = len(t_i)
         if nijk_max is None:
-            nijk_max = nijk
+            nijk_max = trip_bucket(nijk) if trip_bucket else nijk
         pad = nijk_max - nijk
         if pad < 0:
             raise ValueError(f"nijk={nijk} exceeds nijk_max={nijk_max}")
