@@ -51,18 +51,33 @@ def _pair_key(a: str, b: str) -> str:
     return "".join(sorted([a, b]))
 
 
-def read_eam_alloy_setfl(path: str, is_adp: bool = False) -> SetflData:
+def _find_element_line(lines: List[str]) -> int:
+    """Locate the "N el1 el2 ..." line (comment count varies: LAMMPS
+    says 3 lines, but published files ship with 0..5)."""
+    for idx, line in enumerate(lines[:10]):
+        toks = line.split()
+        if len(toks) >= 2 and toks[0].isdigit() and \
+                all(t[:1].isalpha() for t in toks[1:]) and \
+                int(toks[0]) == len(toks) - 1:
+            return idx
+    return 3
+
+
+def read_eam_alloy_setfl(path: str, is_adp: bool = False,
+                         style: str = "alloy") -> SetflData:
+    """Read setfl tables; `style` 'alloy' (one rho per element) or
+    'fs' (per element, N rho columns rho_{i<-j})."""
     with open(path) as fh:
         tokens: List[str] = []
-        lines = fh.read().splitlines()
-    elements = lines[3].split()[1:]
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    el_line = _find_element_line(lines)
+    elements = lines[el_line].split()[1:]
     n_el = len(elements)
-    header = lines[4].split()
+    header = lines[el_line + 1].split()
     nrho, drho = int(header[0]), float(header[1])
     nr, dr = int(header[2]), float(header[3])
     cutoff = float(header[4])
-    # flatten everything after line 4 into one token stream
-    for line in lines[5:]:
+    for line in lines[el_line + 2:]:
         tokens.extend(line.split())
     pos = 0
 
@@ -80,7 +95,16 @@ def read_eam_alloy_setfl(path: str, is_adp: bool = False) -> SetflData:
         lattice[el] = float(hdr[2])
         structure[el] = hdr[3]
         frho[el] = np.asarray(take(nrho), dtype=np.float64)
-        rho[el] = np.asarray(take(nr), dtype=np.float64)
+        if style == "fs":
+            # eam/fs: rho_{el <- other} per ordered pair; key "ElOther"
+            # means density contributed by a neighbor of type Other to
+            # a center of type el... LAMMPS convention: for element i,
+            # N tables rho_ij(r) = density function of atom j type as
+            # seen by type i.
+            for other in elements:
+                rho[el + other] = np.asarray(take(nr), dtype=np.float64)
+        else:
+            rho[el] = np.asarray(take(nr), dtype=np.float64)
     phi = {}
     r = np.arange(nr) * dr
     for i in range(n_el):
@@ -110,6 +134,10 @@ def read_eam_alloy_setfl(path: str, is_adp: bool = False) -> SetflData:
 
 def read_adp_setfl(path: str) -> SetflData:
     return read_eam_alloy_setfl(path, is_adp=True)
+
+
+def read_eam_fs_setfl(path: str) -> SetflData:
+    return read_eam_alloy_setfl(path, style="fs")
 
 
 def _write_block(fh, values: np.ndarray, per_line: int = 5):

@@ -38,7 +38,7 @@ from ...transform.featurizer import Featurizer
 from ...utils import get_elements_from_kbody_term
 from ..layers import apply_dense_stack, init_dense_stack, l2_of_stack
 from ...ops.pairs import pair_vectors, safe_norm
-from .potentials import available_potentials
+from .potentials import available_potentials, resolve_potential
 
 
 def _unordered(term: str) -> str:
@@ -118,9 +118,8 @@ class EamNN:
                     name = custom
                 else:
                     name = custom.get(section, {}).get(key, "nn")
-                if name != "nn" and name not in available_potentials:
-                    raise ValueError(f"unknown potential '{name}' for "
-                                     f"{section}.{key}")
+                if name != "nn":
+                    resolve_potential(name)   # raises on unknown names
                 out[section][key] = name
         return out
 
@@ -156,15 +155,17 @@ class EamNN:
                     emp_sections.setdefault(name, set()).update(
                         self._empirical_sections_for(name, section, fkey))
         for name, sections in emp_sections.items():
-            pot = available_potentials[name]
-            params[name] = pot.initial_params(sorted(sections))
+            pot = resolve_potential(name)
+            initial = pot.initial_params(sorted(sections))
+            if initial:
+                params[pot.name] = initial
         return params
 
     def _empirical_sections_for(self, name: str, section: str,
                                 fkey: str) -> List[str]:
         """Sections of the analytic potential's parameter table needed to
         evaluate (section, fkey) — e.g. zjw04 phi('NiMo') needs Ni & Mo."""
-        pot = available_potentials[name]
+        pot = resolve_potential(name)
         candidates = [section] + get_elements_from_kbody_term(section)
         wanted = {s for s in candidates if s in pot.defaults}
         return sorted(wanted) if wanted else sorted(pot.defaults)
@@ -184,7 +185,7 @@ class EamNN:
                 return apply_dense_stack(mlp, x[..., None],
                                          self.activation)[..., 0]
             return f
-        pot = available_potentials[name]
+        pot = resolve_potential(name)
         method = getattr(pot, kind)
         return lambda x: method(params, x, section, fixed=fixed)
 

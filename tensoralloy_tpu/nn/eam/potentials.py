@@ -213,3 +213,83 @@ available_potentials: Dict[str, EmpiricalPotential] = {
     "zjw04": Zjw04(),
     "sutton90": AgSutton90(),
 }
+
+
+# ----------------------------------------------------------------------
+class SplinePotential(EmpiricalPotential):
+    """Tabulated potential backed by differentiable cubic splines.
+
+    Covers the reference's `spline@<file>` potentials
+    (`training.py:259-263`; the interp C extension is absent from the
+    reference snapshot — SURVEY §2.9). Any published setfl/ADP table
+    (e.g. Mendelev Al-Fe eam/fs, Agrawal Be eam/alloy, Apostol-Mishin
+    AlCu ADP) becomes a full rho/phi/F(/u/w) potential whose values are
+    exactly the LAMMPS tables and whose derivatives are C2 splines.
+    No trainable parameters.
+    """
+
+    def __init__(self, filename: str, style: str = "auto"):
+        from ...io.lammps import read_eam_alloy_setfl
+        from ...ops.spline import UniformCubicSpline
+        if style == "auto":
+            if filename.endswith(".adp"):
+                style = "adp"
+            elif ".fs." in filename or filename.endswith(".fs"):
+                style = "fs"
+            else:
+                style = "alloy"
+        self.style = style
+        self.filename = filename
+        data = read_eam_alloy_setfl(
+            filename, is_adp=(style == "adp"),
+            style="fs" if style == "fs" else "alloy")
+        self.data = data
+        self.name = f"spline@{filename}"
+        self.defaults = {}
+        mk_r = lambda y: UniformCubicSpline(y, 0.0, data.dr)
+        mk_rho = lambda y: UniformCubicSpline(
+            y, 0.0, data.drho, extrapolate_zero=False)
+        self._rho = {k: mk_r(v) for k, v in data.rho.items()}
+        self._frho = {k: mk_rho(v) for k, v in data.frho.items()}
+        self._phi = {k: mk_r(v) for k, v in data.phi.items()}
+        self._dipole = ({k: mk_r(v) for k, v in data.dipole.items()}
+                        if data.dipole else {})
+        self._quadrupole = ({k: mk_r(v)
+                             for k, v in data.quadrupole.items()}
+                            if data.quadrupole else {})
+
+    def initial_params(self, sections):
+        return {}
+
+    def phi(self, params, r, kbody_term, fixed=False):
+        key = "".join(sorted(get_elements_from_kbody_term(kbody_term)))
+        return self._phi[key](r)
+
+    def rho(self, params, r, element_or_term, fixed=False):
+        return self._rho[element_or_term](r)
+
+    def embed(self, params, rho, element, fixed=False):
+        return self._frho[element](rho)
+
+    def dipole(self, params, r, kbody_term, fixed=False):
+        key = "".join(sorted(get_elements_from_kbody_term(kbody_term)))
+        return self._dipole[key](r)
+
+    def quadrupole(self, params, r, kbody_term, fixed=False):
+        key = "".join(sorted(get_elements_from_kbody_term(kbody_term)))
+        return self._quadrupole[key](r)
+
+
+_spline_cache: Dict[str, SplinePotential] = {}
+
+
+def resolve_potential(name: str) -> EmpiricalPotential:
+    """'zjw04' | 'sutton90' | 'spline@/path/to/table[.fs|.adp]'."""
+    if name in available_potentials:
+        return available_potentials[name]
+    if name.startswith("spline@"):
+        path = name[len("spline@"):]
+        if path not in _spline_cache:
+            _spline_cache[path] = SplinePotential(path)
+        return _spline_cache[path]
+    raise ValueError(f"unknown potential '{name}'")

@@ -308,3 +308,67 @@ def test_adp_setfl_fixture_reads():
     assert set(d.dipole) == {"AlAl", "AlCu", "CuCu"}
     assert d.frho["Al"].shape == (d.nrho,)
     assert np.all(np.isfinite(d.quadrupole["AlCu"]))
+
+
+def test_spline_potential_from_published_tables():
+    """spline@ potentials: Agrawal Be (alloy) and Mendelev Al-Fe (fs)
+    tables become differentiable potentials; energies finite, forces
+    match finite differences."""
+    import jax.numpy as jnp
+    from tensoralloy_tpu.nn.eam.potentials import resolve_potential
+    from tensoralloy_tpu.atoms import Structure
+
+    be = resolve_potential(
+        "spline@/root/reference/test_files/lammps/Be_Agrawal.eam.alloy")
+    r = jnp.linspace(1.5, 4.5, 50)
+    assert np.all(np.isfinite(np.asarray(be.phi({}, r, "BeBe"))))
+    assert np.all(np.isfinite(np.asarray(be.rho({}, r, "Be"))))
+    # spline reproduces the table values at the knots
+    d = be.data
+    sel = slice(2000, 2200)
+    np.testing.assert_allclose(
+        np.asarray(be.rho({}, jnp.asarray(d.r_grid[sel]), "Be")),
+        d.rho["Be"][sel], rtol=1e-10, atol=1e-12)
+
+    # full EAM/fs model over the Mendelev Al-Fe table
+    fz = Featurizer(["Al", "Fe"], rcut=6.5)
+    name = ("spline@/root/reference/test_files/lammps/"
+            "Mendelev_Al_Fe.fs.eam")
+    model = EamFsNN(fz, Counter({"Al": 2, "Fe": 2}),
+                    custom_potentials=name)
+    params = model.init_params(jax.random.PRNGKey(0))
+    a0 = 2.86
+    s = Structure.from_symbols(
+        ["Fe", "Al", "Fe", "Al"],
+        np.array([[0, 0, 0], [0.5, 0.5, 0.5], [0.5, 0.5, 0],
+                  [0, 0, 0.5]]) * a0 * np.array([1, 1, 2]),
+        np.diag([a0, a0, 2 * a0]), pbc=[True] * 3)
+    vap = fz.make_vap(s, model.max_occurs)
+    feats = {k: jnp.asarray(v) for k, v in fz.featurize(s, vap).items()}
+    e = float(model.energy(params, feats))
+    assert np.isfinite(e)
+    out = jax.jit(make_efs_fn(model.energy))(params, feats)
+    forces = np.asarray(out["forces"])
+    eps = 1e-5
+    pos = np.asarray(feats["positions"]).copy()
+    fp = dict(feats)
+    pos[2, 0] += eps
+    fp["positions"] = jnp.asarray(pos)
+    ep = float(model.energy(params, fp))
+    pos[2, 0] -= 2 * eps
+    fp["positions"] = jnp.asarray(pos)
+    em = float(model.energy(params, fp))
+    assert -(ep - em) / (2 * eps) == pytest.approx(forces[2, 0],
+                                                   rel=1e-4, abs=1e-6)
+
+
+def test_spline_adp_potential():
+    from tensoralloy_tpu.nn.eam.potentials import resolve_potential
+    import jax.numpy as jnp
+    adp = resolve_potential(
+        "spline@/root/reference/test_files/lammps/AlCu.adp")
+    r = jnp.linspace(1.5, 5.5, 20)
+    for term in ("AlAl", "AlCu", "CuCu"):
+        assert np.all(np.isfinite(np.asarray(adp.dipole({}, r, term))))
+        assert np.all(np.isfinite(np.asarray(
+            adp.quadrupole({}, r, term))))
