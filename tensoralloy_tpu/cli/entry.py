@@ -42,6 +42,10 @@ def main(argv=None):
     p_exp.add_argument("--checkpoint", default=None)
     p_exp.add_argument("--no-ema", action="store_true")
 
+    p_stop = sub.add_parser(
+        "stop", help="stop a running experiment (pid from model_dir)")
+    p_stop.add_argument("model_dir")
+
     p_print = sub.add_parser(
         "print", help="summarize a training history.json to CSV")
     p_print.add_argument("filename")
@@ -71,6 +75,13 @@ def main(argv=None):
     c_eos.add_argument("--eos", default="birchmurnaghan")
     c_eos.add_argument("--output", default=None)
 
+    c_pct = comp_sub.add_parser(
+        "percentile", help="per-atom |error| percentiles over a db")
+    c_pct.add_argument("model")
+    c_pct.add_argument("db")
+    c_pct.add_argument("--q", type=float, nargs="+",
+                       default=[50, 90, 95, 99])
+
     c_elastic = comp_sub.add_parser(
         "elastic", help="elastic constants of a crystal with a model")
     c_elastic.add_argument("model")
@@ -78,6 +89,7 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
     return {
+        "stop": _cmd_stop,
         "build": _cmd_build,
         "run": _cmd_run,
         "export": _cmd_export,
@@ -87,6 +99,22 @@ def main(argv=None):
 
 
 # ----------------------------------------------------------------------
+def _cmd_stop(args):
+    import signal
+    pid_file = os.path.join(args.model_dir, "run.pid")
+    if not os.path.exists(pid_file):
+        print(f"no run.pid in {args.model_dir}")
+        return 1
+    pid = int(open(pid_file).read().strip())
+    try:
+        os.kill(pid, signal.SIGTERM)
+        print(f"sent SIGTERM to {pid}")
+        return 0
+    except ProcessLookupError:
+        print(f"process {pid} not running")
+        return 1
+
+
 def _cmd_build(args):
     from ..io.sqlite import read_file
     units = {"eV": 1.0, "Hartree": 27.211386024367243,
@@ -179,6 +207,27 @@ def _cmd_compute(args):
                         if lbl is not None])
         print(f"wrote {args.output}; energy MAE/atom = "
               f"{np.abs(err).mean():.6f} eV")
+        return 0
+    if args.task == "percentile":
+        import numpy as np
+        from ..calculator import TensorAlloyCalculator
+        from ..io.sqlite import connect
+        calc = TensorAlloyCalculator(args.model)
+        db = connect(args.db)
+        e_errors, f_errors = [], []
+        for s in db:
+            res = calc.calculate(s)
+            if s.energy is not None:
+                e_errors.append(abs(res["energy"] - s.energy) / len(s))
+            if s.forces is not None:
+                f_errors.extend(
+                    np.abs(res["forces"] - s.forces).reshape(-1))
+        for name, arr in (("energy/atom [eV]", e_errors),
+                          ("forces [eV/A]", f_errors)):
+            if arr:
+                vals = np.percentile(np.asarray(arr), args.q)
+                print(name + ": " + "  ".join(
+                    f"p{int(q)}={v:.6f}" for q, v in zip(args.q, vals)))
         return 0
     if args.task == "eos":
         return _compute_eos(args)

@@ -1,0 +1,144 @@
+"""Training hooks: profiling, NaN guard, throughput + metric logging
+(reference `tensoralloy/nn/hooks.py`: ProfilerHook, NanTensorHook,
+ExamplesPerSecondHook, LoggingTensorHook).
+
+Hooks implement `after_step(step, state, metrics)` and are passed to
+`Trainer.fit(callback=...)` via `compose_hooks`.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("tensoralloy_tpu")
+
+
+class Hook:
+    def after_step(self, step: int, state, metrics: Dict):
+        raise NotImplementedError
+
+    def end(self):
+        pass
+
+
+class ProfilerHook(Hook):
+    """Captures a jax.profiler trace every `every_steps` steps into
+    `{logdir}` (viewable in TensorBoard / Perfetto; the reference saves
+    Chrome timelines, `hooks.py:151-171`)."""
+
+    def __init__(self, logdir: str, every_steps: int = 1000,
+                 trace_steps: int = 3):
+        self.logdir = logdir
+        self.every_steps = max(every_steps, 1)
+        self.trace_steps = trace_steps
+        self._tracing_until: Optional[int] = None
+        os.makedirs(logdir, exist_ok=True)
+
+    def after_step(self, step, state, metrics):
+        import jax
+        if self._tracing_until is None and step > 0 and \
+                step % self.every_steps == 0:
+            jax.profiler.start_trace(self.logdir)
+            self._tracing_until = step + self.trace_steps
+        elif self._tracing_until is not None and \
+                step >= self._tracing_until:
+            jax.profiler.stop_trace()
+            self._tracing_until = None
+
+    def end(self):
+        if self._tracing_until is not None:
+            import jax
+            jax.profiler.stop_trace()
+            self._tracing_until = None
+
+
+class NanTensorHook(Hook):
+    """Aborts training when the loss becomes NaN/Inf
+    (reference `hooks.py:352-410`)."""
+
+    def __init__(self, fail_on_nan: bool = True, key: str = "loss/total"):
+        self.fail_on_nan = fail_on_nan
+        self.key = key
+
+    def after_step(self, step, state, metrics):
+        value = metrics.get(self.key)
+        if value is None:
+            return
+        v = float(value)
+        if not np.isfinite(v):
+            msg = f"{self.key} is {v} at step {step}"
+            if self.fail_on_nan:
+                raise FloatingPointError(msg)
+            logger.error(msg)
+
+
+class ExamplesPerSecondHook(Hook):
+    """Average + current structures/s (reference `hooks.py:262-349`)."""
+
+    def __init__(self, batch_size: int, every_steps: int = 100):
+        self.batch_size = batch_size
+        self.every_steps = max(every_steps, 1)
+        self._t0 = time.time()
+        self._t_last = self._t0
+        self._step_last = 0
+
+    def after_step(self, step, state, metrics):
+        if step > 0 and step % self.every_steps == 0:
+            now = time.time()
+            avg = step * self.batch_size / max(now - self._t0, 1e-9)
+            cur = ((step - self._step_last) * self.batch_size /
+                   max(now - self._t_last, 1e-9))
+            logger.info("examples/sec: avg %.1f, current %.1f "
+                        "(step %d)", avg, cur, step)
+            self._t_last = now
+            self._step_last = step
+
+
+class LoggingTensorHook(Hook):
+    """Periodic metric logging to the python logger + a JSONL file
+    (reference `hooks.py:174-259`; `tensoralloy print` consumes the
+    file via `history.json`)."""
+
+    def __init__(self, every_steps: int = 100,
+                 jsonl_path: Optional[str] = None):
+        self.every_steps = max(every_steps, 1)
+        self.jsonl_path = jsonl_path
+        self._fh = open(jsonl_path, "a") if jsonl_path else None
+
+    def after_step(self, step, state, metrics):
+        if step % self.every_steps:
+            return
+        row = {k: float(v) for k, v in metrics.items()}
+        row["step"] = step
+        logger.info(" ".join(f"{k}={v:.6f}" for k, v in row.items()
+                             if k != "step"))
+        if self._fh:
+            self._fh.write(json.dumps(row) + "\n")
+            self._fh.flush()
+
+    def end(self):
+        if self._fh:
+            self._fh.close()
+
+
+def compose_hooks(hooks: List[Hook]):
+    """-> a Trainer.fit callback driving all hooks."""
+    def callback(step, state, metrics):
+        for hook in hooks:
+            hook.after_step(step, state, metrics)
+    return callback
+
+
+def set_logging_configs(logfile: str = "logfile",
+                        level: int = logging.INFO):
+    """File+console logging setup (reference `utils.py:293-319`)."""
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s [%(levelname)s] %(message)s",
+        handlers=[logging.FileHandler(logfile),
+                  logging.StreamHandler()])

@@ -292,9 +292,11 @@ class TrainingManager:
         """Featurize, split, fit; checkpoint + history into model_dir."""
         import jax
         os.makedirs(self.model_dir, exist_ok=True)
-        # back up the input config + db path (reference backs both up)
+        # back up the input config + record the pid for `stop`
         with open(os.path.join(self.model_dir, "input.json"), "w") as fh:
             json.dump(self.reader.as_dict(), fh, indent=2, default=str)
+        with open(os.path.join(self.model_dir, "run.pid"), "w") as fh:
+            fh.write(str(os.getpid()))
 
         feats, labels = self.dataset.build(verbose=verbose)
         tf_, tl_, ef_, el_ = self.dataset.split(feats, labels)
@@ -309,8 +311,26 @@ class TrainingManager:
             if ckpt_cfg.get("use_ema_variables", True):
                 params = ema
 
-        result = self.trainer.fit(tf_, tl_, ef_, el_, params=params,
-                                  verbose=verbose)
+        from . import hooks as hook_ops
+        r = self.reader
+        hooks = [hook_ops.NanTensorHook()]
+        if r.get("train.profile_steps", 0):
+            hooks.append(hook_ops.ProfilerHook(
+                self.model_dir + "-profile",
+                every_steps=r["train.profile_steps"]))
+        hooks.append(hook_ops.ExamplesPerSecondHook(
+            self.train_parameters.batch_size,
+            every_steps=self.train_parameters.log_steps))
+        hooks.append(hook_ops.LoggingTensorHook(
+            every_steps=self.train_parameters.summary_steps,
+            jsonl_path=os.path.join(self.model_dir, "metrics.jsonl")))
+        callback = hook_ops.compose_hooks(hooks)
+        try:
+            result = self.trainer.fit(tf_, tl_, ef_, el_, params=params,
+                                      verbose=verbose, callback=callback)
+        finally:
+            for hook in hooks:
+                hook.end()
         state = jax.device_get(result["state"])
         self.trainer.save_checkpoint(
             os.path.join(self.model_dir, "checkpoint.npz"), state)

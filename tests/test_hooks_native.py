@@ -1,0 +1,84 @@
+"""Hooks (NaN guard, throughput, logging) + LAMMPS native export +
+stop/percentile CLI paths."""
+import json
+import logging
+import os
+from collections import Counter
+
+import jax
+import numpy as np
+import pytest
+
+from tensoralloy_tpu.transform import Featurizer
+from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+from tensoralloy_tpu.nn.atomic import AtomicNN
+from tensoralloy_tpu.train import hooks as H
+
+
+def test_nan_hook():
+    hook = H.NanTensorHook()
+    hook.after_step(1, None, {"loss/total": 1.0})
+    with pytest.raises(FloatingPointError):
+        hook.after_step(2, None, {"loss/total": float("nan")})
+
+
+def test_logging_and_throughput_hooks(tmp_path, caplog):
+    jsonl = str(tmp_path / "metrics.jsonl")
+    log = H.LoggingTensorHook(every_steps=2, jsonl_path=jsonl)
+    eps = H.ExamplesPerSecondHook(batch_size=8, every_steps=2)
+    cb = H.compose_hooks([log, eps])
+    with caplog.at_level(logging.INFO, logger="tensoralloy_tpu"):
+        for step in range(5):
+            cb(step, None, {"loss/total": 1.0 / (step + 1)})
+    log.end()
+    rows = [json.loads(ln) for ln in open(jsonl)]
+    assert [r["step"] for r in rows] == [0, 2, 4]
+    assert any("examples/sec" in r.message for r in caplog.records)
+
+
+def test_lammps_native_export(tmp_path):
+    from tensoralloy_tpu.io.lammps_native import export_to_lammps_native
+    fz = Featurizer(["Ni", "Mo"], rcut=6.0)
+    grap = GenericRadialAtomicPotential(
+        ["Ni", "Mo"], algorithm="pexp",
+        parameters={"rl": [1.0, 2.0, 3.0], "pl": [2.0, 2.0, 2.0]},
+        param_space_method="pair", moment_tensors=[0, 1, 2])
+    model = AtomicNN(fz, Counter({"Ni": 4, "Mo": 2}), grap,
+                     hidden_sizes=[16, 16], minmax_scale=False,
+                     atomic_static_energy={"Ni": -5.0, "Mo": -10.0})
+    params = model.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path / "native.npz")
+    data = export_to_lammps_native(model, params, path)
+    with np.load(path) as z:
+        assert int(z["nelt"]) == 2
+        assert float(z["rmax"]) == 6.0
+        assert int(z["max_moment"]) == 2
+        assert int(z["descriptor::method"]) == 0      # pexp
+        np.testing.assert_allclose(z["descriptor::rl"], [1.0, 2.0, 3.0])
+        assert list(z["layer_sizes"]) == [16, 16, 1]
+        # per-element weights for both elements, all layers
+        for i in range(2):
+            for j in range(3):
+                assert f"weights_{i}_{j}" in z.files
+        assert z["weights_0_0"].shape == (model.feature_dim, 16)
+        # output bias = static energies present
+        assert int(z["apply_output_bias"]) == 1
+        assert f"biases_0_2" in z.files
+
+
+def test_lammps_native_export_nn_filters(tmp_path):
+    from tensoralloy_tpu.io.lammps_native import export_to_lammps_native
+    fz = Featurizer(["Be"], rcut=5.0)
+    grap = GenericRadialAtomicPotential(
+        ["Be"], algorithm="nn",
+        parameters={"hidden_sizes": [8, 8], "num_filters": 4},
+        moment_tensors=[0, 1])
+    model = AtomicNN(fz, Counter({"Be": 2}), grap, hidden_sizes=[8],
+                     minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(1))
+    path = str(tmp_path / "native_nn.npz")
+    export_to_lammps_native(model, params, path)
+    with np.load(path) as z:
+        assert int(z["use_fnn"]) == 1
+        assert int(z["fnn::num_filters"]) == 4
+        assert "fnn::weights_0_0" in z.files
