@@ -166,6 +166,11 @@ class EamNN:
         """Sections of the analytic potential's parameter table needed to
         evaluate (section, fkey) — e.g. zjw04 phi('NiMo') needs Ni & Mo."""
         pot = resolve_potential(name)
+        if not pot.defaults:
+            # generic potentials (morse/buckingham/...) parameterize
+            # whatever section they're assigned to; spline potentials
+            # have no parameters at all (initial_params -> {})
+            return [section]
         candidates = [section] + get_elements_from_kbody_term(section)
         wanted = {s for s in candidates if s in pot.defaults}
         return sorted(wanted) if wanted else sorted(pot.defaults)

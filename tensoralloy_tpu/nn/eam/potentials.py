@@ -293,3 +293,68 @@ def resolve_potential(name: str) -> EmpiricalPotential:
             _spline_cache[path] = SplinePotential(path)
         return _spline_cache[path]
     raise ValueError(f"unknown potential '{name}'")
+
+
+# ----------------------------------------------------------------------
+class MorsePotential(EmpiricalPotential):
+    """Trainable generic Morse pair potential + exponential density
+    (reference `potentials/generic.py`): usable for any element pair;
+    parameters initialized to generic defaults and trained."""
+
+    name = "morse"
+    generic_defaults = {"phi": dict(D=1.0, gamma=1.5, r0=2.5),
+                        "rho": dict(A=1.0, beta=4.0, re=2.5)}
+
+    def initial_params(self, sections):
+        out = {}
+        for section in sections:
+            key = "phi" if len(
+                get_elements_from_kbody_term(section)) == 2 else "rho"
+            out[section] = {k: jnp.asarray(float(v)) for k, v in
+                            self.generic_defaults[key].items()}
+        return out
+
+    def resolve(self, params, section, fixed):
+        p = dict(params.get(self.name, {}).get(section, {}))
+        if not p:
+            key = "phi" if len(
+                get_elements_from_kbody_term(section)) == 2 else "rho"
+            p = {k: jnp.asarray(float(v)) for k, v in
+                 self.generic_defaults[key].items()}
+        if fixed:
+            p = {k: jax.lax.stop_gradient(v) for k, v in p.items()}
+        return p
+
+    def phi(self, params, r, kbody_term, fixed=False):
+        from ...ops.generic import morse as morse_fn
+        p = self.resolve(params, kbody_term, fixed)
+        return morse_fn(r, p["D"], p["gamma"], p["r0"])
+
+    def rho(self, params, r, element, fixed=False):
+        from ...ops.generic import density_exp
+        p = self.resolve(params, element, fixed)
+        return density_exp(r, p["A"], p["beta"], p["re"])
+
+    def embed(self, params, rho, element, fixed=False):
+        return -jnp.sqrt(jnp.maximum(rho, 0.0))
+
+    def _empirical_sections(self):
+        return []
+
+
+class BuckinghamPotential(MorsePotential):
+    """Trainable Buckingham phi: A exp(-r/rho) - C/r^6 (+ Morse-style
+    density/sqrt embedding)."""
+
+    name = "buckingham"
+    generic_defaults = {"phi": dict(A=1000.0, rho=0.3, C=10.0),
+                        "rho": dict(A=1.0, beta=4.0, re=2.5)}
+
+    def phi(self, params, r, kbody_term, fixed=False):
+        from ...ops.generic import buckingham
+        p = self.resolve(params, kbody_term, fixed)
+        return buckingham(r, p["A"], p["rho"], p["C"])
+
+
+available_potentials["morse"] = MorsePotential()
+available_potentials["buckingham"] = BuckinghamPotential()

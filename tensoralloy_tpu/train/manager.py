@@ -302,14 +302,19 @@ class TrainingManager:
         tf_, tl_, ef_, el_ = self.dataset.split(feats, labels)
 
         params = None
+        initial_state = None
         ckpt_cfg = self.reader.get("train.ckpt", {})
         ckpt_file = ckpt_cfg.get("checkpoint_filename")
         if ckpt_file and os.path.exists(str(ckpt_file)):
-            template = self.model.init_params(jax.random.PRNGKey(0))
-            params, ema, _ = self.trainer.load_checkpoint(
-                str(ckpt_file), template)
-            if ckpt_cfg.get("use_ema_variables", True):
-                params = ema
+            template = self.model.init_params(
+                jax.random.PRNGKey(self.reader["seed"]))
+            initial_state = self.trainer.restore_state(
+                str(ckpt_file), template,
+                use_ema_variables=ckpt_cfg.get("use_ema_variables", True),
+                restore_optimizer_variables=ckpt_cfg.get(
+                    "restore_optimizer_variables", True),
+                reset_global_step=self.reader.get(
+                    "train.reset_global_step", True))
 
         from . import hooks as hook_ops
         r = self.reader
@@ -327,7 +332,8 @@ class TrainingManager:
         callback = hook_ops.compose_hooks(hooks)
         try:
             result = self.trainer.fit(tf_, tl_, ef_, el_, params=params,
-                                      verbose=verbose, callback=callback)
+                                      verbose=verbose, callback=callback,
+                                      initial_state=initial_state)
         finally:
             for hook in hooks:
                 hook.end()

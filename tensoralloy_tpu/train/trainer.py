@@ -280,7 +280,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, train_feats, train_labels, test_feats=None,
             test_labels=None, params=None, verbose: bool = True,
-            callback: Optional[Callable] = None) -> dict:
+            callback: Optional[Callable] = None,
+            initial_state: Optional[dict] = None) -> dict:
         tp = self.train_parameters
         if params is None:
             params = self.model.init_params(
@@ -298,7 +299,8 @@ class Trainer:
             self._train_step = self._build_train_step()
             self._eval_step = self._build_eval_step()
 
-        state = replicate(self.init_state(params), self.mesh)
+        state = replicate(initial_state or self.init_state(params),
+                          self.mesh)
         it = batches(train_feats, train_labels, bs, seed=tp.seed,
                      repeat=True)
         history = []
@@ -344,18 +346,32 @@ class Trainer:
         return {k: float(np.mean([o[k] for o in outs])) for k in outs[0]}
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _flatten_tree(prefix, tree, out):
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            key = prefix + "/" + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p)))
+                for p in kp)
+            out[key] = np.asarray(leaf)
+
+    @staticmethod
+    def _unflatten_tree(prefix, template, flat):
+        def visit(kp, leaf):
+            key = prefix + "/" + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p)))
+                for p in kp)
+            return jnp.asarray(flat[key])
+        return jax.tree_util.tree_map_with_path(visit, template)
+
     def save_checkpoint(self, path: str, state: dict, extra: dict = None):
-        """Flat-npz checkpoint of params + EMA params + step."""
+        """Flat-npz checkpoint: params, EMA params, optimizer state,
+        global step (reference: Estimator ckpt + EMA shadow vars)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         flat = {}
-        for name, tree in (("params", state["params"]),
-                           ("ema", state["ema_params"])):
-            leaves = jax.tree_util.tree_leaves_with_path(tree)
-            for kp, leaf in leaves:
-                key = name + "/" + "/".join(
-                    str(getattr(p, "key", getattr(p, "idx", p)))
-                    for p in kp)
-                flat[key] = np.asarray(leaf)
+        self._flatten_tree("params", state["params"], flat)
+        self._flatten_tree("ema", state["ema_params"], flat)
+        if "opt_state" in state:
+            self._flatten_tree("opt", state["opt_state"], flat)
         flat["step"] = np.asarray(state["step"])
         np.savez(path, **flat)
         if extra:
@@ -364,16 +380,35 @@ class Trainer:
 
     def load_checkpoint(self, path: str, params_template: dict
                         ) -> Tuple[dict, dict, int]:
+        """-> (params, ema_params, step)."""
         with np.load(path) as z:
             flat = {k: z[k] for k in z.files}
+        return (self._unflatten_tree("params", params_template, flat),
+                self._unflatten_tree("ema", params_template, flat),
+                int(flat["step"]))
 
-        def unflatten(prefix, tree):
-            def visit(kp, leaf):
-                key = prefix + "/" + "/".join(
-                    str(getattr(p, "key", getattr(p, "idx", p)))
-                    for p in kp)
-                return jnp.asarray(flat[key])
-            return jax.tree_util.tree_map_with_path(visit, tree)
-
-        return (unflatten("params", params_template),
-                unflatten("ema", params_template), int(flat["step"]))
+    def restore_state(self, path: str, params_template: dict,
+                      use_ema_variables: bool = False,
+                      restore_optimizer_variables: bool = True,
+                      reset_global_step: bool = False) -> dict:
+        """Full warm-start semantics (reference `nn/hooks.py:29-106` +
+        `[train.ckpt]`): pick raw-vs-EMA weights, optionally restore
+        the optimizer state, optionally reset the global step."""
+        with np.load(path) as z:
+            flat = {k: z[k] for k in z.files}
+        params = self._unflatten_tree(
+            "ema" if use_ema_variables else "params",
+            params_template, flat)
+        state = self.init_state(params)
+        state["ema_params"] = self._unflatten_tree(
+            "ema", params_template, flat)
+        if restore_optimizer_variables and any(
+                k.startswith("opt/") for k in flat):
+            try:
+                state["opt_state"] = self._unflatten_tree(
+                    "opt", state["opt_state"], flat)
+            except KeyError:
+                pass   # optimizer changed shape/method: keep fresh
+        if not reset_global_step:
+            state["step"] = jnp.asarray(int(flat["step"]), jnp.int32)
+        return state

@@ -75,3 +75,37 @@ def test_fingerprints_dedup():
     comp = FingerprintsComparator([s1, s2, s3])
     dups = comp.find_duplicates(threshold=0.005)
     assert (0, 1) in dups and (0, 2) not in dups
+
+
+def test_lammps_deck_generation(tmp_path):
+    """Driver deck generation (binary execution gated on
+    LAMMPS_COMMAND, reference `nn/eam/tests/test_eam_alloy_nn.py`
+    pattern)."""
+    import os
+    from tensoralloy_tpu.analysis.lammps import (
+        EnergyForceStress, write_lammps_data, lower_triangular_cell,
+        get_lammps_command)
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]]) * a0
+    s = Structure.from_symbols(["Ni"] * 4, base, np.eye(3) * a0,
+                               pbc=[True] * 3)
+    driver = EnergyForceStress(
+        "eam/alloy", "* * MoNi.eam.alloy Ni",
+        workdir=str(tmp_path))
+    driver.write_deck(s)
+    deck = (tmp_path / "in.lammps").read_text()
+    assert "pair_style eam/alloy" in deck
+    assert "units metal" in deck
+    data = (tmp_path / "data.lammps").read_text()
+    assert "4 atoms" in data and "1 atom types" in data
+
+    # triclinic rotation preserves geometry
+    cell = np.array([[3.0, 0, 0], [1.0, 3.0, 0], [0.5, 0.4, 3.0]])
+    new_cell, rot = lower_triangular_cell(cell)
+    assert abs(np.linalg.det(new_cell) - np.linalg.det(cell)) < 1e-10
+    assert np.allclose(new_cell, np.tril(new_cell))
+    np.testing.assert_allclose(cell @ rot, new_cell, atol=1e-12)
+
+    if get_lammps_command() is None:
+        pytest.skip("LAMMPS binary not available")

@@ -247,3 +247,41 @@ def test_calculator_arbitrary_stoichiometry(trained, ethanol_db):
                    s.pbc.copy())
     assert calc.get_potential_energy(s3) == pytest.approx(e0, abs=1e-9)
     np.testing.assert_allclose(calc.get_forces(s3), f0[perm], atol=1e-9)
+
+
+def test_warm_start_semantics(trained, tmp_path):
+    """restore_state: raw vs EMA weights, optimizer restore, step
+    reset (reference `[train.ckpt]` + WarmStartFromVariablesHook)."""
+    model, trainer, out, _ = trained
+    state = jax.device_get(out["state"])
+    path = str(tmp_path / "ws.npz")
+    trainer.save_checkpoint(path, state)
+    template = state["params"]
+
+    st1 = trainer.restore_state(path, template, use_ema_variables=False,
+                                reset_global_step=False)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(st1["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state["params"])[0]))
+    assert int(st1["step"]) == 60
+
+    st2 = trainer.restore_state(path, template, use_ema_variables=True,
+                                reset_global_step=True)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(st2["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state["ema_params"])[0]))
+    assert int(st2["step"]) == 0
+    # optimizer moments restored
+    l1 = jax.tree_util.tree_leaves(state["opt_state"])
+    l2 = jax.tree_util.tree_leaves(st1["opt_state"])
+    found_nonzero = False
+    for a, b in zip(l1, l2):
+        if np.asarray(a).size and np.asarray(a).dtype.kind == "f":
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+            if np.any(np.asarray(a) != 0):
+                found_nonzero = True
+    assert found_nonzero
+
+    # training continues from the restored state
+    out2 = trainer.fit(*_[:2], verbose=False, initial_state=st1)
+    assert int(out2["state"]["step"]) == 60 + 60
