@@ -72,7 +72,7 @@ def model_from_dict(d: dict):
     cls = d["class"]
     fz = Featurizer.from_dict(d["featurizer"])
     max_occurs = Counter(d["max_occurs"])
-    if cls in ("AtomicNN", "TemperatureDependentAtomicNN"):
+    if cls in ("AtomicNN", "TemperatureDependentAtomicNN", "BeNN"):
         desc = descriptor_from_dict(d["descriptor"])
         from ..nn.atomic import AtomicNN
         kwargs = dict(
@@ -85,7 +85,9 @@ def model_from_dict(d: dict):
         if cls == "AtomicNN":
             return AtomicNN(fz, max_occurs, desc, **kwargs)
         from ..nn.finite_temperature import TemperatureDependentAtomicNN
-        return TemperatureDependentAtomicNN(
+        from ..nn.special import BeNN
+        td_cls = BeNN if cls == "BeNN" else TemperatureDependentAtomicNN
+        return td_cls(
             fz, max_occurs, desc,
             layers=d.get("layers", [128, 128]),
             eentropy_algo=d.get("eentropy_algo", "default"),

@@ -358,3 +358,83 @@ class BuckinghamPotential(MorsePotential):
 
 available_potentials["morse"] = MorsePotential()
 available_potentials["buckingham"] = BuckinghamPotential()
+
+
+# ----------------------------------------------------------------------
+class Zjw04xc(Zjw04):
+    """Zjw04 with a smooth (sigmoid-blended) embedding — removes the
+    derivative discontinuities of the 3-branch piecewise form so all
+    parameters except r_eq can be trained (reference `zjw04.py:416+`).
+    Adds Be (initialized from the Mo column)."""
+
+    name = "zjw04xc"
+    always_fixed = {"*": ["r_eq"]}
+
+    def __init__(self):
+        d = {k: dict(v) for k, v in zjw04_defaults.items()}
+        d["Be"] = dict(d["Mo"])
+        self.defaults = d
+
+    def embed(self, params, rho, element, fixed=False):
+        p = self.resolve(params, element, fixed)
+        rho_n = 0.85 * p["rho_e"]
+        rho_0 = 1.15 * p["rho_e"]
+        x1 = rho / rho_n - 1.0
+        e1 = p["Fn0"] + x1 * (p["Fn1"] + x1 * (p["Fn2"] + x1 * p["Fn3"]))
+        x2 = rho / p["rho_e"] - 1.0
+        e2 = p["F0"] + x2 * (p["F1"] + x2 * (p["F2"] + x2 * p["F3"]))
+        z = rho / p["rho_s"] + 1e-8
+        e3 = p["Fe"] * (1.0 - p["eta"] * jnp.log(z)) * z ** p["eta"]
+        c1 = jax.nn.sigmoid(2.0 * (rho_n - rho))
+        c3 = jax.nn.sigmoid(2.0 * (rho - rho_0))
+        c2 = 1.0 - c1 - c3
+        return c1 * e1 + c2 * e2 + c3 * e3
+
+
+class Zjw04uxc(Zjw04xc):
+    """Unrestricted Zjw04xc: every parameter (incl. r_eq) trainable."""
+
+    name = "zjw04uxc"
+    always_fixed = {}
+
+
+class Zjw04xcp(Zjw04xc):
+    """Zjw04xc with re-fitted Ni/Mo tables and an explicit exponential
+    pair function for the A-B cross term (its own parameter row)
+    instead of the mixing rule (reference `zjw04.py:570-696`)."""
+
+    name = "zjw04xcp"
+    always_fixed = {"*": ["r_eq"]}
+
+    def __init__(self):
+        super().__init__()
+        d = self.defaults
+        d["Ni"] = dict(
+            A=0.333956, B=0.576165, F0=-3.291077, F1=0.395187,
+            F2=0.533360, F3=-2.154562, Fe=-3.206066, Fn0=-3.353943,
+            Fn1=0.041024, Fn2=-2.098675, Fn3=-7.605803, alpha=8.401944,
+            beta=3.288919, eta=1.182809, f_eq=1.543016, kappa=0.419188,
+            lamda=0.857673, r_eq=2.488746, rho_e=25.423122,
+            rho_s=26.498945)
+        d["Mo"] = dict(
+            A=1.070439, B=1.762964, F0=-6.613181, F1=2.160862,
+            F2=0.587255, F3=-4.271510, Fe=-6.847272, Fn0=-6.931113,
+            Fn1=1.532229, Fn2=0.354207, Fn3=-2.301498, alpha=7.639637,
+            beta=5.295918, eta=0.642979, f_eq=3.321370, kappa=0.142495,
+            lamda=0.211357, r_eq=2.728100, rho_e=32.766506,
+            rho_s=21.342554)
+        d["MoNi"] = dict(
+            A=0.949134, B=1.360144, alpha=9.168006, beta=3.449561,
+            kappa=0.478692, lamda=0.424937, r_eq=2.235219)
+
+    def phi(self, params, r, kbody_term, fixed=False):
+        el_a, el_b = get_elements_from_kbody_term(kbody_term)
+        if el_a != el_b and kbody_term in self.defaults:
+            p = self.resolve(params, kbody_term, fixed)
+            return self._phi_elemental(p, r)
+        return super().phi(params, r, kbody_term, fixed)
+
+
+available_potentials["zjw04xc"] = Zjw04xc()
+available_potentials["zjw04uxc"] = Zjw04uxc()
+available_potentials["zjw04xcp"] = Zjw04xcp()

@@ -56,3 +56,23 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_distributed(coordinator_address: str = None,
+                           num_processes: int = None,
+                           process_id: int = None):
+    """Multi-host scale-out over DCN (replaces the reference's
+    TF_CONFIG multi-worker cluster setup,
+    `train/distribute_utils.py:316-343`): call once per host before any
+    jax op; afterwards `jax.devices()` spans all hosts and the same
+    data-parallel Mesh/psum code runs unchanged."""
+    import jax
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count(), jax.process_index()

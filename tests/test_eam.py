@@ -372,3 +372,31 @@ def test_spline_adp_potential():
         assert np.all(np.isfinite(np.asarray(adp.dipole({}, r, term))))
         assert np.all(np.isfinite(np.asarray(
             adp.quadrupole({}, r, term))))
+
+
+def test_zjw04_variants():
+    """zjw04xc blends smoothly into the base form away from the seams;
+    uxc frees r_eq; xcp uses its own MoNi pair row."""
+    from tensoralloy_tpu.nn.eam.potentials import (available_potentials,
+                                                   Zjw04)
+    z = Zjw04()
+    xc = available_potentials["zjw04xc"]
+    p0 = {"zjw04": z.initial_params(["Mo"])}
+    p1 = {"zjw04xc": xc.initial_params(["Mo"])}
+    rho = jnp.asarray([5.0, 15.0, 50.0])
+    np.testing.assert_allclose(
+        np.asarray(xc.embed(p1, rho, "Mo")),
+        np.asarray(z.embed(p0, rho, "Mo")), atol=1e-4)
+    # xc embed is smooth across the branch seams (finite gradient)
+    g = jax.grad(lambda r: jnp.sum(xc.embed(p1, r, "Mo")))(
+        jnp.asarray([0.85 * 29.354065, 1.15 * 29.354065]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert "Be" in xc.defaults
+    assert available_potentials["zjw04uxc"].always_fixed == {}
+    xcp = available_potentials["zjw04xcp"]
+    r = jnp.asarray([2.5, 3.5])
+    pp = {"zjw04xcp": xcp.initial_params(["Mo", "Ni", "MoNi"])}
+    own = np.asarray(xcp.phi(pp, r, "MoNi"))
+    mixed = np.asarray(xc.phi({"zjw04xc": xc.initial_params(
+        ["Mo", "Ni"])}, r, "MoNi"))
+    assert not np.allclose(own, mixed)

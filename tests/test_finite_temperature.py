@@ -134,3 +134,42 @@ def test_td_training_and_calculator(be_structure, tmp_path):
     t = s.info["etemperature"]
     assert f == pytest.approx(e - t * ss, abs=1e-6)
     assert calc.get_forces(s).shape == (len(s), 3)
+
+
+def test_benn_entropy_head(be_structure):
+    """Be free-electron entropy: S = S0(T) * softplus(NN) with the
+    fitted semi-analytic S0 (reference `special/beryllium.py`)."""
+    from tensoralloy_tpu.nn.special import BeNN
+    s = be_structure
+    fz = Featurizer(["Be"], rcut=4.5)
+    grap = GenericRadialAtomicPotential(
+        ["Be"], algorithm="pexp",
+        parameters={"rl": [1.0, 2.0], "pl": [2.0, 2.0]},
+        param_space_method="pair", moment_tensors=[0, 1])
+    model = BeNN(fz, Counter({"Be": len(s)}), grap, layers=[8, 4],
+                 hidden_sizes=[4], minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    vap = fz.make_vap(s, model.max_occurs)
+    feats = {k: jnp.asarray(v) for k, v in fz.featurize(s, vap).items()}
+    ops = model.energy_ops(params, feats)
+    t = float(feats["etemperature"])
+    assert float(ops["free_energy"]) == pytest.approx(
+        float(ops["energy"]) - t * float(ops["eentropy"]), abs=1e-9)
+    # entropy head is positive-definite scaled S0 (softplus factor)
+    heads = model._atomic_heads(params, feats)
+    a, b, c, d = BeNN._A, BeNN._B, BeNN._C, BeNN._D
+    ft = max(1.0 - d * t, 0.0) ** 2
+    s0 = a * t * t * ft + b * t + c * (1 - ft)
+    per_atom = np.asarray(heads["eentropy"])[1:]
+    assert np.all(np.sign(per_atom) == np.sign(s0))
+    # model roundtrips through the saved-model registry
+    from tensoralloy_tpu.io.model import save_model, load_model
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "be.npz")
+        save_model(path, model, jax.device_get(params))
+        model2, params2, _ = load_model(path)
+        assert type(model2).__name__ == "BeNN"
+        ops2 = model2.energy_ops(params2, feats)
+        assert float(ops2["energy"]) == pytest.approx(
+            float(ops["energy"]), abs=1e-9)
