@@ -438,3 +438,147 @@ class Zjw04xcp(Zjw04xc):
 available_potentials["zjw04xc"] = Zjw04xc()
 available_potentials["zjw04uxc"] = Zjw04uxc()
 available_potentials["zjw04xcp"] = Zjw04xcp()
+
+
+# ----------------------------------------------------------------------
+class AlFeMsah11(EmpiricalPotential):
+    """Mendelev et al. Al-Fe Finnis-Sinclair potential
+    (J. Mater. Res. 20 (2011) 208; reference `msah11.py`).
+
+    phi(r) per pair class = ZBL-style screened-Coulomb core
+    (first segment), exp-polynomial bridge (second segment), plus
+    knot-polynomial tails sum_k a_k (r_k - r)^p on [2.05+, r_k).
+    rho(r) = sum_k a_k max(r_k - r, 0)^p; F(rho) = -sqrt(rho) + small
+    polynomial corrections. All parameters are published constants
+    (not trainable).
+    """
+
+    name = "msah11"
+    defaults = {"Al": {}, "Fe": {}}
+
+    # screened-Coulomb cores: [scale, b1, c1, b2, c2, b3, c3, b4, c4]
+    _FIRST = {
+        "AlAl": (2433.5591473227,
+                 [(0.1818, -22.713109144730), (0.5099, -6.6883008584622),
+                  (0.2802, -2.8597223982536), (0.02817, -1.4309258761180)]),
+        "FeFe": (9734.2365892908,
+                 [(0.1818, -28.616724320005), (0.5099, -8.4267310396064),
+                  (0.2802, -3.6030244464156), (0.02817, -1.8028536321603)]),
+        "AlFe": (4867.1182946454,
+                 [(0.1818, -25.834107666296), (0.5099, -7.6073373918597),
+                  (0.2802, -3.2526756183596), (0.02817, -1.6275487829767)]),
+    }
+    # exp-polynomial bridge exp(c0 + c1 r + c2 r^2 + c3 r^3)
+    _SECOND = {
+        "AlAl": (6.0801330531321, -2.3092752322555,
+                 0.042696494305190, -0.07952189194038),
+        "FeFe": (7.4122709384068, -0.64180690713367,
+                 -2.6043547961722, 0.62625393931230),
+        "AlFe": (6.6167846784367, -1.5208197629514,
+                 -0.73055022396300, -0.03879272494264),
+    }
+    # segment boundaries: (first_hi, second_hi); knot tails start at
+    # second_lo = first_hi of the second segment
+    _BOUNDS = {"AlAl": (1.6, 2.25, 2.25), "FeFe": (1.0, 2.05, 2.05),
+               "AlFe": (1.2, 2.2, 2.2)}
+    # knot tails: (knot r_k, [(factor, order), ...])
+    _KNOTS = {
+        "AlAl": [
+            (3.2, [(17.222548257633, 4), (-13.838795389103, 5),
+                   (26.724085544227, 6), (-4.8730831082596, 7),
+                   (0.26111775221382, 8)]),
+            (4.8, [(-1.8864362756631, 4), (2.4323070821980, 5),
+                   (-4.0022263154653, 6), (1.3937173764119, 7),
+                   (-0.31993486318965, 8)]),
+            (6.5, [(0.30601966016455, 4), (-0.63945082587403, 5),
+                   (0.54057725028875, 6), (-0.21210673993915, 7),
+                   (0.03201431888287, 8)]),
+        ],
+        "FeFe": [
+            (2.2, [(-27.444805994228, 3)]),
+            (2.3, [(15.738054058489, 3)]),
+            (2.4, [(2.2077118733936, 3)]),
+            (2.5, [(-2.4989799053251, 3)]),
+            (2.6, [(4.2099676494795, 3)]),
+            (2.7, [(-0.77361294129713, 3)]),
+            (2.8, [(0.80656414937789, 3)]),
+            (3.0, [(-2.3194358924605, 3)]),
+            (3.3, [(2.6577406128280, 3)]),
+            (3.7, [(-1.0260416933564, 3)]),
+            (4.2, [(0.35018615891957, 3)]),
+            (4.7, [(-0.058531821042271, 3)]),
+            (5.3, [(-0.0030458824556234, 3)]),
+        ],
+        "AlFe": [
+            (3.2, [(-4.148701943924, 4), (5.6697481153271, 5),
+                   (-1.7835153896441, 6), (-3.3886912738827, 7),
+                   (1.9720627768230, 8)]),
+            (6.2, [(0.094200713038410, 4), (-0.16163849208165, 5),
+                   (0.10154590006100, 6), (-0.027624717063181, 7),
+                   (0.0027505576632627, 8)]),
+        ],
+    }
+    # densities: (order, [(factor, cutoff), ...]); keyed by the
+    # *neighbor-defining* pair class as in the reference (FS style)
+    _RHO = {
+        "AlAl": (4, [(0.00019850823042883, 2.5), (0.10046665347629, 2.6),
+                     (0.10054338881951, 2.7), (0.099104582963213, 2.8),
+                     (0.090086286376778, 3.0), (0.0073022698419468, 3.4),
+                     (0.014583614223199, 4.2), (-0.0010327381407070, 4.8),
+                     (0.0073219994475288, 5.6), (0.0095726042919017, 6.5)]),
+        "FeFe": (3, [(11.686859407970, 2.4), (-0.014710740098830, 3.2),
+                     (0.47193527075943, 4.2)]),
+        "AlFe": (4, [(0.010015421408039, 2.4), (0.0098878643929526, 2.5),
+                     (0.0098070326434207, 2.6), (0.0084594444746494, 2.8),
+                     (0.0038057610928282, 3.1), (-0.0014091094540309, 5.0),
+                     (0.0074410802804324, 6.2)]),
+    }
+
+    @staticmethod
+    def _pair_key(kbody_term: str) -> str:
+        els = sorted(get_elements_from_kbody_term(kbody_term))
+        return "".join(els) if els[0] != els[1] else els[0] * 2
+
+    def initial_params(self, sections):
+        return {}
+
+    def phi(self, params, r, kbody_term, fixed=False):
+        key = self._pair_key(kbody_term)
+        lo1, hi2, knot_lo = self._BOUNDS[key]
+        scale, terms = self._FIRST[key]
+        c0, c1, c2, c3 = self._SECOND[key]
+
+        r_safe = jnp.maximum(r, 1e-8)
+        y1 = scale / r_safe * sum(
+            b * jnp.exp(c * r_safe) for b, c in terms)
+        y1 = jnp.where(r < lo1, y1, 0.0)
+        y2 = jnp.exp(c0 + r * (c1 + r * (c2 + r * c3)))
+        y2 = jnp.where((r >= lo1) & (r < hi2), y2, 0.0)
+        y = y1 + y2
+        for r_k, factors in self._KNOTS[key]:
+            base = jnp.maximum(r_k - r, 0.0)
+            tail = sum(a * base ** p for a, p in factors)
+            y = y + jnp.where(r >= knot_lo, tail, 0.0)
+        return y
+
+    def rho(self, params, r, element_or_term, fixed=False):
+        # FS: section is the ordered pair 'AB' = center A, neighbor B;
+        # the density function depends on the pair class.
+        key = self._pair_key(element_or_term) \
+            if len(get_elements_from_kbody_term(element_or_term)) == 2 \
+            else element_or_term * 2
+        order, rows = self._RHO[key]
+        return sum(a * jnp.maximum(r_c - r, 0.0) ** order
+                   for a, r_c in rows)
+
+    def embed(self, params, rho, element, fixed=False):
+        safe = jnp.maximum(rho, 1e-12)
+        if element == "Al":
+            y = (-jnp.sqrt(safe) + 0.000093283590195398 * safe ** 2 -
+                 0.0023491751192724 * safe * jnp.log(safe))
+            return jnp.where(rho >= 1e-12, y, 0.0)
+        return (-jnp.sqrt(safe) - 0.00067314115586063 * rho ** 2 +
+                0.000000076514905604792 * rho ** 4)
+
+
+available_potentials["msah11"] = AlFeMsah11()

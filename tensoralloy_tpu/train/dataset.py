@@ -93,20 +93,30 @@ class Dataset:
         return feats, labels
 
     # ------------------------------------------------------------------
-    def build(self, force: bool = False, verbose: bool = False
-              ) -> Tuple[Arrays, Arrays]:
-        """Featurize the whole database (cached to .npz)."""
+    def build(self, force: bool = False, verbose: bool = False,
+              serial: bool = True) -> Tuple[Arrays, Arrays]:
+        """Featurize the whole database (cached to .npz); `serial=False`
+        fans out over processes (reference joblib parallel encode,
+        `dataset.py:210-241`)."""
         if not force and os.path.exists(self.cache_path):
             with np.load(self.cache_path) as z:
                 data = {k: z[k] for k in z.files}
         else:
-            feats_list, labels_list = [], []
-            for i, s in enumerate(self.db):
-                f, l = self._featurize_one(s)
-                feats_list.append(f)
-                labels_list.append(l)
-                if verbose and (i + 1) % 500 == 0:
-                    print(f"featurized {i + 1}/{len(self.db)}")
+            structures = list(self.db)
+            n_jobs = 0 if serial else (os.cpu_count() or 1)
+            if n_jobs > 1 and len(structures) >= 64:
+                from concurrent.futures import ProcessPoolExecutor
+                with ProcessPoolExecutor(max_workers=n_jobs) as ex:
+                    pairs = list(ex.map(self._featurize_one, structures,
+                                        chunksize=16))
+            else:
+                pairs = []
+                for i, s in enumerate(structures):
+                    pairs.append(self._featurize_one(s))
+                    if verbose and (i + 1) % 500 == 0:
+                        print(f"featurized {i + 1}/{len(structures)}")
+            feats_list = [p[0] for p in pairs]
+            labels_list = [p[1] for p in pairs]
             feats = batch_features(feats_list)
             labels = batch_features(labels_list)
             data = {**{f"f_{k}": v for k, v in feats.items()},

@@ -265,15 +265,32 @@ class Trainer:
             diff_f = (labels["forces"][:, 1:] - preds["forces"][:, 1:]) \
                 * mask[..., None]
             n_f = jnp.maximum(jnp.sum(mask) * 3.0, 1.0)
+            de = labels["energy"] - preds["energy"]
+            ds = labels["stress"] - preds["stress_voigt"]
+            s_norm = jnp.maximum(jnp.linalg.norm(labels["stress"],
+                                                 axis=1), 1e-12)
             out = {
-                "energy/mae": jnp.mean(jnp.abs(labels["energy"] -
-                                               preds["energy"])),
-                "energy/mae/atom": jnp.mean(
-                    jnp.abs(labels["energy"] - preds["energy"]) / n_atoms),
+                "energy/mae": jnp.mean(jnp.abs(de)),
+                "energy/mse": jnp.mean(jnp.square(de)),
+                "energy/mae/atom": jnp.mean(jnp.abs(de) / n_atoms),
+                "energy/mse/atom": jnp.mean(jnp.square(de / n_atoms)),
                 "forces/mae": jnp.sum(jnp.abs(diff_f)) / n_f,
-                "stress/mae": jnp.mean(jnp.abs(labels["stress"] -
-                                               preds["stress_voigt"])),
+                "forces/mse": jnp.sum(jnp.square(diff_f)) / n_f,
+                "stress/mae": jnp.mean(jnp.abs(ds)),
+                "stress/mse": jnp.mean(jnp.square(ds)),
+                # relative stress RMSE (reference `basic.py:829-918`)
+                "stress/rel_rmse": jnp.mean(
+                    jnp.linalg.norm(ds, axis=1) / s_norm),
             }
+            if hasattr(self.model, "energy_ops"):
+                dS = labels.get("eentropy")
+                if dS is not None and "eentropy" in preds:
+                    out["eentropy/mae"] = jnp.mean(
+                        jnp.abs(dS - preds["eentropy"]))
+                dF = labels.get("free_energy")
+                if dF is not None and "free_energy" in preds:
+                    out["free_energy/mae/atom"] = jnp.mean(
+                        jnp.abs(dF - preds["free_energy"]) / n_atoms)
             return out
         return jax.jit(eval_step)
 

@@ -400,3 +400,41 @@ def test_zjw04_variants():
     mixed = np.asarray(xc.phi({"zjw04xc": xc.initial_params(
         ["Mo", "Ni"])}, r, "MoNi"))
     assert not np.allclose(own, mixed)
+
+
+def test_msah11_vs_published_tables():
+    """Al-Fe Mendelev-2011 analytic forms vs the published LAMMPS
+    eam/fs table (true oracle): phi/rho/F to machine precision."""
+    from tensoralloy_tpu.nn.eam.potentials import available_potentials
+    from tensoralloy_tpu.io.lammps import read_eam_fs_setfl
+    m = available_potentials["msah11"]
+    d = read_eam_fs_setfl(
+        "/root/reference/test_files/lammps/Mendelev_Al_Fe.fs.eam")
+    sel = (d.r_grid > 1.8) & (d.r_grid < 6.0)
+    r = jnp.asarray(d.r_grid[sel])
+    for key in ("AlAl", "FeFe", "AlFe"):
+        np.testing.assert_allclose(np.asarray(m.phi({}, r, key)),
+                                   d.phi[key][sel], atol=1e-9)
+        np.testing.assert_allclose(np.asarray(m.rho({}, r, key)),
+                                   d.rho[key][sel], atol=1e-12)
+    rho_sel = (d.rho_grid > 1.0) & (d.rho_grid < 100.0)
+    rho = jnp.asarray(d.rho_grid[rho_sel])
+    for el in ("Al", "Fe"):
+        np.testing.assert_allclose(np.asarray(m.embed({}, rho, el)),
+                                   d.frho[el][rho_sel], atol=1e-12)
+    # full FS model with msah11 gives finite E/F on an Al-Fe cell
+    fz = Featurizer(["Al", "Fe"], rcut=6.5)
+    model = EamFsNN(fz, Counter({"Al": 2, "Fe": 2}),
+                    custom_potentials="msah11")
+    params = model.init_params(jax.random.PRNGKey(0))
+    a0 = 2.88
+    s = Structure.from_symbols(
+        ["Fe", "Al", "Fe", "Al"],
+        np.array([[0, 0, 0], [0.5, 0.5, 0.5], [0.5, 0.5, 0],
+                  [0, 0, 0.5]]) * a0 * np.array([1, 1, 2]),
+        np.diag([a0, a0, 2 * a0]), pbc=[True] * 3)
+    vap = fz.make_vap(s, model.max_occurs)
+    feats = {k: jnp.asarray(v) for k, v in fz.featurize(s, vap).items()}
+    out = jax.jit(make_efs_fn(model.energy))(params, feats)
+    assert np.isfinite(float(out["energy"]))
+    assert np.all(np.isfinite(np.asarray(out["forces"])))
