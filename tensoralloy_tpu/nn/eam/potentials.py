@@ -582,3 +582,56 @@ class AlFeMsah11(EmpiricalPotential):
 
 
 available_potentials["msah11"] = AlFeMsah11()
+
+
+# ----------------------------------------------------------------------
+class AgrawalBe(EmpiricalPotential):
+    """Agrawal et al. Be EAM (Modelling Simul. Mater. Sci. Eng. 2013;
+    reference `agrawal.py`): Morse pair + exponential density, both
+    smoothly forced to zero at rc via the (rc/m)(1-(r/rc)^m) f' tail;
+    F(rho) = F0 (1 - beta ln rho) rho^beta + F1 rho^gamma."""
+
+    name = "agrawal"
+    defaults = {"Be": {"A": 1.597, "B": 9.49713, "D": 0.41246,
+                       "alpha": 0.36324, "re": 2.29, "F0": -2.0393,
+                       "F1": 12.6178, "beta": 0.18752,
+                       "gamma": -2.28827, "m": 10.0, "rc": 5.0}}
+    always_fixed = {"*": ["m", "rc"]}
+
+    @staticmethod
+    def _morse(r, d, g, r0):
+        x = g * (r - r0)
+        return d * (jnp.exp(-2.0 * x) - 2.0 * jnp.exp(-x))
+
+    @staticmethod
+    def _morse_prime(r, d, g, r0):
+        x = g * (r - r0)
+        return 2.0 * d * g * (jnp.exp(-x) - jnp.exp(-2.0 * x))
+
+    def phi(self, params, r, kbody_term, fixed=False):
+        el = get_elements_from_kbody_term(kbody_term)[0]
+        p = self.resolve(params, el, fixed)
+        rc, m = p["rc"], p["m"]
+        phi0 = self._morse(r, p["D"], p["alpha"], p["re"])
+        phi1 = -self._morse(rc, p["D"], p["alpha"], p["re"])
+        dphi = self._morse_prime(rc, p["D"], p["alpha"], p["re"])
+        phi2 = rc / m * (1.0 - (r / rc) ** m) * dphi
+        return phi0 + phi1 + phi2
+
+    def rho(self, params, r, element, fixed=False):
+        p = self.resolve(params, element, fixed)
+        rc, m = p["rc"], p["m"]
+        rho0 = p["A"] * jnp.exp(-p["B"] * (r - p["re"]))
+        rho1 = p["A"] * jnp.exp(-p["B"] * (rc - p["re"]))
+        drho = -p["A"] * p["B"] * jnp.exp(-p["B"] * (rc - p["re"]))
+        return rho0 - rho1 + rc / m * (1.0 - (r / rc) ** m) * drho
+
+    def embed(self, params, rho, element, fixed=False):
+        p = self.resolve(params, element, fixed)
+        safe = jnp.maximum(rho, 1e-12)
+        logrho = jnp.log(safe)
+        return (p["F0"] * (1.0 - p["beta"] * logrho) *
+                safe ** p["beta"] + p["F1"] * safe ** p["gamma"])
+
+
+available_potentials["agrawal"] = AgrawalBe()

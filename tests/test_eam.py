@@ -438,3 +438,34 @@ def test_msah11_vs_published_tables():
     out = jax.jit(make_efs_fn(model.energy))(params, feats)
     assert np.isfinite(float(out["energy"]))
     assert np.all(np.isfinite(np.asarray(out["forces"])))
+
+
+def test_agrawal_be_vs_published_table():
+    """Agrawal Be: phi is gauge-invariant and matches the published
+    table; the (re-gauged) rho/F pair reproduces the same total energy
+    as the spline-backed table potential on hcp Be."""
+    from tensoralloy_tpu.nn.eam.potentials import available_potentials
+    from tensoralloy_tpu.io.lammps import read_eam_alloy_setfl
+    from tensoralloy_tpu.tensordb.sampler import make_phase_structure
+    a = available_potentials["agrawal"]
+    params = {"agrawal": a.initial_params(["Be"])}
+    d = read_eam_alloy_setfl(
+        "/root/reference/test_files/lammps/Be_Agrawal.eam.alloy")
+    sel = (d.r_grid > 1.2) & (d.r_grid < 4.99)
+    r = jnp.asarray(d.r_grid[sel])
+    np.testing.assert_allclose(np.asarray(a.phi(params, r, "BeBe")),
+                               d.phi["BeBe"][sel], atol=1e-6)
+    s = make_phase_structure("Be", "hcp", 2.2866,
+                             c_over_a=1.568).repeat((2, 2, 2))
+    fz = Featurizer(["Be"], rcut=5.0)
+    energies = []
+    for name in ("agrawal",
+                 "spline@/root/reference/test_files/lammps/"
+                 "Be_Agrawal.eam.alloy"):
+        m = EamAlloyNN(fz, Counter(s.symbols), custom_potentials=name)
+        p = m.init_params(jax.random.PRNGKey(0))
+        vap = fz.make_vap(s, m.max_occurs)
+        feats = {k: jnp.asarray(v)
+                 for k, v in fz.featurize(s, vap).items()}
+        energies.append(float(m.energy(p, feats)) / len(s))
+    assert energies[0] == pytest.approx(energies[1], abs=5e-3)
