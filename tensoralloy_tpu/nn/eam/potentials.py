@@ -635,3 +635,104 @@ class AgrawalBe(EmpiricalPotential):
 
 
 available_potentials["agrawal"] = AgrawalBe()
+
+
+# ----------------------------------------------------------------------
+class MishinH(EmpiricalPotential):
+    """Mishin-style hydrogen-in-metal potential (reference
+    `mishin.py`): embedding
+    F(rho) = [s1 rho + s2 rho^2 + s3 rho^3 - s4 rho^s5] * Omega(rho),
+    Omega(rho) = 1 - (1 - s6 rho^2)/(1 + s7 rho^4), and ADP
+    dipole/quadrupole terms u/w(r) = (p1 e^{-p2 r} + p3) psi((r-rc)/h).
+
+    The reference's phi/rho methods reference parameters absent from
+    its own defaults table (snapshot inconsistency); select 'nn' or a
+    tabulated/spline form for those functions instead.
+    """
+
+    name = "mishinh"
+
+    defaults = {
+        "Mo": dict(s1=-2.00695289e-01, s2=-3.12178751e-04,
+                   s3=7.86343222e-05, s4=5.29721645e+00,
+                   s5=3.79481951e-02, s6=1.11800974e+02,
+                   s7=4.05948858e+00),
+        "Al": dict(s1=-3.72848864e-01, s2=6.52035828e-03,
+                   s3=9.71742655e-05, s4=7.64264116e+00,
+                   s5=6.88604789e-02, s6=1.55694016e+01,
+                   s7=5.38646368e+00),
+        "H": dict(s1=8.08612, s2=1.46294e-2, s3=-6.86143e-3, s4=3.19616,
+                  s5=1.17247e-1, s6=50.0, s7=15e5),
+        "NiNi": dict(d1=4.4657e-3, d2=-1.3702e0, d3=-0.9611e-1,
+                     q1=6.4502e0, q2=0.2608e-1, q3=-6.0208e0,
+                     h=3.323, rc=5.168),
+        "FeFe": dict(d1=1.9135e-1, d2=-1.0796e0, d3=-0.8928e-1,
+                     q1=-5.8954e-2, q2=-1.3872e0, q3=2.4790e0,
+                     h=6.202, rc=5.055),
+    }
+
+    def __init__(self):
+        d = {k: dict(v) for k, v in self.defaults.items()}
+        d["MoMo"] = dict(d["NiNi"])
+        d["MoNi"] = dict(d["NiNi"])
+        d["BeBe"] = dict(d["MoMo"])
+        self.defaults = d
+
+    def embed(self, params, rho, element, fixed=False):
+        p = self.resolve(params, element, fixed)
+        rho2 = rho * rho
+        rho3 = rho * rho2
+        rho4 = rho2 * rho2
+        rhos5 = (rho + 1e-12) ** p["s5"]
+        omega = 1.0 - (1.0 - p["s6"] * rho2) / (1.0 + p["s7"] * rho4)
+        core = (p["s1"] * rho + p["s2"] * rho2 + p["s3"] * rho3 -
+                p["s4"] * rhos5)
+        return core * omega
+
+    def _polar(self, params, r, kbody_term, which, fixed):
+        from ...ops.generic import mishin_polar
+        key = "".join(sorted(get_elements_from_kbody_term(kbody_term)))
+        key = key if key in self.defaults else kbody_term
+        p = self.resolve(params, key, fixed)
+        a, b, c = ((p["d1"], p["d2"], p["d3"]) if which == "d"
+                   else (p["q1"], p["q2"], p["q3"]))
+        return mishin_polar(r, a, b, c, p["rc"], p["h"])
+
+    def dipole(self, params, r, kbody_term, fixed=False):
+        return self._polar(params, r, kbody_term, "d", fixed)
+
+    def quadrupole(self, params, r, kbody_term, fixed=False):
+        return self._polar(params, r, kbody_term, "q", fixed)
+
+
+class RWGrimes(EmpiricalPotential):
+    """Grimes Pu potential (J. Nucl. Mater. 461 (2015) 206; reference
+    `grimmes.py`): phi = Morse + Buckingham,
+    rho = (n / r^8) * [1/2 + 1/2 erf(20 (r - 1.5))], F = -G sqrt(rho)."""
+
+    name = "grimes"
+    defaults = {"PuPu": dict(A=18600.0, rho=0.2637, C=0.0, D=0.70185,
+                             gamma=1.98008, r0=2.34591),
+                "Pu": dict(G=2.168, n=3980.058)}
+
+    def phi(self, params, r, kbody_term, fixed=False):
+        from ...ops.generic import morse as morse_fn, buckingham
+        key = "".join(sorted(get_elements_from_kbody_term(kbody_term)))
+        p = self.resolve(params, key, fixed)
+        return (morse_fn(r, p["D"], p["gamma"], p["r0"]) +
+                buckingham(r, p["A"], p["rho"], p["C"]))
+
+    def rho(self, params, r, element, fixed=False):
+        from jax.scipy.special import erf
+        p = self.resolve(params, element, fixed)
+        left = p["n"] / jnp.maximum(r, 1e-8) ** 8
+        right = 0.5 + 0.5 * erf(20.0 * (r - 1.5))
+        return left * right
+
+    def embed(self, params, rho, element, fixed=False):
+        p = self.resolve(params, element, fixed)
+        return -p["G"] * jnp.sqrt(jnp.maximum(rho, 0.0))
+
+
+available_potentials["mishinh"] = MishinH()
+available_potentials["grimes"] = RWGrimes()

@@ -469,3 +469,34 @@ def test_agrawal_be_vs_published_table():
                  for k, v in fz.featurize(s, vap).items()}
         energies.append(float(m.energy(p, feats)) / len(s))
     assert energies[0] == pytest.approx(energies[1], abs=5e-3)
+
+
+def test_mishinh_and_grimes():
+    """MishinH embedding/ADP-polar terms and the Grimes Pu potential."""
+    from tensoralloy_tpu.nn.eam.potentials import available_potentials
+    from tensoralloy_tpu.io.extxyz import read_extxyz
+    m = available_potentials["mishinh"]
+    p = {"mishinh": m.initial_params(["H", "NiNi"])}
+    rho = jnp.linspace(0.0, 2.0, 9)
+    f = np.asarray(m.embed(p, rho, "H"))
+    assert np.all(np.isfinite(f))
+    assert f[0] == pytest.approx(0.0, abs=1e-6)   # F(0) = 0
+    r = jnp.linspace(2.0, 5.0, 5)
+    assert np.all(np.isfinite(np.asarray(m.dipole(p, r, "NiNi"))))
+    # polar terms vanish beyond rc (psi cutoff)
+    far = jnp.asarray([6.0])
+    assert float(m.dipole(p, far, "NiNi")[0]) == pytest.approx(0.0)
+
+    g = available_potentials["grimes"]
+    s = read_extxyz("/root/reference/test_files/Pu4_60GPa.extxyz")[0]
+    fz = Featurizer(["Pu"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter(s.symbols), custom_potentials="grimes")
+    params = model.init_params(jax.random.PRNGKey(0))
+    vap = fz.make_vap(s)
+    feats = {k: jnp.asarray(v) for k, v in fz.featurize(s, vap).items()}
+    out = jax.jit(make_efs_fn(model.energy))(params, feats)
+    assert np.isfinite(float(out["energy"]))
+    assert np.all(np.isfinite(np.asarray(out["forces"])))
+    # parameters receive gradients (trainable empirical potential)
+    grads = jax.grad(lambda pp: model.energy(pp, feats))(params)
+    assert abs(float(grads["grimes"]["PuPu"]["D"])) > 0
