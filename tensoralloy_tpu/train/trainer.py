@@ -267,8 +267,7 @@ class Trainer:
             n_f = jnp.maximum(jnp.sum(mask) * 3.0, 1.0)
             de = labels["energy"] - preds["energy"]
             ds = labels["stress"] - preds["stress_voigt"]
-            s_norm = jnp.maximum(jnp.linalg.norm(labels["stress"],
-                                                 axis=1), 1e-12)
+            s_norm = jnp.linalg.norm(labels["stress"], axis=1)
             out = {
                 "energy/mae": jnp.mean(jnp.abs(de)),
                 "energy/mse": jnp.mean(jnp.square(de)),
@@ -278,9 +277,13 @@ class Trainer:
                 "forces/mse": jnp.sum(jnp.square(diff_f)) / n_f,
                 "stress/mae": jnp.mean(jnp.abs(ds)),
                 "stress/mse": jnp.mean(jnp.square(ds)),
-                # relative stress RMSE (reference `basic.py:829-918`)
-                "stress/rel_rmse": jnp.mean(
-                    jnp.linalg.norm(ds, axis=1) / s_norm),
+                # relative stress RMSE (reference `basic.py:829-918`),
+                # only over structures that actually carry stress labels
+                "stress/rel_rmse": jnp.sum(
+                    jnp.where(s_norm > 1e-8,
+                              jnp.linalg.norm(ds, axis=1) /
+                              jnp.maximum(s_norm, 1e-8), 0.0)) /
+                jnp.maximum(jnp.sum(s_norm > 1e-8), 1),
             }
             if hasattr(self.model, "energy_ops"):
                 dS = labels.get("eentropy")
