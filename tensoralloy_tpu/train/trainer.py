@@ -245,8 +245,14 @@ class Trainer:
             updates, opt_state = self.tx.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
+            # ramped decay min(d, (1+t)/(10+t)) — the tf.train.EMA
+            # `num_updates` schedule the reference relies on; a fixed
+            # 0.999 leaves ~d^t weight on the random init at short
+            # horizons, wrecking EMA-based eval/export
+            t = step.astype(jnp.float32)
+            d_t = jnp.minimum(decay, (1.0 + t) / (10.0 + t))
             ema = jax.tree_util.tree_map(
-                lambda e, p: decay * e + (1.0 - decay) * p,
+                lambda e, p: d_t * e + (1.0 - d_t) * p,
                 state["ema_params"], params)
             new_state = {"params": params, "opt_state": opt_state,
                          "ema_params": ema, "step": step + 1}
