@@ -27,6 +27,12 @@ from ..atoms import Structure
 from ..nn.fields import EV_ANGSTROM3_TO_GPA, full_to_voigt
 from ..transform.featurizer import Featurizer, batch_features
 
+
+def _safe_norm(x, eps: float = 1e-14):
+    """Norm with finite gradient at 0 (jnp.linalg.norm grads NaN there
+    — and equilibrium crystals have exactly-zero forces/pressure)."""
+    return jnp.sqrt(jnp.sum(jnp.square(x)) + eps)
+
 GPa = 1.0 / EV_ANGSTROM3_TO_GPA
 
 
@@ -190,10 +196,10 @@ class ElasticConstraint:
                 gate = jax.nn.relu(mae - opt.tau)
                 total = total + jnp.sqrt(mse * gate + 1e-14) * self.weight
             # equilibrium penalties
-            f_norm = jnp.linalg.norm(
+            f_norm = _safe_norm(
                 efs["forces"] * feats["atom_masks"][:, None])
             unit = (10.0 / GPa) if opt.use_kbar else (1e4 / GPa)
-            s_norm = jnp.linalg.norm(efs["stress_voigt"] * unit)
+            s_norm = _safe_norm(efs["stress_voigt"] * unit)
             total = total + opt.forces_weight * f_norm \
                 + opt.stress_weight * s_norm
         return total
@@ -279,7 +285,7 @@ class RoseConstraint:
                 lambda f: model.variational_energy(params, f))(batch)
             diff = preds - labels
             residual = jnp.sqrt(jnp.sum(jnp.square(diff)) + 1e-14)
-            ploss = jnp.linalg.norm(p0 - p_t * jnp.ones(3, p0.dtype))
+            ploss = _safe_norm(p0 - p_t * jnp.ones(3, p0.dtype))
             eloss = jnp.abs(e0 - e_t) if e_t is not None else 0.0
             total = total + (residual + ploss + eloss) * \
                 self.options.weight
@@ -385,7 +391,7 @@ class ForceConstantsConstraint:
             total = total + jnp.sqrt(jnp.mean(jnp.square(diff)) + 1e-14) \
                 * self.weight
             efs = make_efs_fn(model.variational_energy)(params, feats)
-            total = total + self.forces_weight * jnp.linalg.norm(
+            total = total + self.forces_weight * _safe_norm(
                 efs["forces"] * feats["atom_masks"][:, None])
         return total
 

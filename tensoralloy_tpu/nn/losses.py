@@ -106,7 +106,9 @@ def rrmse_loss(labels, predictions):
     if labels.ndim == 1:
         labels = labels[:, None]
         predictions = predictions[:, None]
-    upper = jnp.linalg.norm(labels - predictions, axis=1)
+    # eps inside the sqrt keeps the gradient finite at diff == 0
+    upper = jnp.sqrt(jnp.sum(jnp.square(labels - predictions), axis=1)
+                     + 1e-14)
     lower = jnp.maximum(jnp.linalg.norm(labels, axis=1), 1e-12)
     return jnp.mean(upper / lower), jnp.mean(jnp.abs(labels - predictions))
 

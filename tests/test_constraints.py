@@ -131,3 +131,62 @@ def test_extra_db_constraint(ni_model, tmp_path):
         minimize=("energy", "forces"))
     loss = float(con.loss(params))
     assert np.isfinite(loss)
+
+
+def test_constraint_training_no_nan(ni_model):
+    """Gradient-step regression: training with elastic+rose constraints
+    must stay finite (jnp.linalg.norm at exactly-zero equilibrium
+    forces used to produce NaN gradients)."""
+    from tensoralloy_tpu.nn import losses as L
+    from tensoralloy_tpu.train.trainer import (Trainer, OptParameters,
+                                               TrainParameters)
+    from tensoralloy_tpu.transform.featurizer import batch_features
+    import jax.numpy as jnp
+
+    model, params = ni_model
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]]) * a0
+    eq = Structure.from_symbols(["Ni"] * 4, base, np.eye(3) * a0,
+                                pbc=[True] * 3)
+    spec = C.CrystalSpec(
+        "Ni", eq, bulk_modulus=188,
+        elastic_constants=[C.ElasticConstant(1, 1, 247.0)])
+    elastic = C.ElasticConstraint(model, [spec], weight=0.1)
+    rose = C.RoseConstraint(model, C.RoseConstraintOptions(
+        crystals=[spec], weight=1.0, beta=[0.005], xlo=0.96, xhi=1.02,
+        dx=0.02))
+
+    rng = np.random.RandomState(0)
+    fz = model.featurizer
+    feats_list, labels_list = [], []
+    sizes = []
+    structs = []
+    for _ in range(4):
+        pos = base + rng.normal(0, 0.05, (4, 3))
+        s = Structure.from_symbols(["Ni"] * 4, pos, np.eye(3) * a0,
+                                   pbc=[True] * 3)
+        structs.append(s)
+        sizes.append(fz.neighbor_size(s).nij)
+    nij_max = max(sizes)
+    from collections import Counter
+    for s in structs:
+        vap = fz.make_vap(s, Counter({"Ni": 4}))
+        feats_list.append(fz.featurize(s, vap, nij_max=nij_max))
+        labels_list.append({
+            "energy": np.float64(-22.0), "n_atoms": np.float64(4),
+            "forces": np.zeros((5, 3)), "stress": np.zeros(6),
+            "has_stress": np.float64(0), "weights": np.ones(3)})
+    feats = batch_features(feats_list)
+    labels = batch_features(labels_list)
+    trainer = Trainer(model, L.LossParameters(),
+                      OptParameters(learning_rate=1e-4),
+                      TrainParameters(batch_size=4, train_steps=4,
+                                      eval_steps=100, log_steps=100),
+                      minimize_properties=("energy", "forces"),
+                      n_devices=1, constraints=[elastic, rose])
+    metrics_seen = []
+    out = trainer.fit(feats, labels, verbose=False,
+                      callback=lambda s, st, m: metrics_seen.append(
+                          float(m["loss/total"])))
+    assert all(np.isfinite(v) for v in metrics_seen), metrics_seen
