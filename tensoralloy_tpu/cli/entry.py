@@ -87,6 +87,17 @@ def main(argv=None):
     c_elastic.add_argument("model")
     c_elastic.add_argument("crystal")
 
+    c_ph = comp_sub.add_parser(
+        "phonon", help="phonon band structure from the model Hessian")
+    c_ph.add_argument("model")
+    c_ph.add_argument("crystal")
+    c_ph.add_argument("--supercell", type=int, nargs=3,
+                      default=[2, 2, 2])
+    c_ph.add_argument("--path", default="fcc",
+                      choices=["fcc", "bcc", "gamma"])
+    c_ph.add_argument("--npoints", type=int, default=20)
+    c_ph.add_argument("--output", default="bands.csv")
+
     args = parser.parse_args(argv)
     return {
         "stop": _cmd_stop,
@@ -233,7 +244,34 @@ def _cmd_compute(args):
         return _compute_eos(args)
     if args.task == "elastic":
         return _compute_elastic(args)
+    if args.task == "phonon":
+        return _compute_phonon(args)
     raise ValueError(args.task)
+
+
+def _compute_phonon(args):
+    import numpy as np
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.phonon import PhononCalculator, FCC_PATH, BCC_PATH
+    calc = TensorAlloyCalculator(args.model)
+    crystal = _load_crystal(args.crystal)
+    ph = PhononCalculator(calc, crystal, supercell=tuple(args.supercell))
+    if args.path == "gamma":
+        freqs = ph.gamma_frequencies()
+        print("Gamma frequencies (THz):",
+              " ".join(f"{f:.3f}" for f in freqs))
+        return 0
+    qpath = FCC_PATH if args.path == "fcc" else BCC_PATH
+    band = ph.band_structure(qpath, npoints=args.npoints)
+    with open(args.output, "w") as fh:
+        nb = band["frequencies"].shape[1]
+        fh.write("distance," + ",".join(f"band{i}"
+                                        for i in range(nb)) + "\n")
+        for d, row in zip(band["distances"], band["frequencies"]):
+            fh.write(f"{d}," + ",".join(f"{x:.6f}" for x in row) + "\n")
+    labels = " ".join(f"{l}@{d:.3f}" for d, l in band["labels"])
+    print(f"wrote {args.output}; ticks: {labels}")
+    return 0
 
 
 def _load_crystal(path):

@@ -141,6 +141,25 @@ class Dataset:
                 take(feats, test_idx), take(labels, test_idx))
 
 
+def _dataset_input_fn(self, batch_size: int, mode: str = "train",
+                      repeat: bool = True):
+    """API-parity alias of the reference `Dataset.input_fn`
+    (`dataset.py:402-455`): returns a () -> iterator closure."""
+    feats, labels = self.build()
+    tf_, tl_, ef_, el_ = self.split(feats, labels)
+    f, l = (tf_, tl_) if mode == "train" else (ef_, el_)
+
+    def input_fn():
+        return batches(f, l, batch_size, seed=self.seed, repeat=repeat,
+                       shuffle=(mode == "train"))
+    return input_fn
+
+
+Dataset.input_fn = _dataset_input_fn
+Dataset.next_batch = lambda self, batch_size, mode="train": next(
+    self.input_fn(batch_size, mode)())
+
+
 def batches(feats: Arrays, labels: Arrays, batch_size: int, seed: int = 0,
             shuffle: bool = True, drop_remainder: bool = True,
             repeat: bool = False) -> Iterator[Tuple[Arrays, Arrays]]:
