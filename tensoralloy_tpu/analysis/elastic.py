@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..atoms import Structure, voigt_to_full_3x3
+from ..atoms import Structure
 from ..nn.fields import EV_ANGSTROM3_TO_GPA
 
 _VOIGT_PAIRS = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]

@@ -12,7 +12,7 @@ sqrt(eV/(A^2 amu)) = 98.22695 rad/ps => nu = 15.633302 sqrt(.) THz.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -26,7 +26,6 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from ..atoms import Structure
-from ..elements import chemical_symbols
 from ..neighbor import find_neighbor_size_of_atoms, NeighborSize
 
 _COLUMNS = [

@@ -12,7 +12,7 @@ for finite-temperature datasets.
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from typing import List, Optional, Union
+from typing import List, Union
 
 import numpy as np
 

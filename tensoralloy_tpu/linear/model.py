@@ -13,9 +13,8 @@ whole calculator / saved-model / CLI stack applies unchanged.
 """
 from __future__ import annotations
 
-import dataclasses
 from collections import Counter
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,14 +17,14 @@ import dataclasses
 import tomllib
 import os
 from collections import Counter
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..atoms import Structure
-from ..nn.fields import EV_ANGSTROM3_TO_GPA, full_to_voigt
+from ..nn.fields import EV_ANGSTROM3_TO_GPA
 from ..transform.featurizer import Featurizer, batch_features
 
 

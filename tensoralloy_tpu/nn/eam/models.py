@@ -38,7 +38,7 @@ from ...transform.featurizer import Featurizer
 from ...utils import get_elements_from_kbody_term
 from ..layers import apply_dense_stack, init_dense_stack, l2_of_stack
 from ...ops.pairs import pair_vectors, safe_norm
-from .potentials import available_potentials, resolve_potential
+from .potentials import resolve_potential
 
 
 def _unordered(term: str) -> str:

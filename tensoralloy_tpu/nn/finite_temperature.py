@@ -15,7 +15,7 @@ Free energy F = U - T S. Forces/stress/Hessian differentiate the
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ covalent radius).
 from __future__ import annotations
 
 from itertools import product as iter_product
-from typing import Dict, List, Optional, Union
+from typing import List, Optional, Union
 
 import jax
 import jax.numpy as jnp

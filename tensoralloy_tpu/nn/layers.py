@@ -12,7 +12,7 @@ trainable output bias used for per-element static energies.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ logcosh, ylogy (y (log y - log p)^2 — used for entropy heads).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import jax

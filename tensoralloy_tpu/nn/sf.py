@@ -22,15 +22,12 @@ Parameter-grid ordering matches the reference's sklearn `ParameterGrid`
 from __future__ import annotations
 
 from itertools import product
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cutoffs import apply_cutoff
 from ..ops.pairs import pair_distances, triple_distances
-from ..precision import get_float_dtype
 
 
 class SymmetryFunction:

@@ -9,7 +9,6 @@ and Hessians from `jax.grad` are well-defined.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -4,7 +4,7 @@ transmutation / helium-bubble insertion, non-equilibrium rattling,
 vacancy clusters."""
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -11,7 +11,6 @@ Labels are VAP-mapped on the host so the device loss is pure array math.
 from __future__ import annotations
 
 import os
-from collections import Counter
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np

@@ -22,8 +22,7 @@ import optax
 
 from ..nn import losses as loss_ops
 from ..nn.fields import make_efs_fn
-from ..parallel.mesh import (make_mesh, shard_batch, replicate,
-                             batch_sharding, replicated_sharding)
+from ..parallel.mesh import make_mesh, shard_batch, replicate
 from .dataset import batches
 
 

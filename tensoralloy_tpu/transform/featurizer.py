@@ -40,7 +40,7 @@ import numpy as np
 
 from ..atoms import Structure
 from ..neighbor import neighbor_list, find_neighbor_size_of_atoms, NeighborSize
-from ..utils import get_kbody_terms, get_elements_from_kbody_term
+from ..utils import get_kbody_terms
 from ..vap import VirtualAtomMap
 
 Features = Dict[str, np.ndarray]
