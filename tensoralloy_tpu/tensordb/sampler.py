@@ -309,3 +309,83 @@ class ExistedTrajectorySampler(BaseSampler):
         for s in samples:
             db.write(s)
         return len(samples)
+
+
+class RecomputeCalculator:
+    """High-precision static recompute of sampled snapshots (reference
+    `tensordb/calculator/calculator.py`: `BaseCalculator` /
+    `VaspCalculator`): writes one static-VASP task per snapshot."""
+
+    def __init__(self, root, config: dict):
+        self.root = Path(root)
+        self.config = dict(config)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def vasp_calc_parameters(self, structure: Structure) -> Dict:
+        cfg = self.config.get("vasp", {}).get("calc", {})
+        params = {
+            "encut": cfg.get("encut", 500),
+            "kspacing": cfg.get("kspacing", 0.5),
+            "ediff": cfg.get("ediff", 1e-6),
+            "ibrion": -1,
+            "nsw": 0,
+            "ismear": cfg.get("ismear", 1),
+            "sigma": cfg.get("sigma", 0.05),
+            "prec": "Accurate",
+            "lwave": ".FALSE.",
+            "lcharg": ".FALSE.",
+            "nsim": cfg.get("nsim", 4),
+        }
+        if cfg.get("kpar"):
+            params["kpar"] = cfg["kpar"]
+        if cfg.get("npar"):
+            params["npar"] = cfg["npar"]
+        if self.config.get("finite_temperature"):
+            t = structure.info.get("etemperature")
+            if t:
+                params["sigma"] = round(float(t), 6)
+        return params
+
+    def create_tasks(self, structures, prefix: str = "calc",
+                     override: bool = False):
+        created = []
+        slurm = self.config.get("slurm", {})
+        for idx, s in enumerate(structures):
+            taskdir = self.root / f"{prefix}_{idx:05d}"
+            if taskdir.exists() and not override:
+                continue
+            taskdir.mkdir(parents=True, exist_ok=True)
+            write_poscar(taskdir / "POSCAR", s)
+            write_incar(taskdir / "INCAR",
+                        self.vasp_calc_parameters(s))
+            write_slurm_script(
+                taskdir / "run.sh", taskdir.name,
+                slurm.get("command", "mpirun vasp_std"),
+                partition=slurm.get("partition", "normal"),
+                nodes=slurm.get("nodes", 1),
+                ntasks=slurm.get("ntasks", 64),
+                walltime=slurm.get("walltime", "8:00:00"))
+            with open(taskdir / "status.json", "w") as fh:
+                json.dump({"status": "created", "index": idx}, fh)
+            created.append(taskdir)
+        return created
+
+    def collect(self, db, finite_temperature: bool = False) -> int:
+        """Harvest finished recompute tasks into a database."""
+        from ..io.vasp import read_vasp_xml
+        count = 0
+        for status_file in sorted(self.root.glob("*/status.json")):
+            taskdir = status_file.parent
+            data = json.loads(status_file.read_text())
+            if data.get("status") == "collected":
+                continue
+            xml = taskdir / "vasprun.xml"
+            if not xml.exists():
+                continue
+            s = read_vasp_xml(str(xml), index=-1,
+                              finite_temperature=finite_temperature)
+            db.write(s)
+            data["status"] = "collected"
+            status_file.write_text(json.dumps(data))
+            count += 1
+        return count

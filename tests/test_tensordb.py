@@ -101,3 +101,24 @@ def test_microstructure_generators():
     assert len(v) == len(s) - 4
     st = ms.random_strain(s, 0.02, seed=5)
     assert not np.allclose(st.cell, s.cell)
+
+
+def test_recompute_calculator(tmp_path):
+    from tensoralloy_tpu.tensordb.sampler import (RecomputeCalculator,
+                                                  make_phase_structure)
+    s1 = make_phase_structure("Cu", "fcc", 3.6)
+    s2 = make_phase_structure("Cu", "bcc", 2.9)
+    s2.info["etemperature"] = 0.2
+    calc = RecomputeCalculator(
+        tmp_path / "recalc",
+        {"vasp": {"calc": {"encut": 450, "kpar": 4}},
+         "finite_temperature": True})
+    tasks = calc.create_tasks([s1, s2])
+    assert len(tasks) == 2
+    incar = (tasks[1] / "INCAR").read_text()
+    assert "ENCUT = 450" in incar
+    assert "SIGMA = 0.2" in incar          # finite-T smearing follows T
+    assert "KPAR = 4" in incar
+    assert (tasks[0] / "POSCAR").exists()
+    # idempotent without override
+    assert calc.create_tasks([s1, s2]) == []
