@@ -1,0 +1,167 @@
+"""Device-resident molecular dynamics.
+
+The reference delegates MD to LAMMPS/ASE through its exporters; here
+the trained potential IS a jittable function, so the whole integrator
+runs on the TPU: velocity-Verlet steps inside one `jax.lax.scan`
+(forces re-derived by `jax.grad` each step), with the host only
+rebuilding the neighbor list between chunks. No per-step host-device
+round trips.
+
+Units: positions A, velocities A/fs, masses amu, energies eV,
+time fs. eV/A / amu = 9.64853e-3 A/fs^2.
+"""
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .atoms import Structure
+
+# (eV/A) / amu in A/fs^2
+FORCE_TO_ACC = 9.648533290731905e-3
+# Boltzmann constant in eV/K
+KB = 8.617330337217213e-05
+
+
+def maxwell_boltzmann_velocities(masses: np.ndarray, temperature: float,
+                                 seed: int = 0) -> np.ndarray:
+    """[N, 3] velocities (A/fs) at `temperature` K, COM removed."""
+    rng = np.random.RandomState(seed)
+    sigma = np.sqrt(KB * temperature / masses * FORCE_TO_ACC)
+    v = rng.normal(size=(len(masses), 3)) * sigma[:, None]
+    v -= np.average(v, axis=0, weights=masses)
+    return v
+
+
+class VelocityVerlet:
+    """NVE dynamics for one structure with a fixed stoichiometry.
+
+    The pair list is built with a `skin` margin and reused for
+    `chunk_size` jitted steps; call `run(n_steps)` and it handles the
+    rebuild cadence. Choose `chunk_size * timestep * v_max < skin / 2`.
+    """
+
+    def __init__(self, model, params, structure: Structure,
+                 timestep: float = 1.0, skin: float = 1.0,
+                 chunk_size: int = 20,
+                 temperature: Optional[float] = None, seed: int = 0):
+        self.base_model = model
+        self.params = params
+        self.structure = structure.copy()
+        self.timestep = float(timestep)
+        self.skin = float(skin)
+        self.chunk_size = int(chunk_size)
+
+        self.model = model.clone_for(Counter(structure.symbols))
+        self.fz = model.featurizer
+        self.vap = self.fz.make_vap(structure,
+                                    Counter(structure.symbols))
+        masses_local = structure.masses
+        self.masses_vap = np.zeros(self.model.n_atoms_vap)
+        self.masses_vap[self.vap.local_to_vap] = masses_local
+        self.masses_vap[0] = 1.0     # virtual atom: inert unit mass
+
+        velocities = (maxwell_boltzmann_velocities(
+            masses_local, temperature, seed)
+            if temperature else np.zeros((len(structure), 3)))
+        self.velocities_vap = np.zeros((self.model.n_atoms_vap, 3))
+        self.velocities_vap[self.vap.local_to_vap] = velocities
+
+        self._scan = None
+        self._nij_cached = -1
+
+    # ------------------------------------------------------------------
+    def _build_features(self, positions_local: np.ndarray) -> Dict:
+        s = self.structure.copy()
+        s.positions = positions_local
+        pad = lambda n: max(256, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        feats = self.fz.featurize(
+            s, self.vap, pair_bucket=pad, trip_bucket=pad,
+            dtype=np.float64 if jax.config.jax_enable_x64
+            else np.float32)
+        return feats
+
+    def _make_scan(self, nij: int):
+        model, dt = self.model, self.timestep
+        masses = jnp.asarray(self.masses_vap)[:, None]
+        atom_masks = None
+
+        def forces_of(feats, pos):
+            f = dict(feats)
+            f["positions"] = pos
+            g = jax.grad(lambda p: model.variational_energy(
+                self.params, dict(f, positions=p)))(pos)
+            return -g * f["atom_masks"][:, None]
+
+        def step(carry, _):
+            pos, vel, feats = carry
+            acc = forces_of(feats, pos) / masses * FORCE_TO_ACC
+            vel_half = vel + 0.5 * dt * acc
+            pos_new = pos + dt * vel_half
+            acc_new = forces_of(feats, pos_new) / masses * FORCE_TO_ACC
+            vel_new = vel_half + 0.5 * dt * acc_new
+            return (pos_new, vel_new, feats), None
+
+        def chunk(pos, vel, feats, n):
+            (pos, vel, _), _ = jax.lax.scan(
+                step, (pos, vel, feats), None, length=n)
+            f = dict(feats)
+            f["positions"] = pos
+            energy = model.variational_energy(self.params, f)
+            ke = 0.5 * jnp.sum(masses * jnp.square(vel) *
+                               jnp.asarray(
+                                   self.vap.atom_masks)[:, None]) / \
+                FORCE_TO_ACC
+            return pos, vel, energy, ke
+
+        return jax.jit(chunk, static_argnames="n")
+
+    # ------------------------------------------------------------------
+    def run(self, n_steps: int, trace_every: int = 0):
+        """Integrate `n_steps`; returns a dict with the trajectory of
+        (potential, kinetic, total) energies per chunk."""
+        pos_local = self.structure.positions.copy()
+        vel = jnp.asarray(self.velocities_vap)
+        history = {"potential": [], "kinetic": [], "total": []}
+        remaining = n_steps
+        while remaining > 0:
+            n = min(self.chunk_size, remaining)
+            # rebuild the (skinned) neighbor list on the host
+            old_rcut = self.fz.rcut
+            feats_np = None
+            try:
+                self.fz.rcut += self.skin
+                feats_np = self._build_features(pos_local)
+            finally:
+                self.fz.rcut = old_rcut
+            feats = {k: jnp.asarray(v) for k, v in feats_np.items()}
+            nij = feats["pair_i"].shape[0]
+            if self._scan is None or nij != self._nij_cached:
+                self._scan = self._make_scan(nij)
+                self._nij_cached = nij
+            pos_vap = jnp.asarray(self.vap.map_positions(
+                pos_local).astype(np.asarray(feats["positions"]).dtype))
+            feats["positions"] = pos_vap
+            pos_vap, vel, pe, ke = self._scan(pos_vap, vel, feats, n)
+            pos_local = np.asarray(pos_vap)[self.vap.local_to_vap]
+            history["potential"].append(float(pe))
+            history["kinetic"].append(float(ke))
+            history["total"].append(float(pe) + float(ke))
+            remaining -= n
+        self.structure.positions = pos_local
+        self.velocities_vap = np.asarray(vel)
+        return history
+
+    @property
+    def temperature(self) -> float:
+        """Instantaneous temperature (K)."""
+        masses = self.masses_vap[:, None]
+        mask = self.vap.atom_masks[:, None]
+        ke = 0.5 * np.sum(masses * self.velocities_vap ** 2 * mask) / \
+            FORCE_TO_ACC
+        ndof = 3 * len(self.structure)
+        return 2.0 * ke / (ndof * KB)

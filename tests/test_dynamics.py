@@ -1,0 +1,50 @@
+"""Device-resident MD: NVE energy conservation with autodiff forces."""
+from collections import Counter
+
+import jax
+import numpy as np
+import pytest
+
+from tensoralloy_tpu.atoms import Structure
+from tensoralloy_tpu.transform import Featurizer
+from tensoralloy_tpu.nn.eam import EamAlloyNN
+from tensoralloy_tpu.dynamics import (VelocityVerlet,
+                                      maxwell_boltzmann_velocities, KB)
+
+
+def test_maxwell_boltzmann():
+    masses = np.full(500, 58.69)
+    v = maxwell_boltzmann_velocities(masses, 300.0, seed=1)
+    assert v.shape == (500, 3)
+    # COM at rest
+    np.testing.assert_allclose(v.mean(axis=0), 0.0, atol=1e-12)
+    # temperature within sampling noise
+    from tensoralloy_tpu.dynamics import FORCE_TO_ACC
+    ke = 0.5 * np.sum(masses[:, None] * v ** 2) / FORCE_TO_ACC
+    t = 2 * ke / (3 * 500 * KB)
+    assert t == pytest.approx(300.0, rel=0.15)
+
+
+def test_nve_energy_conservation():
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    frac = np.concatenate([base + [i, j, 0]
+                           for i in range(2) for j in range(2)])
+    s = Structure.from_symbols(
+        ["Ni"] * len(frac), frac * a0,
+        np.diag([2 * a0, 2 * a0, a0]), pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    md = VelocityVerlet(model, params, s, timestep=1.0, skin=1.0,
+                        chunk_size=10, temperature=300.0, seed=3)
+    t0 = md.temperature
+    assert t0 == pytest.approx(300.0, rel=0.5)
+    hist = md.run(40)
+    tot = np.asarray(hist["total"])
+    drift_mev_per_atom = abs(tot[-1] - tot[0]) / len(s) * 1000
+    assert drift_mev_per_atom < 0.5
+    # energy flowed from kinetic to potential (started at the minimum)
+    assert hist["kinetic"][-1] < hist["kinetic"][0] * 1.5
