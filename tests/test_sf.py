@@ -230,3 +230,49 @@ def test_hessian_symmetry(pd3o2):
     hess = make_hessian_fn(model.energy)(params, feats)
     h = vap.reverse_map_hessian(np.asarray(hess))
     np.testing.assert_allclose(h, h.T, atol=1e-8)
+
+
+def test_acut_larger_than_rcut():
+    """Angular cutoff larger than the radial one: triples come from the
+    acut list, radial pairs filtered to rcut."""
+    # square of atoms with 3.5 A sides: diagonals ~4.95, sides between
+    # rcut (3.0) and acut (4.5)
+    pos = np.array([[0.0, 0, 0], [3.5, 0, 0], [0, 3.5, 0],
+                    [1.75, 1.75, 1.0]])
+    s = Structure.from_symbols(["Pd", "Pd", "O", "O"], pos,
+                               np.eye(3) * 20.0, pbc=[False] * 3)
+    fz = Featurizer(["Pd", "O"], rcut=3.0, acut=4.5, angular=True)
+    vap = fz.make_vap(s)
+    feats = fz.featurize(s, vap)
+    # radial pairs all within rcut
+    pos = feats["positions"]
+    vec = (pos[feats["pair_j"]] + feats["pair_shift"] @ feats["cell"]
+           - pos[feats["pair_i"]])
+    rij = np.linalg.norm(vec, axis=1)
+    real = feats["pair_mask"] > 0
+    assert np.all(rij[real] < 3.0)
+    # triples exist beyond rcut (up to acut)
+    tp = pos[feats["trip_j"]] + feats["trip_shift_j"] @ feats["cell"] \
+        - pos[feats["trip_i"]]
+    tr = np.linalg.norm(tp, axis=1)
+    treal = feats["trip_mask"] > 0
+    assert tr[treal].max() > 3.0
+    assert tr[treal].max() < 4.5 + 1e-9
+
+
+def test_calculator_with_angular_model(pd3o2):
+    """Calculator path (bucketing, re-layout) with an angular SF
+    model."""
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    s = pd3o2[0]
+    fz = Featurizer(["Pd", "O"], rcut=4.5, angular=True)
+    sf = SymmetryFunction(["Pd", "O"], eta=[0.5, 4.0])
+    model = AtomicNN(fz, Counter({"Pd": 3, "O": 2}), sf,
+                     hidden_sizes=[8], minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    calc = TensorAlloyCalculator(model, params)
+    e = calc.get_potential_energy(s)
+    assert np.isfinite(e)
+    # permuted copy agrees through the calculator's angular path
+    b = pd3o2[1]
+    assert calc.get_potential_energy(b) == pytest.approx(e, abs=1e-9)
