@@ -40,8 +40,7 @@ class TensorAlloyCalculator:
     implemented_properties = ("energy", "free_energy", "forces", "stress",
                               "pressure", "hessian", "atomic_energies")
 
-    def __init__(self, model_or_path, params: Optional[dict] = None,
-                 use_ema: bool = True):
+    def __init__(self, model_or_path, params: Optional[dict] = None):
         if isinstance(model_or_path, str):
             from .io.model import load_model
             self.model, self.params, self.config = load_model(model_or_path)

@@ -85,10 +85,9 @@ class VelocityVerlet:
             else np.float32)
         return feats
 
-    def _make_scan(self, nij: int):
+    def _make_scan(self):
         model, dt = self.model, self.timestep
         masses = jnp.asarray(self.masses_vap)[:, None]
-        atom_masks = None
 
         def forces_of(feats, pos):
             f = dict(feats)
@@ -121,7 +120,7 @@ class VelocityVerlet:
         return jax.jit(chunk, static_argnames="n")
 
     # ------------------------------------------------------------------
-    def run(self, n_steps: int, trace_every: int = 0):
+    def run(self, n_steps: int):
         """Integrate `n_steps`; returns a dict with the trajectory of
         (potential, kinetic, total) energies per chunk."""
         pos_local = self.structure.positions.copy()
@@ -141,7 +140,7 @@ class VelocityVerlet:
             feats = {k: jnp.asarray(v) for k, v in feats_np.items()}
             nij = feats["pair_i"].shape[0]
             if self._scan is None or nij != self._nij_cached:
-                self._scan = self._make_scan(nij)
+                self._scan = self._make_scan()
                 self._nij_cached = nij
             pos_vap = jnp.asarray(self.vap.map_positions(
                 pos_local).astype(np.asarray(feats["positions"]).dtype))

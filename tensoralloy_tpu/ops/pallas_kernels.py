@@ -62,12 +62,10 @@ def _g2_kernel(rij_ref, islot_ref, fcmask_ref, out_ref, *, eta, omega,
     rij = rij_ref[:]                       # [blk, nnl]
     fc = fcmask_ref[:]
     islot = islot_ref[:]
-    blk, nnl = rij.shape
-    t = len(eta)
     acc = []
     for s in range(n_slots):
         sel = jnp.where(islot == s, fc, 0.0)          # [blk, nnl]
-        for k in range(t):
+        for k in range(len(eta)):
             z = (rij - omega[k]) ** 2 * (eta[k] / rc2)
             v = jnp.exp(-z) * sel
             acc.append(jnp.sum(v, axis=1))             # [blk]
