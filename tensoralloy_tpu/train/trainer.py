@@ -54,6 +54,10 @@ class TrainParameters:
     ema_decay: float = 0.999
     seed: int = 611
     model_dir: str = "train"
+    # >1: fuse this many optimizer steps into one lax.scan device
+    # program per dispatch (amortizes host dispatch; metrics are
+    # reported from the last step of each fused block)
+    scan_steps: int = 1
 
 
 def make_lr_schedule(opt: OptParameters):
@@ -260,6 +264,18 @@ class Trainer:
         # Inputs arrive pre-sharded (batch over the data axis, state
         # replicated); jit honors argument shardings and XLA inserts the
         # gradient all-reduce over ICI.
+        scan_steps = self.train_parameters.scan_steps
+        if scan_steps and scan_steps > 1:
+            def fused(state, feats_stacked, labels_stacked):
+                def body(st, batch):
+                    bf, bl = batch
+                    return train_step(st, bf, bl)
+                state2, metrics_seq = jax.lax.scan(
+                    body, state, (feats_stacked, labels_stacked))
+                metrics = jax.tree_util.tree_map(lambda x: x[-1],
+                                                 metrics_seq)
+                return state2, metrics
+            return jax.jit(fused, donate_argnums=(0,))
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _build_eval_step(self):
@@ -331,13 +347,26 @@ class Trainer:
         history = []
         t0 = time.time()
         examples = 0
-        for step in range(tp.train_steps):
-            bf, bl = next(it)
-            bf = shard_batch(bf, self.mesh)
-            bl = shard_batch(bl, self.mesh)
+        k = max(int(tp.scan_steps or 1), 1)
+        for step in range(0, tp.train_steps, k):
+            n_fused = min(k, tp.train_steps - step)
+            if k > 1:
+                group = [next(it) for _ in range(k)]
+                from jax.sharding import NamedSharding, PartitionSpec
+                sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+                put = lambda v: jax.device_put(v, sh)
+                bf = {key: put(np.stack([g[0][key] for g in group]))
+                      for key in group[0][0]}
+                bl = {key: put(np.stack([g[1][key] for g in group]))
+                      for key in group[0][1]}
+            else:
+                bf, bl = next(it)
+                bf = shard_batch(bf, self.mesh)
+                bl = shard_batch(bl, self.mesh)
             state, metrics = self._train_step(state, bf, bl)
-            examples += bs
-            if verbose and (step + 1) % tp.log_steps == 0:
+            examples += bs * n_fused
+            step_now = step + n_fused - 1
+            if verbose and (step_now + 1) % tp.log_steps < n_fused:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
                 print(f"step {step + 1}: loss={m['loss/total']:.6f} "
@@ -345,12 +374,12 @@ class Trainer:
                       f"f_mae={m.get('forces/mae', 0.0):.6f} "
                       f"({examples / dt:.1f} structures/s)")
             if callback is not None:
-                callback(step, state, metrics)
+                callback(step_now, state, metrics)
             if test_feats is not None and len(test_labels["energy"]) and \
-                    (step + 1) % tp.eval_steps == 0:
+                    (step_now + 1) % tp.eval_steps < n_fused:
                 ev = self.evaluate(state["ema_params"], test_feats,
                                    test_labels)
-                history.append({"step": step + 1, **ev})
+                history.append({"step": step_now + 1, **ev})
                 if verbose:
                     print(f"  eval@{step + 1}: " +
                           " ".join(f"{k}={v:.6f}" for k, v in ev.items()))

@@ -285,3 +285,34 @@ def test_warm_start_semantics(trained, tmp_path):
     # training continues from the restored state
     out2 = trainer.fit(*_[:2], verbose=False, initial_state=st1)
     assert int(out2["state"]["step"]) == 60 + 60
+
+
+def test_scan_steps_equivalent(ethanol_db, tmp_path):
+    """scan_steps=K (fused lax.scan updates) produces the same params
+    as K individual dispatched steps over the same batch sequence."""
+    from tensoralloy_tpu.nn.sf import SymmetryFunction as SF
+    fz = Featurizer(ethanol_db.elements, rcut=5.0)
+    ds = Dataset(ethanol_db, fz, name="ethanol", test_size=2,
+                 dtype=np.float64, cache_dir=str(tmp_path))
+    feats, labels = ds.build()
+    tf_, tl_, _, _ = ds.split(feats, labels)
+    model = AtomicNN(fz, ds.max_occurs, SF(ethanol_db.elements),
+                     hidden_sizes=[8], minmax_scale=False)
+    params0 = jax.device_get(
+        model.init_params(jax.random.PRNGKey(7)))
+    results = []
+    for scan_steps in (1, 4):
+        trainer = Trainer(
+            model, L.LossParameters(),
+            OptParameters(learning_rate=1e-3),
+            TrainParameters(batch_size=4, train_steps=8, eval_steps=100,
+                            log_steps=1000, seed=123,
+                            scan_steps=scan_steps),
+            minimize_properties=("energy", "forces"), n_devices=1)
+        out = trainer.fit(tf_, tl_, params=params0, verbose=False)
+        assert int(out["state"]["step"]) == 8
+        results.append(jax.device_get(out["state"]["params"]))
+    for a, b in zip(jax.tree_util.tree_leaves(results[0]),
+                    jax.tree_util.tree_leaves(results[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-12)
