@@ -326,3 +326,59 @@ def read_meam_spline_file(filename: str,
     gs = {kbody_terms[k]: splines[npairs + 3 * nel + k]
           for k in range(npairs)}
     return MeamSpline(elements, rho, phi, embed, fs, gs)
+
+
+# ----------------------------------------------------------------------
+# funcfl (single-element DYNAMO) format
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FuncflData:
+    element: str
+    nrho: int
+    drho: float
+    nr: int
+    dr: float
+    cutoff: float
+    mass: float
+    frho: np.ndarray      # [nrho]
+    zr: np.ndarray        # [nr] effective charge Z(r)
+    rho: np.ndarray       # [nr]
+
+    @property
+    def r_grid(self) -> np.ndarray:
+        return np.arange(self.nr) * self.dr
+
+    @property
+    def rho_grid(self) -> np.ndarray:
+        return np.arange(self.nrho) * self.drho
+
+    def phi(self) -> np.ndarray:
+        """Pair potential (eV): phi(r) = 27.2 * 0.529 * Z(r)^2 / r."""
+        r = self.r_grid
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = 27.2 * 0.529 * self.zr ** 2 / np.where(r > 0, r, 1.0)
+        v[0] = v[1] if self.nr > 1 else 0.0
+        return v
+
+
+def read_funcfl(path: str) -> FuncflData:
+    """Read a single-element DYNAMO funcfl file."""
+    from ..elements import chemical_symbols
+    with open(path) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    hdr = lines[1].split()
+    z, mass = int(hdr[0]), float(hdr[1])
+    grid = lines[2].split()
+    nrho, drho = int(grid[0]), float(grid[1])
+    nr, dr = int(grid[2]), float(grid[3])
+    cutoff = float(grid[4])
+    tokens: List[str] = []
+    for line in lines[3:]:
+        tokens.extend(line.split())
+    frho = np.asarray(tokens[:nrho], dtype=np.float64)
+    zr = np.asarray(tokens[nrho:nrho + nr], dtype=np.float64)
+    rho = np.asarray(tokens[nrho + nr:nrho + 2 * nr], dtype=np.float64)
+    return FuncflData(element=chemical_symbols[z], nrho=nrho, drho=drho,
+                      nr=nr, dr=dr, cutoff=cutoff, mass=mass,
+                      frho=frho, zr=zr, rho=rho)

@@ -500,3 +500,24 @@ def test_mishinh_and_grimes():
     # parameters receive gradients (trainable empirical potential)
     grads = jax.grad(lambda pp: model.energy(pp, feats))(params)
     assert abs(float(grads["grimes"]["PuPu"]["D"])) > 0
+
+
+def test_sutton90_vs_published_funcfl():
+    """Sutton-Chen Ag vs the published DYNAMO funcfl table (true
+    oracle): rho/phi/F at machine precision."""
+    from tensoralloy_tpu.io.lammps import read_funcfl
+    from tensoralloy_tpu.nn.eam.potentials import available_potentials
+    d = read_funcfl("/root/reference/test_files/lammps/Ag.funcfl.eam")
+    assert d.element == "Ag"
+    s = available_potentials["sutton90"]
+    p = {"sutton90": s.initial_params(["Ag", "AgAg"])}
+    sel = (d.r_grid > 2.0) & (d.r_grid < 11.0)
+    r = jnp.asarray(d.r_grid[sel])
+    np.testing.assert_allclose(np.asarray(s.rho(p, r, "Ag")),
+                               d.rho[sel], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.phi(p, r, "AgAg")),
+                               d.phi()[sel], atol=1e-12)
+    rho_sel = d.rho_grid > 0.01
+    rho = jnp.asarray(d.rho_grid[rho_sel])
+    np.testing.assert_allclose(np.asarray(s.embed(p, rho, "Ag")),
+                               d.frho[rho_sel], atol=1e-12)
