@@ -146,12 +146,25 @@ class TensorAlloyCalculator:
             self.results["energy"] = float(out["energy_U"])
             self.results["eentropy"] = float(out["eentropy"])
             self.results["free_energy"] = float(out["free_energy_F"])
-        self._last = structure
+        self._last = self._fingerprint(structure)
         return self.results
 
+    @staticmethod
+    def _fingerprint(structure: Structure):
+        """Cheap content fingerprint: identity caching returns stale
+        results when the same Structure instance is mutated in place
+        (e.g. by an MD/relaxation driver) between calls."""
+        etemp = structure.info.get("etemperature", 0.0)
+        return (structure.numbers.tobytes(),
+                structure.positions.tobytes(),
+                structure.cell.tobytes(),
+                structure.pbc.tobytes(), float(etemp or 0.0))
+
     def _maybe_calculate(self, structure: Optional[Structure]):
-        if structure is not None and structure is not self._last:
-            self.calculate(structure)
+        if structure is not None:
+            fp = self._fingerprint(structure)
+            if fp != self._last:
+                self.calculate(structure)
         return self.results
 
     # ------------------------------------------------------------------

@@ -200,6 +200,12 @@ class EamNN:
         mask = features["pair_mask"]
         r = safe_norm(vec)
         r = jnp.where(mask > 0, r, 1.0)
+        # Mask pairs beyond the model cutoff ON DEVICE.  Skinned MD
+        # neighbor lists (rcut+skin, `dynamics.py`) and exact-rcut
+        # featurization must give identical energies, and the
+        # in-framework model must agree with its own truncated setfl
+        # export (reference tables stop at rcut, `eam.py:300-362`).
+        mask = mask * (r < self.featurizer.rcut).astype(mask.dtype)
         elem = jnp.asarray(self.vap_element_idx)
         ei = jnp.take(elem, features["pair_i"])
         ej = jnp.take(elem, features["pair_j"])

@@ -41,11 +41,41 @@ def tersoff_cutoff(r, R, D):
     return 0.5 - 0.5 * jnp.sin(0.5 * np.pi * z)
 
 
+def meam_radial_cutoff(r, rc, delta=None):
+    """MEAM cutoff as a radial function: fc((rc - r)/delta).
+
+    `delta` is the smoothing window (defaults to the full range rc, a
+    ramp over [0, rc]); the function is 1 for r <= rc - delta and 0 at
+    r >= rc.
+    """
+    d = rc if delta is None else delta
+    return meam_cutoff((rc - r) / d)
+
+
+def deepmd_radial_cutoff(r, rc, rcs=None):
+    """DeePMD switching with rcs defaulting to 2/3 rc."""
+    return deepmd_cutoff(r, rc, (2.0 / 3.0) * rc if rcs is None else rcs)
+
+
+def tersoff_radial_cutoff(r, rc, d_frac=0.1):
+    """Tersoff cutoff pinned so f == 0 exactly at r = rc:
+    R = rc - D with half-width D = d_frac * rc."""
+    D = d_frac * rc
+    return tersoff_cutoff(r, rc - D, D)
+
+
+# Registry keyed by the `cutoff_function` TOML option.  The reference
+# restricts descriptor configs to cosine/polynomial
+# (`choices.toml:25-29`) but defines all five (`nn/cutoff.py:20-143`);
+# here every form is selectable.
 CUTOFFS = {
     "cosine": cosine_cutoff,
     "polynomial": polynomial_cutoff,
+    "meam": meam_radial_cutoff,
+    "deepmd": deepmd_radial_cutoff,
+    "tersoff": tersoff_radial_cutoff,
 }
 
 
-def apply_cutoff(name: str, r, rc):
-    return CUTOFFS[name](r, rc)
+def apply_cutoff(name: str, r, rc, **kwargs):
+    return CUTOFFS[name](r, rc, **kwargs)

@@ -51,8 +51,13 @@ class Dataset:
         k = 3 if self.featurizer.angular else 2
         fp = {np.dtype(np.float32): "fp32",
               np.dtype(np.float64): "fp64"}[np.dtype(self.dtype)]
-        return (f"{self.name}-k{k}-rc{self.featurizer.rcut:.2f}-{fp}-"
-                f"{len(self.db)}")
+        sig = f"{self.name}-k{k}-rc{self.featurizer.rcut:.2f}"
+        if self.featurizer.angular:
+            # acut and the symmetric flag change the triple features;
+            # they must invalidate the cache
+            sig += (f"-ac{self.featurizer.acut:.2f}"
+                    f"-{'sym' if self.featurizer.symmetric else 'full'}")
+        return f"{sig}-{fp}-{len(self.db)}"
 
     @property
     def cache_path(self) -> str:
@@ -161,10 +166,17 @@ Dataset.next_batch = lambda self, batch_size, mode="train": next(
 
 def batches(feats: Arrays, labels: Arrays, batch_size: int, seed: int = 0,
             shuffle: bool = True, drop_remainder: bool = True,
-            repeat: bool = False) -> Iterator[Tuple[Arrays, Arrays]]:
-    """Simple host-side batch iterator (device_put left to the caller)."""
+            repeat: bool = False, skip: int = 0
+            ) -> Iterator[Tuple[Arrays, Arrays]]:
+    """Simple host-side batch iterator (device_put left to the caller).
+
+    `skip` fast-forwards the stream by that many batches without
+    materializing them (identical RNG sequence — exact checkpoint
+    resume sees the same data order as an uninterrupted run).
+    """
     n = len(labels["energy"])
     rng = np.random.RandomState(seed)
+    to_skip = int(skip)
     while True:
         idx = rng.permutation(n) if shuffle else np.arange(n)
         if n < batch_size:
@@ -172,6 +184,9 @@ def batches(feats: Arrays, labels: Arrays, batch_size: int, seed: int = 0,
             idx = np.resize(idx, batch_size)
         stop = len(idx) - batch_size + 1 if drop_remainder else len(idx)
         for lo in range(0, stop, batch_size):
+            if to_skip > 0:
+                to_skip -= 1
+                continue
             sel = idx[lo:lo + batch_size]
             if len(sel) < batch_size:
                 sel = np.resize(sel, batch_size)  # wrap-pad final batch

@@ -126,6 +126,65 @@ class LoggingTensorHook(Hook):
             self._fh.close()
 
 
+class CheckpointHook(Hook):
+    """Periodic checkpoints with keep-N rotation (the reference's
+    Estimator saves every `eval_steps` and keeps
+    `max_checkpoints_to_keep`, `training.py:443-449`).
+
+    Writes `{model_dir}/ckpt-{step}.npz`; use `latest_checkpoint` to
+    find the newest for crash auto-resume.
+    """
+
+    def __init__(self, trainer, model_dir: str, every_steps: int = 1000,
+                 keep: int = 5):
+        self.trainer = trainer
+        self.model_dir = model_dir
+        self.every_steps = max(int(every_steps), 1)
+        self.keep = max(int(keep), 1)
+        self._saved_boundary: Optional[int] = None
+        os.makedirs(model_dir, exist_ok=True)
+
+    def after_step(self, step, state, metrics):
+        if self._saved_boundary is None:
+            # align to the resume point so we don't instantly re-save
+            self._saved_boundary = step // self.every_steps
+        b = (step + 1) // self.every_steps
+        if b > self._saved_boundary:
+            self._saved_boundary = b
+            self._save(step + 1, state)
+
+    def _save(self, step: int, state):
+        import jax
+        path = os.path.join(self.model_dir, f"ckpt-{step}.npz")
+        self.trainer.save_checkpoint(path, jax.device_get(state))
+        self._rotate()
+
+    def _rotate(self):
+        entries = _list_checkpoints(self.model_dir)
+        for _, path in entries[:-self.keep]:
+            for p in (path, path + ".json"):
+                if os.path.exists(p):
+                    os.remove(p)
+
+
+def _list_checkpoints(model_dir: str):
+    """-> [(step, path)] ascending by step."""
+    import glob
+    import re
+    out = []
+    for p in glob.glob(os.path.join(model_dir, "ckpt-*.npz")):
+        m = re.search(r"ckpt-(\d+)\.npz$", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def latest_checkpoint(model_dir: str) -> Optional[str]:
+    """Path of the newest periodic checkpoint, or None."""
+    entries = _list_checkpoints(model_dir)
+    return entries[-1][1] if entries else None
+
+
 def compose_hooks(hooks: List[Hook]):
     """-> a Trainer.fit callback driving all hooks."""
     def callback(step, state, metrics):

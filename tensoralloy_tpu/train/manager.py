@@ -279,6 +279,8 @@ class TrainingManager:
             summary_steps=r["train.summary_steps"],
             log_steps=r["train.log_steps"],
             max_checkpoints_to_keep=r["train.max_checkpoints_to_keep"],
+            ema_decay=r.get("train.ema_decay", 0.999),
+            scan_steps=int(r.get("train.scan_steps", 1) or 1),
             seed=r["seed"],
             model_dir=r["train.model_dir"])
 
@@ -300,6 +302,7 @@ class TrainingManager:
         feats, labels = self.dataset.build(verbose=verbose)
         tf_, tl_, ef_, el_ = self.dataset.split(feats, labels)
 
+        from . import hooks as hook_ops
         params = None
         initial_state = None
         ckpt_cfg = self.reader.get("train.ckpt", {})
@@ -314,10 +317,26 @@ class TrainingManager:
                     "restore_optimizer_variables", True),
                 reset_global_step=self.reader.get(
                     "train.reset_global_step", True))
+        elif not self.reader.get("train.reset_global_step", True):
+            # crash auto-resume: continue bit-exactly from the newest
+            # periodic checkpoint in model_dir (reference: Estimator
+            # resumes from the latest ckpt unless the dir was wiped,
+            # `training.py:343-364`)
+            latest = hook_ops.latest_checkpoint(self.model_dir)
+            if latest:
+                template = self.model.init_params(
+                    jax.random.PRNGKey(self.reader["seed"]))
+                initial_state = self.trainer.restore_state(
+                    latest, template, use_ema_variables=False,
+                    restore_optimizer_variables=True,
+                    reset_global_step=False)
 
-        from . import hooks as hook_ops
         r = self.reader
         hooks = [hook_ops.NanTensorHook()]
+        hooks.append(hook_ops.CheckpointHook(
+            self.trainer, self.model_dir,
+            every_steps=self.train_parameters.eval_steps,
+            keep=self.train_parameters.max_checkpoints_to_keep))
         if r.get("train.profile_steps", 0):
             hooks.append(hook_ops.ProfilerHook(
                 self.model_dir + "-profile",

@@ -197,6 +197,27 @@ class Trainer:
                 lp.stress.logscaled_dynamic_weight)
             metrics["stress/mae"] = mae_s
 
+        if "total_pressure" in self.minimize:
+            # label derived from the Voigt stress (eV/A^3): the
+            # reference encodes total_pressure = -mean(virial[:3])/GPa
+            # (`transformer/base.py:425-436`, loss `losses.py:459-504`)
+            from ..nn.fields import EV_ANGSTROM3_TO_GPA
+            lbl_p = labels.get("total_pressure")
+            if lbl_p is None:
+                lbl_p = -jnp.mean(labels["stress"][:, :3], axis=1) \
+                    * EV_ANGSTROM3_TO_GPA
+            has = labels.get("has_stress")
+            w_p = weights_for(2, None)
+            if has is not None:
+                w_p = has if w_p is None else w_p * has
+            loss_p, mae_p = loss_ops.scalar_property_loss(
+                lbl_p, preds["total_pressure"], lp.total_pressure,
+                sample_weight=w_p, normalized=w_p is not None)
+            out["total_pressure"] = loss_p * loss_ops.resolve_weight(
+                lp.total_pressure.weight, step, max_steps,
+                lp.total_pressure.logscaled_dynamic_weight)
+            metrics["total_pressure/mae"] = mae_p
+
         for prop, opts in (("eentropy", lp.eentropy),
                            ("free_energy", lp.free_energy)):
             if prop in self.minimize and prop in preds:
@@ -340,15 +361,22 @@ class Trainer:
             self._train_step = self._build_train_step()
             self._eval_step = self._build_eval_step()
 
+        start = 0
+        if initial_state is not None:
+            # exact resume: continue the step counter and fast-forward
+            # the (seeded) batch stream so the data order matches an
+            # uninterrupted run
+            start = min(int(jax.device_get(initial_state["step"])),
+                        tp.train_steps)
         state = replicate(initial_state or self.init_state(params),
                           self.mesh)
         it = batches(train_feats, train_labels, bs, seed=tp.seed,
-                     repeat=True)
+                     repeat=True, skip=start)
         history = []
         t0 = time.time()
         examples = 0
         k = max(int(tp.scan_steps or 1), 1)
-        for step in range(0, tp.train_steps, k):
+        for step in range(start, tp.train_steps, k):
             n_fused = min(k, tp.train_steps - step)
             if k > 1:
                 group = [next(it) for _ in range(k)]
