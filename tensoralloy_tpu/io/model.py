@@ -106,7 +106,8 @@ def descriptor_from_dict(d: dict):
         return SymmetryFunction(
             d["elements"], eta=d["eta"], omega=d["omega"], beta=d["beta"],
             gamma=d["gamma"], zeta=d["zeta"],
-            cutoff_function=d.get("cutoff_function", "cosine"))
+            cutoff_function=d.get("cutoff_function", "cosine"),
+            backend=d.get("backend", "segment"))
     if cls == "GenericRadialAtomicPotential":
         from ..nn.grap import GenericRadialAtomicPotential
         return GenericRadialAtomicPotential.from_dict(d)

@@ -240,10 +240,14 @@ class CoreDatabase:
         key = str(int(round(rc * 100)))
         md = self.metadata
         cached = md.get("neighbors", {}).get(k_max, {}).get(key)
-        if cached:
+        # nnl_tot/ntl were added for the dense descriptor backends;
+        # recompute when a pre-existing cache entry lacks them
+        if cached and "nnl_tot_max" in cached:
             return NeighborSize(nnl=cached["nnl_max"],
                                 nij=cached["nij_max"],
-                                nijk=cached.get("nijk_max", 0), ij2k=0)
+                                nijk=cached.get("nijk_max", 0), ij2k=0,
+                                nnl_tot=cached["nnl_tot_max"],
+                                ntl=cached.get("ntl_max", 0))
         structures = list(self)
         if n_jobs and n_jobs > 1:
             with ProcessPoolExecutor(max_workers=n_jobs) as ex:
@@ -255,10 +259,13 @@ class CoreDatabase:
                      for s in structures]
         out = NeighborSize(nnl=max(x.nnl for x in sizes),
                            nij=max(x.nij for x in sizes),
-                           nijk=max(x.nijk for x in sizes), ij2k=0)
+                           nijk=max(x.nijk for x in sizes), ij2k=0,
+                           nnl_tot=max(x.nnl_tot for x in sizes),
+                           ntl=max(x.ntl for x in sizes))
         nbrs = md.get("neighbors", {})
         nbrs.setdefault(k_max, {})[key] = {
-            "nnl_max": out.nnl, "nij_max": out.nij, "nijk_max": out.nijk}
+            "nnl_max": out.nnl, "nij_max": out.nij, "nijk_max": out.nijk,
+            "nnl_tot_max": out.nnl_tot, "ntl_max": out.ntl}
         self._update_metadata(neighbors=nbrs)
         return out
 

@@ -101,11 +101,20 @@ def neighbor_list(structure: Structure, cutoff: float,
 
 @dataclass(frozen=True)
 class NeighborSize:
-    """Padding bounds for one structure (reference `neighbor.py:34-47`)."""
+    """Padding bounds for one structure (reference `neighbor.py:34-47`).
+
+    `nnl_tot` (max neighbors of any center, all elements together) and
+    `ntl` (max symmetric j<k triples of any center) size the dense
+    per-atom [n_vap, nnl] / [n_vap, ntl] layouts of the matmul/Pallas
+    descriptor backends; the reference's per-element `nnl` sizes its
+    scatter g-tensor.
+    """
     nnl: int
     nij: int
     nijk: int
     ij2k: int
+    nnl_tot: int = 0
+    ntl: int = 0
 
     def __getitem__(self, item: str):
         return getattr(self, item)
@@ -114,7 +123,9 @@ class NeighborSize:
         return NeighborSize(nnl=max(self.nnl, other.nnl),
                             nij=max(self.nij, other.nij),
                             nijk=max(self.nijk, other.nijk),
-                            ij2k=max(self.ij2k, other.ij2k))
+                            ij2k=max(self.ij2k, other.ij2k),
+                            nnl_tot=max(self.nnl_tot, other.nnl_tot),
+                            ntl=max(self.ntl, other.ntl))
 
 
 def find_neighbor_size_of_atoms(structure: Structure, rc: float,
@@ -132,12 +143,18 @@ def find_neighbor_size_of_atoms(structure: Structure, rc: float,
     nij = len(ilist)
     numbers = structure.numbers
     nnl = 0
+    nnl_tot = 0
     if nij:
         pair_class = cantor_pairing(ilist.astype(np.int64) * 1000 +
                                     numbers[ilist], numbers[jlist])
         nnl = int(max(Counter(pair_class).values()))
+        nnl_tot = int(np.bincount(ilist, minlength=len(structure)).max())
     nijk = 0
+    ntl = 0
     if angular and nij:
         counts = np.bincount(ilist, minlength=len(structure))
-        nijk = int(np.sum(counts * (counts - 1) // 2))
-    return NeighborSize(nnl=nnl, nij=nij, nijk=nijk, ij2k=0)
+        trip_counts = counts * (counts - 1) // 2
+        nijk = int(np.sum(trip_counts))
+        ntl = int(trip_counts.max())
+    return NeighborSize(nnl=nnl, nij=nij, nijk=nijk, ij2k=0,
+                        nnl_tot=nnl_tot, ntl=ntl)

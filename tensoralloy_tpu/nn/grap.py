@@ -146,7 +146,13 @@ class GenericRadialAtomicPotential:
                  moment_tensors: Union[int, List[int]] = 0,
                  cutoff_function: str = "cosine",
                  symmetric: bool = False,
-                 legacy_mode: bool = False):
+                 legacy_mode: bool = False,
+                 backend: str = "segment"):
+        if backend not in ("segment", "dense", "pallas"):
+            raise ValueError(f"unknown descriptor backend {backend!r}")
+        if backend != "segment" and legacy_mode:
+            raise ValueError("legacy GRAP supports only backend='segment'")
+        self.backend = backend
         self.elements = sorted(elements)
         self.algorithm = algorithm
         self.parameters = parameters or {}
@@ -219,10 +225,30 @@ class GenericRadialAtomicPotential:
         raise ValueError(self.algorithm)
 
     # ------------------------------------------------------------------
+    def invariants_from_p(self, p: jnp.ndarray, n_vap: int,
+                          n_slots: int) -> jnp.ndarray:
+        """Shared tail: P [n_vap*n_slots, K, D] -> G (all backends)."""
+        s = jnp.square(p)
+        t = jnp.asarray(multiplicity_tensor(self.max_moment, self.symmetric),
+                        p.dtype)
+        q = s @ t                                      # [nseg, K, mm+1]
+        eps = 1e-16
+        g0 = jnp.sign(p[..., 0]) * jnp.sqrt(q[..., 0] + eps)
+        g = jnp.concatenate([g0[..., None], q[..., 1:]], axis=-1)
+        return g.reshape(n_vap, n_slots * self.n_filters *
+                         (self.max_moment + 1))
+
     def compute(self, features, rcut: float, acut: float,
                 n_radial_slots: int, n_angular_slots: int, angular: bool,
                 params: Optional[dict] = None,
                 vap_element_idx: Optional[np.ndarray] = None) -> jnp.ndarray:
+        backend = self.backend
+        if backend == "pallas" and self.algorithm == "nn":
+            backend = "dense"   # learned filter MLP stays in XLA
+        if backend == "pallas":
+            from ..ops.fused import fused_grap
+            return fused_grap(self, features, rcut, n_radial_slots)
+
         vec = pair_vectors(features)
         mask = features["pair_mask"]
         rij = safe_norm(vec)
@@ -248,17 +274,28 @@ class GenericRadialAtomicPotential:
             return self._legacy(h, unit, seg, nseg, n_vap, n_radial_slots)
 
         m = moment_basis(unit, self.max_moment)        # [nij, D]
+        if backend == "dense":
+            # dense per-atom layout: the (pairs x filters x monomials)
+            # reduction becomes ONE batched matmul over the neighbor
+            # axis on the MXU — no [nij, K, D] HBM intermediate
+            from ..ops.dense import dense_width, densify, slot_onehot
+            nnl = dense_width(features, "pair")
+            k = self.n_filters
+            sel = slot_onehot(features["pair_islot"], mask, n_radial_slots)
+            hs = (sel[:, :, None] * h[:, None, :]).reshape(
+                -1, n_radial_slots * k)
+            hs_d = densify(hs, features["pair_i"], features["pair_col"],
+                           n_vap, nnl)                 # [A, N, S*K]
+            m_d = densify(m * mask[:, None], features["pair_i"],
+                          features["pair_col"], n_vap, nnl)   # [A, N, D]
+            p = jnp.einsum("ajx,ajd->axd", hs_d, m_d,
+                           preferred_element_type=m_d.dtype)
+            p = p.reshape(n_vap * n_radial_slots, k, m.shape[-1])
+            return self.invariants_from_p(p, n_vap, n_radial_slots)
+
         hm = h[:, :, None] * m[:, None, :]             # [nij, K, D]
         p = jax.ops.segment_sum(hm, seg, num_segments=nseg)
-        s = jnp.square(p)
-        t = jnp.asarray(multiplicity_tensor(self.max_moment, self.symmetric),
-                        h.dtype)
-        q = s @ t                                      # [nseg, K, mm+1]
-        eps = 1e-16
-        g0 = jnp.sign(p[..., 0]) * jnp.sqrt(q[..., 0] + eps)
-        g = jnp.concatenate([g0[..., None], q[..., 1:]], axis=-1)
-        return g.reshape(n_vap, n_radial_slots * self.n_filters *
-                         (self.max_moment + 1))
+        return self.invariants_from_p(p, n_vap, n_radial_slots)
 
     def _legacy(self, h, unit, seg, nseg, n_vap, n_slots) -> jnp.ndarray:
         """Legacy per-kbody-term scalar contractions
@@ -295,7 +332,8 @@ class GenericRadialAtomicPotential:
                 "moment_tensors": self.moment_tensors,
                 "cutoff_function": self.cutoff_function,
                 "symmetric": self.symmetric,
-                "legacy_mode": self.legacy_mode}
+                "legacy_mode": self.legacy_mode,
+                "backend": self.backend}
 
     @classmethod
     def from_dict(cls, d: dict) -> "GenericRadialAtomicPotential":
@@ -305,4 +343,5 @@ class GenericRadialAtomicPotential:
                    moment_tensors=d.get("moment_tensors", 0),
                    cutoff_function=d.get("cutoff_function", "cosine"),
                    symmetric=d.get("symmetric", False),
-                   legacy_mode=d.get("legacy_mode", False))
+                   legacy_mode=d.get("legacy_mode", False),
+                   backend=d.get("backend", "segment"))

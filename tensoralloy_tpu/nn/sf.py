@@ -37,7 +37,11 @@ class SymmetryFunction:
 
     def __init__(self, elements, eta=(0.05, 4.0, 20.0, 80.0), omega=(0.0,),
                  beta=(0.005,), gamma=(1.0, -1.0), zeta=(1.0, 4.0),
-                 cutoff_function: str = "cosine"):
+                 cutoff_function: str = "cosine",
+                 backend: str = "segment"):
+        if backend not in ("segment", "dense", "pallas"):
+            raise ValueError(f"unknown descriptor backend {backend!r}")
+        self.backend = backend
         self.elements = sorted(elements)
         self.eta = np.asarray(eta, dtype=np.float64)
         self.omega = np.asarray(omega, dtype=np.float64)
@@ -70,6 +74,10 @@ class SymmetryFunction:
     # ------------------------------------------------------------------
     def radial(self, features, rcut: float, n_slots: int) -> jnp.ndarray:
         """-> [n_vap, n_slots * n_radial_params]."""
+        n_vap = features["positions"].shape[0]
+        if self.backend == "pallas":
+            from ..ops.fused import fused_g2
+            return fused_g2(self, features, rcut, n_slots)
         dtype = features["positions"].dtype
         _, rij = pair_distances(features)
         mask = features["pair_mask"]
@@ -78,16 +86,25 @@ class SymmetryFunction:
         omega = jnp.asarray(self.radial_grid[:, 1], dtype)
         z = jnp.square(rij[:, None] - omega[None, :]) / (rcut * rcut)
         v = jnp.exp(-eta[None, :] * z) * fc[:, None]        # [nij, T2]
-        n_vap = features["positions"].shape[0]
+        if self.backend == "dense":
+            from ..ops.dense import (dense_width, densify, slot_onehot,
+                                     contract_slots)
+            nnl = dense_width(features, "pair")
+            sel = slot_onehot(features["pair_islot"], mask, n_slots)
+            sel_d = densify(sel, features["pair_i"], features["pair_col"],
+                            n_vap, nnl)
+            v_d = densify(v, features["pair_i"], features["pair_col"],
+                          n_vap, nnl)
+            g = contract_slots(sel_d, v_d)          # [A, S, T2] on MXU
+            return g.reshape(n_vap, n_slots * self.n_radial_params)
         seg = features["pair_i"] * n_slots + features["pair_islot"]
         g = jax.ops.segment_sum(v, seg, num_segments=n_vap * n_slots)
         return g.reshape(n_vap, n_slots * self.n_radial_params)
 
-    def angular(self, features, acut: float, n_slots: int) -> jnp.ndarray:
-        """-> [n_vap, n_slots * n_angular_params]."""
-        dtype = features["positions"].dtype
-        rij, rik, rjk = triple_distances(features)
-        mask = features["trip_mask"]
+    def angular_values(self, rij, rik, rjk, mask, acut: float
+                       ) -> jnp.ndarray:
+        """Per-triple G4 values [n, T4] (shared by every backend)."""
+        dtype = rij.dtype
         rij2, rik2, rjk2 = rij * rij, rik * rik, rjk * rjk
         z = (rij2 + rik2 + rjk2) / (acut * acut)
         cos_theta = (rij2 + rik2 - rjk2) / (2.0 * rij * rik)
@@ -101,9 +118,29 @@ class SymmetryFunction:
         # base can dip slightly below 0 from fp error at theta ~ pi
         base = jnp.maximum(base, 0.0)
         outer = 2.0 ** (1.0 - zeta)
-        v = (outer[None, :] * base ** zeta[None, :] *
-             jnp.exp(-beta[None, :] * z[:, None]) * fc[:, None])
+        return (outer[None, :] * base ** zeta[None, :] *
+                jnp.exp(-beta[None, :] * z[:, None]) * fc[:, None])
+
+    def angular(self, features, acut: float, n_slots: int) -> jnp.ndarray:
+        """-> [n_vap, n_slots * n_angular_params]."""
         n_vap = features["positions"].shape[0]
+        if self.backend == "pallas":
+            from ..ops.fused import fused_g4
+            return fused_g4(self, features, acut, n_slots)
+        rij, rik, rjk = triple_distances(features)
+        mask = features["trip_mask"]
+        v = self.angular_values(rij, rik, rjk, mask, acut)  # [nijk, T4]
+        if self.backend == "dense":
+            from ..ops.dense import (dense_width, densify, slot_onehot,
+                                     contract_slots)
+            ntl = dense_width(features, "trip")
+            sel = slot_onehot(features["trip_aslot"], mask, n_slots)
+            sel_d = densify(sel, features["trip_i"], features["trip_col"],
+                            n_vap, ntl)
+            v_d = densify(v, features["trip_i"], features["trip_col"],
+                          n_vap, ntl)
+            g = contract_slots(sel_d, v_d)
+            return g.reshape(n_vap, n_slots * self.n_angular_params)
         seg = features["trip_i"] * n_slots + features["trip_aslot"]
         g = jax.ops.segment_sum(v, seg, num_segments=n_vap * n_slots)
         return g.reshape(n_vap, n_slots * self.n_angular_params)
@@ -127,4 +164,5 @@ class SymmetryFunction:
                 "eta": self.eta.tolist(), "omega": self.omega.tolist(),
                 "beta": self.beta.tolist(), "gamma": self.gamma.tolist(),
                 "zeta": self.zeta.tolist(),
-                "cutoff_function": self.cutoff_function}
+                "cutoff_function": self.cutoff_function,
+                "backend": self.backend}

@@ -1,0 +1,409 @@
+"""Fused Pallas TPU descriptor kernels, integrated + trainable.
+
+These kernels consume the dense per-atom layout (`ops/dense.py`) and
+compute each atom tile's descriptors entirely in VMEM: distances ->
+filter bank -> cutoff -> slot selection -> moment products -> reduction,
+writing only the final `[tile, out_cols]` block. Nothing proportional
+to (pairs x filters x monomials) ever touches HBM — the regime where
+the XLA paths are HBM-bandwidth-bound (SNAP-scale padding, BASELINE.md).
+
+Every kernel carries a **custom VJP** whose backward pass is the dense
+XLA formulation (rematerialized from the saved dense inputs), so the
+fused forward is usable inside `jax.grad` — forces, stress, and
+training all work through it.
+
+Selected via `backend="pallas"` on `SymmetryFunction` /
+`GenericRadialAtomicPotential` (TOML: `[nn.atomic.sf] backend` /
+`[nn.atomic.grap] backend`). Off-TPU the kernels run in interpreter
+mode (tests); on TPU they compile with Mosaic.
+
+Reference math: G2/G4 `tensoralloy/nn/atomic/sf.py:79-215`, GRAP
+moment contraction `grap.py:596-680`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cutoffs import apply_cutoff
+from .dense import dense_width, densify, slot_onehot
+from .generic import density_exp, morse, power_exp
+from .pairs import pair_vectors, safe_norm, triple_distances
+
+_BLOCK = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_rows(arrs, block):
+    n = arrs[0].shape[0]
+    pad = (-n) % block
+    if pad == 0:
+        return arrs, n
+    return [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in arrs], n
+
+
+# ----------------------------------------------------------------------
+# Dense input assembly (differentiable, XLA)
+# ----------------------------------------------------------------------
+
+def _dense_pairs(features, with_unit: bool = True):
+    """-> (rij_d, [ux_d, uy_d, uz_d,] islotf_d, mask_d), each [A, N].
+
+    Values are pre-masked so the scatter-add densify is exact; the
+    slot index is carried as float so the custom-VJP signature stays
+    all-float (zero cotangents).
+    """
+    vec = pair_vectors(features)
+    mask = features["pair_mask"]
+    rij = safe_norm(vec)
+    rij = jnp.where(mask > 0, rij, 1.0)
+    n_vap = features["positions"].shape[0]
+    nnl = dense_width(features, "pair")
+    rows, cols = features["pair_i"], features["pair_col"]
+    dd = lambda v: densify(v * mask, rows, cols, n_vap, nnl)
+    out = [dd(rij)]
+    if with_unit:
+        unit = vec / rij[:, None]
+        out += [dd(unit[:, 0]), dd(unit[:, 1]), dd(unit[:, 2])]
+    islotf = features["pair_islot"].astype(mask.dtype)
+    out += [dd(islotf), densify(mask, rows, cols, n_vap, nnl)]
+    return out
+
+
+def _dense_triples(features):
+    """-> (rij_d, rik_d, rjk_d, aslotf_d, mask_d), each [A, Nt]."""
+    rij, rik, rjk = triple_distances(features)
+    mask = features["trip_mask"]
+    n_vap = features["positions"].shape[0]
+    ntl = dense_width(features, "trip")
+    rows, cols = features["trip_i"], features["trip_col"]
+    dd = lambda v: densify(v * mask, rows, cols, n_vap, ntl)
+    aslotf = features["trip_aslot"].astype(mask.dtype)
+    return [dd(rij), dd(rik), dd(rjk), dd(aslotf),
+            densify(mask, rows, cols, n_vap, ntl)]
+
+
+def _custom_vjp_op(pallas_impl, ref_impl, n_diff: int):
+    """Wrap (pallas forward, XLA reference) into a differentiable op.
+
+    The first `n_diff` arguments get real gradients (via jax.vjp of the
+    reference implementation, rematerialized from saved inputs); the
+    rest receive zeros.
+    """
+
+    @jax.custom_vjp
+    def op(*args):
+        return pallas_impl(*args)
+
+    def fwd(*args):
+        return pallas_impl(*args), args
+
+    def bwd(res, gbar):
+        def diff_part(*d_args):
+            return ref_impl(*d_args, *res[n_diff:])
+        _, vjp = jax.vjp(diff_part, *res[:n_diff])
+        return vjp(gbar) + tuple(jnp.zeros_like(r) for r in res[n_diff:])
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+# ----------------------------------------------------------------------
+# Filter banks (pure jnp — usable inside kernels and reference impls)
+# ----------------------------------------------------------------------
+
+def _grap_filter(desc, k: int, r, rcut: float):
+    row = {key: float(desc._grid[k, i])
+           for i, key in enumerate(desc._grid_keys)}
+    algo = desc.algorithm
+    if algo == "sf":
+        # reference grap-sf scales eta by rcut^2 (`grap.py` sf algo)
+        return jnp.exp(-row["eta"] * jnp.square(r - row["omega"]) /
+                       (rcut * rcut))
+    if algo == "density":
+        return density_exp(r, row["A"], row["beta"], row["re"])
+    if algo == "morse":
+        return morse(r, row["D"], row["gamma"], row["r0"])
+    if algo == "pexp":
+        return power_exp(r, row["rl"], row["pl"])
+    raise ValueError(f"pallas backend does not support algorithm {algo!r}")
+
+
+def _grap_filter_all(desc, r, rcut):
+    """[..., K] filter values."""
+    return jnp.stack([_grap_filter(desc, k, r, rcut)
+                      for k in range(desc.n_filters)], axis=-1)
+
+
+def _moment_columns(max_moment: int):
+    from ..nn.grap import _AB, _ABC
+    cols = [()]
+    if max_moment >= 1:
+        cols += [(0,), (1,), (2,)]
+    if max_moment >= 2:
+        cols += [tuple(ab) for ab in _AB]
+    if max_moment >= 3:
+        cols += [tuple(abc) for abc in _ABC]
+    return cols
+
+
+# ----------------------------------------------------------------------
+# GRAP: fused filter x moment invariants
+# ----------------------------------------------------------------------
+
+def _grap_ref_dense(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf,
+                    mask_d):
+    """Dense XLA formulation on [A, N] arrays (backward pass)."""
+    a, n = rij_d.shape
+    r = jnp.where(mask_d > 0, rij_d, 1.0)
+    fc = apply_cutoff(desc.cutoff_function, r, rcut) * mask_d
+    h = _grap_filter_all(desc, r, rcut) * fc[..., None]    # [A, N, K]
+    from ..nn.grap import moment_basis
+    unit = jnp.stack([ux, uy, uz], axis=-1).reshape(a * n, 3)
+    m = moment_basis(unit, desc.max_moment).reshape(a, n, -1)
+    k = desc.n_filters
+    eye = jnp.arange(n_slots, dtype=islotf.dtype)
+    sel = (islotf[..., None] == eye) * mask_d[..., None]   # [A, N, S]
+    hs = (sel[..., None] * h[..., None, :]).reshape(a, n, n_slots * k)
+    p = jnp.einsum("anx,and->axd", hs, m,
+                   preferred_element_type=m.dtype)
+    p = p.reshape(a * n_slots, k, m.shape[-1])
+    return desc.invariants_from_p(p, a, n_slots)
+
+
+def _grap_kernel(rij_ref, ux_ref, uy_ref, uz_ref, islot_ref, mask_ref,
+                 out_ref, *, desc, rcut, n_slots, moment_cols, t_dm):
+    mask = mask_ref[:]
+    r = jnp.where(mask > 0, rij_ref[:], 1.0)
+    fc = apply_cutoff(desc.cutoff_function, r, rcut)
+    u = (ux_ref[:], uy_ref[:], uz_ref[:])
+    n_moments = t_dm.shape[1]
+    eps = 1e-16
+    cols = []
+    for s in range(n_slots):
+        sel = jnp.where(islot_ref[:] == float(s), mask, 0.0) * fc
+        for k in range(desc.n_filters):
+            h = _grap_filter(desc, k, r, rcut) * sel       # [blk, N]
+            p_list = []
+            for mono in moment_cols:
+                m = h
+                for ax in mono:
+                    m = m * u[ax]
+                p_list.append(jnp.sum(m, axis=1))          # [blk]
+            s2 = [p * p for p in p_list]
+            for mcol in range(n_moments):
+                acc = None
+                for d in range(len(p_list)):
+                    w = float(t_dm[d, mcol])
+                    if w == 0.0:
+                        continue
+                    term = s2[d] if w == 1.0 else s2[d] * w
+                    acc = term if acc is None else acc + term
+                if acc is None:
+                    acc = jnp.zeros_like(p_list[0])
+                if mcol == 0:
+                    acc = jnp.sign(p_list[0]) * jnp.sqrt(acc + eps)
+                cols.append(acc[:, None])
+    out_ref[:] = jnp.concatenate(cols, axis=1)
+
+
+def _grap_pallas(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf, mask_d):
+    from ..nn.grap import multiplicity_tensor
+    a = rij_d.shape[0]
+    n = rij_d.shape[1]
+    moment_cols = tuple(_moment_columns(desc.max_moment))
+    t_dm = np.asarray(multiplicity_tensor(desc.max_moment, desc.symmetric))
+    out_cols = n_slots * desc.n_filters * (desc.max_moment + 1)
+    (rij_d, ux, uy, uz, islotf, mask_d), nrows = _pad_rows(
+        [rij_d, ux, uy, uz, islotf, mask_d], _BLOCK)
+    padded = rij_d.shape[0]
+    kernel = functools.partial(
+        _grap_kernel, desc=desc, rcut=float(rcut), n_slots=n_slots,
+        moment_cols=moment_cols, t_dm=t_dm)
+    spec = pl.BlockSpec((_BLOCK, n), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(padded // _BLOCK,),
+        in_specs=[spec] * 6,
+        out_specs=pl.BlockSpec((_BLOCK, out_cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded, out_cols), rij_d.dtype),
+        interpret=_interpret(),
+    )(rij_d, ux, uy, uz, islotf, mask_d)
+    return out[:nrows]
+
+
+def fused_grap(desc, features, rcut: float, n_slots: int) -> jnp.ndarray:
+    """GRAP invariants via the fused kernel; differentiable."""
+    rij_d, ux, uy, uz, islotf, mask_d = _dense_pairs(features)
+    op = _custom_vjp_op(
+        functools.partial(_grap_pallas, desc, rcut, n_slots),
+        functools.partial(_grap_ref_dense, desc, rcut, n_slots),
+        n_diff=4)
+    return op(rij_d, ux, uy, uz, islotf, mask_d)
+
+
+# ----------------------------------------------------------------------
+# Behler G2 (radial symmetry functions)
+# ----------------------------------------------------------------------
+
+def _g2_ref_dense(sf, rcut, n_slots, rij_d, islotf, mask_d):
+    a, n = rij_d.shape
+    r = jnp.where(mask_d > 0, rij_d, 1.0)
+    fc = apply_cutoff(sf.cutoff_function, r, rcut) * mask_d
+    dtype = rij_d.dtype
+    eta = jnp.asarray(sf.radial_grid[:, 0], dtype)
+    omega = jnp.asarray(sf.radial_grid[:, 1], dtype)
+    z = jnp.square(r[..., None] - omega) / (rcut * rcut)
+    v = jnp.exp(-eta * z) * fc[..., None]                  # [A, N, T2]
+    eye = jnp.arange(n_slots, dtype=islotf.dtype)
+    sel = (islotf[..., None] == eye) * mask_d[..., None]
+    g = jnp.einsum("ans,ant->ast", sel, v,
+                   preferred_element_type=dtype)
+    return g.reshape(a, n_slots * sf.n_radial_params)
+
+
+def _g2_kernel(rij_ref, islot_ref, mask_ref, out_ref, *, grid_rows,
+               rc, cutoff_name, n_slots):
+    mask = mask_ref[:]
+    r = jnp.where(mask > 0, rij_ref[:], 1.0)
+    fc = apply_cutoff(cutoff_name, r, rc) * mask
+    cols = []
+    for s in range(n_slots):
+        sel = jnp.where(islot_ref[:] == float(s), fc, 0.0)
+        for eta, omega in grid_rows:
+            v = jnp.exp(-eta * jnp.square(r - omega) / (rc * rc)) * sel
+            cols.append(jnp.sum(v, axis=1)[:, None])
+    out_ref[:] = jnp.concatenate(cols, axis=1)
+
+
+def _g2_pallas(sf, rcut, n_slots, rij_d, islotf, mask_d):
+    n = rij_d.shape[1]
+    out_cols = n_slots * sf.n_radial_params
+    (rij_d, islotf, mask_d), nrows = _pad_rows(
+        [rij_d, islotf, mask_d], _BLOCK)
+    padded = rij_d.shape[0]
+    kernel = functools.partial(
+        _g2_kernel,
+        grid_rows=tuple((float(e), float(o)) for e, o in sf.radial_grid),
+        rc=float(rcut), cutoff_name=sf.cutoff_function, n_slots=n_slots)
+    spec = pl.BlockSpec((_BLOCK, n), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(padded // _BLOCK,),
+        in_specs=[spec] * 3,
+        out_specs=pl.BlockSpec((_BLOCK, out_cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded, out_cols), rij_d.dtype),
+        interpret=_interpret(),
+    )(rij_d, islotf, mask_d)
+    return out[:nrows]
+
+
+def fused_g2(sf, features, rcut: float, n_slots: int) -> jnp.ndarray:
+    rij_d, islotf, mask_d = _dense_pairs(features, with_unit=False)
+    op = _custom_vjp_op(
+        functools.partial(_g2_pallas, sf, rcut, n_slots),
+        functools.partial(_g2_ref_dense, sf, rcut, n_slots),
+        n_diff=1)
+    return op(rij_d, islotf, mask_d)
+
+
+# ----------------------------------------------------------------------
+# Behler G4 (angular symmetry functions) — THE nijk-scale kernel
+# ----------------------------------------------------------------------
+
+def _g4_values(grid_rows, cutoff_name, acut, rij, rik, rjk):
+    """Per-triple G4 terms, one [..] array per parameter row."""
+    rij2, rik2, rjk2 = rij * rij, rik * rik, rjk * rjk
+    z = (rij2 + rik2 + rjk2) / (acut * acut)
+    cos_theta = (rij2 + rik2 - rjk2) / (2.0 * rij * rik)
+    fc3 = (apply_cutoff(cutoff_name, rij, acut) *
+           apply_cutoff(cutoff_name, rik, acut) *
+           apply_cutoff(cutoff_name, rjk, acut))
+    out = []
+    for beta, gamma, zeta in grid_rows:
+        base = jnp.maximum(1.0 + gamma * cos_theta, 0.0)
+        out.append(2.0 ** (1.0 - zeta) * base ** zeta *
+                   jnp.exp(-beta * z) * fc3)
+    return out
+
+
+def _g4_ref_dense(sf, acut, n_slots, rij_d, rik_d, rjk_d, aslotf, mask_d):
+    a, n = rij_d.shape
+    safe = lambda x: jnp.where(mask_d > 0, x, 1.0)
+    rows = tuple((float(b), float(g), float(z))
+                 for b, g, z in sf.angular_grid)
+    vals = _g4_values(rows, sf.cutoff_function, acut,
+                      safe(rij_d), safe(rik_d), safe(rjk_d))
+    v = jnp.stack(vals, axis=-1) * mask_d[..., None]       # [A, N, T4]
+    eye = jnp.arange(n_slots, dtype=aslotf.dtype)
+    sel = (aslotf[..., None] == eye) * mask_d[..., None]
+    g = jnp.einsum("ans,ant->ast", sel, v,
+                   preferred_element_type=v.dtype)
+    return g.reshape(a, n_slots * sf.n_angular_params)
+
+
+def _g4_kernel(rij_ref, rik_ref, rjk_ref, aslot_ref, mask_ref, out_ref,
+               *, grid_rows, acut, cutoff_name, n_slots):
+    mask = mask_ref[:]
+    safe = lambda ref: jnp.where(mask > 0, ref[:], 1.0)
+    vals = _g4_values(grid_rows, cutoff_name, acut,
+                      safe(rij_ref), safe(rik_ref), safe(rjk_ref))
+    cols = []
+    for s in range(n_slots):
+        sel = jnp.where(aslot_ref[:] == float(s), mask, 0.0)
+        for v in vals:
+            cols.append(jnp.sum(v * sel, axis=1)[:, None])
+    out_ref[:] = jnp.concatenate(cols, axis=1)
+
+
+def _g4_pallas(sf, acut, n_slots, rij_d, rik_d, rjk_d, aslotf, mask_d):
+    n = rij_d.shape[1]
+    out_cols = n_slots * sf.n_angular_params
+    # triple rows are wide (ntl can reach ~10^4): shrink the row block
+    # so VMEM holds 5 inputs + temporaries
+    block = _BLOCK
+    while block > 8 and block * n * 4 * 8 > 8 * 1024 * 1024:
+        block //= 2
+    (rij_d, rik_d, rjk_d, aslotf, mask_d), nrows = _pad_rows(
+        [rij_d, rik_d, rjk_d, aslotf, mask_d], block)
+    padded = rij_d.shape[0]
+    kernel = functools.partial(
+        _g4_kernel,
+        grid_rows=tuple((float(b), float(g), float(z))
+                        for b, g, z in sf.angular_grid),
+        acut=float(acut), cutoff_name=sf.cutoff_function, n_slots=n_slots)
+    spec = pl.BlockSpec((block, n), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(padded // block,),
+        in_specs=[spec] * 5,
+        out_specs=pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded, out_cols), rij_d.dtype),
+        interpret=_interpret(),
+    )(rij_d, rik_d, rjk_d, aslotf, mask_d)
+    return out[:nrows]
+
+
+def fused_g4(sf, features, acut: float, n_slots: int) -> jnp.ndarray:
+    rij_d, rik_d, rjk_d, aslotf, mask_d = _dense_triples(features)
+    op = _custom_vjp_op(
+        functools.partial(_g4_pallas, sf, acut, n_slots),
+        functools.partial(_g4_ref_dense, sf, acut, n_slots),
+        n_diff=3)
+    return op(rij_d, rik_d, rjk_d, aslotf, mask_d)

@@ -43,6 +43,8 @@ class Dataset:
         # modest headroom so slightly larger eval structures still fit
         self.nij_max = int(self.sizes.nij)
         self.nijk_max = int(self.sizes.nijk)
+        self.nnl_max = int(self.sizes.nnl_tot)
+        self.ntl_max = int(self.sizes.ntl)
         self.n_atoms_vap = int(sum(self.max_occurs.values()) + 1)
 
     # ------------------------------------------------------------------
@@ -51,7 +53,8 @@ class Dataset:
         k = 3 if self.featurizer.angular else 2
         fp = {np.dtype(np.float32): "fp32",
               np.dtype(np.float64): "fp64"}[np.dtype(self.dtype)]
-        sig = f"{self.name}-k{k}-rc{self.featurizer.rcut:.2f}"
+        # v2: dense-layout columns (pair_col/ncols) added to the schema
+        sig = f"{self.name}-v2-k{k}-rc{self.featurizer.rcut:.2f}"
         if self.featurizer.angular:
             # acut and the symmetric flag change the triple features;
             # they must invalidate the cache
@@ -69,6 +72,8 @@ class Dataset:
         vap = fz.make_vap(s, self.max_occurs)
         feats = fz.featurize(s, vap, nij_max=self.nij_max,
                              nijk_max=self.nijk_max or None,
+                             nnl_max=self.nnl_max or None,
+                             ntl_max=self.ntl_max or None,
                              dtype=self.dtype)
         labels: Arrays = {
             "energy": np.asarray(s.energy if s.energy is not None else 0.0,

@@ -159,7 +159,8 @@ class TrainingManager:
                 self.elements, eta=sf.get("eta"), omega=sf.get("omega"),
                 beta=sf.get("beta"), gamma=sf.get("gamma"),
                 zeta=sf.get("zeta"),
-                cutoff_function=sf.get("cutoff_function", "cosine"))
+                cutoff_function=sf.get("cutoff_function", "cosine"),
+                backend=sf.get("backend", "segment"))
         else:
             from ..nn.grap import GenericRadialAtomicPotential
             g = r.get("nn.atomic.grap", {})
@@ -171,7 +172,8 @@ class TrainingManager:
                 moment_tensors=g.get("moment_tensors", 0),
                 cutoff_function=g.get("cutoff_function", "cosine"),
                 symmetric=g.get("symmetric", False),
-                legacy_mode=g.get("legacy_mode", False))
+                legacy_mode=g.get("legacy_mode", False),
+                backend=g.get("backend", "segment"))
 
         layers = r.get("nn.atomic.layers", {}) or None
         static = (self.db.get_atomic_static_energy()

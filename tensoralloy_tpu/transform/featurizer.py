@@ -139,12 +139,20 @@ class Featurizer:
                   nij_max: Optional[int] = None,
                   nijk_max: Optional[int] = None,
                   dtype=np.float64,
-                  pair_bucket=None, trip_bucket=None) -> Features:
+                  pair_bucket=None, trip_bucket=None,
+                  nnl_max: Optional[int] = None,
+                  ntl_max: Optional[int] = None) -> Features:
         """Build the fixed-shape feature arrays for one structure.
 
         `pair_bucket`/`trip_bucket` round the exact pair/triple counts
         up (e.g. to powers of two) when no explicit max is given —
-        single neighbor-list pass, bounded recompilation."""
+        single neighbor-list pass, bounded recompilation.
+
+        `nnl_max`/`ntl_max` fix the widths of the dense per-atom
+        neighbor/triple layouts (``pair_col``/``trip_col`` columns +
+        the ``pair_ncols``/``trip_ncols`` shape carriers) used by the
+        'dense' and 'pallas' descriptor backends; default = this
+        structure's own maxima."""
         structure = structure.ensure_cell()
         if vap is None:
             vap = self.make_vap(structure)
@@ -195,17 +203,30 @@ class Featurizer:
         feats["pair_mask"] = np.concatenate(
             [np.ones(nij), np.zeros(pad)]).astype(dtype)
 
+        # dense per-atom layout: column (neighbor counter) of each pair
+        # within its center's row + a tiny shape-carrier array whose
+        # static length IS the dense width (readable inside jit)
+        cols, nnl = _columns_of(ilist, len(structure))
+        if nnl_max is not None:
+            if nnl > nnl_max:
+                raise ValueError(f"nnl={nnl} exceeds nnl_max={nnl_max}")
+            nnl = int(nnl_max)
+        elif pair_bucket is not None:
+            nnl = int(pair_bucket(nnl))   # bounded recompilation (MD)
+        feats["pair_col"] = _pad(cols, nij_max, 0)
+        feats["pair_ncols"] = np.zeros(max(nnl, 1), dtype=np.int8)
+
         if self.angular:
             a_i, a_j, a_s, a_d = all_pairs if all_pairs is not None else (
                 ilist, jlist, shift, dists)
             self._build_triples(feats, structure, vap, a_i, a_j, a_s,
                                 a_d, elem_idx_local, nijk_max, dtype,
-                                trip_bucket)
+                                trip_bucket, ntl_max)
         return feats
 
     def _build_triples(self, feats, structure, vap, ilist, jlist, shift,
                        dists, elem_idx_local, nijk_max, dtype,
-                       trip_bucket=None):
+                       trip_bucket=None, ntl_max=None):
         within = dists < self.acut
         ii, jj, ss = ilist[within], jlist[within], shift[within]
         # group pairs by center atom; emit j<k combinations
@@ -267,6 +288,16 @@ class Featurizer:
         feats["trip_aslot"] = _pad(self._aslot[ci, cj, ck], nijk_max, 0)
         feats["trip_mask"] = np.concatenate(
             [np.ones(nijk), np.zeros(pad)]).astype(dtype)
+        tcols, ntl = _columns_of(np.asarray(t_i, dtype=np.int64),
+                                 len(structure))
+        if ntl_max is not None:
+            if ntl > ntl_max:
+                raise ValueError(f"ntl={ntl} exceeds ntl_max={ntl_max}")
+            ntl = int(ntl_max)
+        elif trip_bucket is not None:
+            ntl = int(trip_bucket(ntl))
+        feats["trip_col"] = _pad(tcols, nijk_max, 0)
+        feats["trip_ncols"] = np.zeros(max(ntl, 1), dtype=np.int8)
 
     # ------------------------------------------------------------------
     def as_dict(self) -> dict:
@@ -286,6 +317,22 @@ class Featurizer:
                    acut=d.get("acut") or None, angular=d.get("angular", False),
                    symmetric=d.get("symmetric", True),
                    periodic=d.get("periodic", True))
+
+
+def _columns_of(centers: np.ndarray, n_atoms: int):
+    """Per-entry column index within its center's dense row.
+
+    -> (cols [len(centers)] int64, width = max entries of any center).
+    """
+    centers = np.asarray(centers, dtype=np.int64)
+    if len(centers) == 0:
+        return np.zeros(0, np.int64), 0
+    counts = np.bincount(centers, minlength=n_atoms)
+    order = np.argsort(centers, kind="stable")
+    start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    cols = np.zeros(len(centers), dtype=np.int64)
+    cols[order] = np.arange(len(centers)) - start[centers[order]]
+    return cols, int(counts.max())
 
 
 def _pad(arr: np.ndarray, size: int, fill) -> np.ndarray:

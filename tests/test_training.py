@@ -282,9 +282,15 @@ def test_warm_start_semantics(trained, tmp_path):
                 found_nonzero = True
     assert found_nonzero
 
-    # training continues from the restored state
+    # train_steps is an ABSOLUTE global-step horizon (reference
+    # Estimator `max_steps`): a state restored at the horizon is a
+    # no-op; raising the horizon continues from the restored step
     out2 = trainer.fit(*_[:2], verbose=False, initial_state=st1)
-    assert int(out2["state"]["step"]) == 60 + 60
+    assert int(out2["state"]["step"]) == 60
+    trainer.train_parameters.train_steps = 90
+    out3 = trainer.fit(*_[:2], verbose=False, initial_state=st1)
+    assert int(out3["state"]["step"]) == 90
+    trainer.train_parameters.train_steps = 60
 
 
 def test_scan_steps_equivalent(ethanol_db, tmp_path):
