@@ -1,10 +1,28 @@
-"""Headline benchmark: training throughput (structures/s) of the
-flagship AtomicNN + radial+angular symmetry functions, QM7-scale
-molecules, batch size 50 — directly comparable to the reference's
-2,328 structures/s on a GTX 1080Ti
-(`doc/papers/nn/figures/qm7/qm7.speed.csv:5`, see BASELINE.md).
+"""Headline benchmark, honestly timed on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two workloads, both through the PRODUCTION `Trainer._build_train_step`
+(scan-fused full optimizer steps — no hand-copied training code):
+
+1. QM7-scale: AtomicNN + radial+angular symmetry functions, bs=50 —
+   directly comparable to the reference's 2,328 structures/s on a GTX
+   1080Ti (`doc/papers/nn/figures/qm7/qm7.speed.csv:5`, BASELINE.md).
+2. SNAP-scale: 108-atom Ni cells at rc=6.0 (the BASELINE.md padding
+   regime), flagship GRAP pexp-16 moment-0..3 model, dense descriptor
+   backend.
+
+Timing method: this machine's remote TPU backend does NOT block in
+`jax.block_until_ready` (it returns while the device still computes),
+and every dispatch pays a ~30 ms tunnel round-trip. Each measurement
+therefore (a) forces a host fetch of the final loss inside the timed
+region and (b) uses the MARGINAL cost between a K-step-fused and a
+2-step-fused program, so the fixed round-trip cancels exactly.
+
+MFU evidence: achieved FLOP/s = marginal HLO cost-analysis flops /
+marginal time; the device peak is MEASURED in-process with a 4096^3
+matmul anchor (f32 inputs, bf16 MXU passthrough via
+--xla_allow_excess_precision).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
@@ -27,7 +45,6 @@ def make_synthetic_qm7(n_structures: int, seed: int = 611):
         n_o = rng.randint(0, 3)
         symbols = ["C"] * n_c + ["H"] * n_h + ["O"] * n_o
         n = len(symbols)
-        # blob-ish geometry with ~1.4 A typical spacing, non-overlapping
         pos = rng.uniform(0, max(4.0, n ** (1 / 3) * 2.2), size=(n, 3))
         s = Structure.from_symbols(symbols, pos, cell=None)
         s = s.ensure_cell(6.0)
@@ -37,38 +54,38 @@ def make_synthetic_qm7(n_structures: int, seed: int = 611):
     return structures
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from collections import Counter
-    from tensoralloy_tpu.transform import Featurizer
+def make_snap_ni(n_structures: int, seed: int = 0):
+    """108-atom rattled fcc Ni cells (SNAP-scale padding at rc=6.0)."""
+    from tensoralloy_tpu.atoms import Structure
+    rng = np.random.RandomState(seed)
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(3)
+                           for j in range(3) for k in range(3)])
+    out = []
+    for _ in range(n_structures):
+        pos = frac * a0 + rng.normal(scale=0.08, size=(len(frac), 3))
+        s = Structure.from_symbols(["Ni"] * len(frac), pos,
+                                   np.eye(3) * 3 * a0, pbc=[True] * 3)
+        s.info["energy"] = float(rng.normal(-480.0, 1.0))
+        s.info["forces"] = rng.normal(0, 1, size=(len(frac), 3))
+        out.append(s)
+    return out
+
+
+def featurize_all(structures, fz, max_occurs):
     from tensoralloy_tpu.transform.featurizer import batch_features
-    from tensoralloy_tpu.nn.sf import SymmetryFunction
-    from tensoralloy_tpu.nn.atomic import AtomicNN
-    from tensoralloy_tpu.nn import losses as L
-    from tensoralloy_tpu.train.trainer import (Trainer, OptParameters,
-                                               TrainParameters)
-    from tensoralloy_tpu.parallel.mesh import shard_batch, replicate
-
-    batch_size = 50
-    n_structures = 200          # distinct structures, cycled into batches
-    steps_warmup, steps_bench = 5, 30
-
-    structures = make_synthetic_qm7(n_structures)
-    max_occurs = Counter()
-    for s in structures:
-        for e, c in s.count().items():
-            max_occurs[e] = max(max_occurs[e], c)
-    elements = sorted(max_occurs)
-    fz = Featurizer(elements, rcut=6.5, angular=True)
     sizes = [fz.neighbor_size(s) for s in structures]
     nij_max = max(x.nij for x in sizes)
     nijk_max = max(x.nijk for x in sizes)
-
+    nnl_max = max(x.nnl_tot for x in sizes)
+    ntl_max = max(x.ntl for x in sizes)
     feats_list, labels_list = [], []
     for s in structures:
         vap = fz.make_vap(s, max_occurs)
-        f = fz.featurize(s, vap, nij_max=nij_max, nijk_max=nijk_max,
+        f = fz.featurize(s, vap, nij_max=nij_max,
+                         nijk_max=nijk_max or None,
+                         nnl_max=nnl_max or None, ntl_max=ntl_max or None,
                          dtype=np.float32)
         feats_list.append(f)
         labels_list.append({
@@ -79,80 +96,201 @@ def main():
             "has_stress": np.float32(0.0),
             "weights": np.ones(3, np.float32),
         })
-    feats = batch_features(feats_list)
-    labels = batch_features(labels_list)
+    return batch_features(feats_list), batch_features(labels_list)
 
-    sf = SymmetryFunction(elements)
+
+def _hlo_flops(compiled) -> float:
+    try:
+        an = compiled.cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _hlo_bytes(compiled) -> float:
+    try:
+        an = compiled.cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0
+
+
+def measure_peak_bandwidth():
+    """Anchor: big elementwise copy-add, marginal per-iteration GB/s."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.ones((64, 1024, 1024), jnp.float32)   # 256 MB
+
+    def mk(n):
+        def f(x):
+            def body(c, _):
+                return c + 1.0, None
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c[0, 0, 0]
+        return jax.jit(f)
+
+    g1, g9 = mk(1), mk(9)
+    float(g1(x)), float(g9(x))
+    def best(g):
+        b = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(g(x))
+            b = min(b, time.perf_counter() - t0)
+        return b
+    per = (best(g9) - best(g1)) / 8
+    return 2 * x.nbytes / per / 1e9   # read + write
+
+
+def measure_train(model, feats, labels, batch_size, k_hi=18,
+                  minimize=("energy", "forces")):
+    """-> (per_step_seconds, achieved_flops_per_s) via marginal fused
+    programs (k_hi-step vs 2-step; fixed dispatch cost cancels)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+    from tensoralloy_tpu.nn import losses as L
+    from tensoralloy_tpu.train.trainer import (Trainer, OptParameters,
+                                               TrainParameters)
+    from tensoralloy_tpu.parallel.mesh import replicate
+
+    n = len(labels["energy"])
+    rng = np.random.RandomState(0)
+
+    def stacked(k):
+        sel = rng.randint(0, n, size=(k, batch_size))
+        bf = {key: jnp.asarray(v[sel]) for key, v in feats.items()}
+        bl = {key: jnp.asarray(v[sel]) for key, v in labels.items()}
+        return bf, bl
+
+    results = {}
+    flops = {}
+    nbytes = {}
+    for k in (2, k_hi):
+        trainer = Trainer(
+            model, L.LossParameters(), OptParameters(learning_rate=1e-3),
+            TrainParameters(batch_size=batch_size, train_steps=10000,
+                            scan_steps=k),
+            minimize_properties=minimize, n_devices=1)
+        params = model.init_params(jax.random.PRNGKey(0))
+        state = replicate(trainer.init_state(params), trainer.mesh)
+        step = trainer._build_train_step()
+        bf, bl = stacked(k)
+        state, m = step(state, bf, bl)
+        float(m["loss/total"])              # compile + force completion
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            state, m = step(state, bf, bl)
+            float(m["loss/total"])          # host fetch = real barrier
+            best = min(best, time.perf_counter() - t0)
+        results[k] = best
+        compiled = step.lower(state, bf, bl).compile()
+        flops[k] = _hlo_flops(compiled)
+        nbytes[k] = _hlo_bytes(compiled)
+    per_step = max((results[k_hi] - results[2]) / (k_hi - 2), 1e-9)
+    # XLA cost_analysis counts a lax.scan body ONCE (trip count is not
+    # folded in), so the k-fused program's flops ARE the per-step flops
+    return per_step, flops[k_hi] / per_step, nbytes[k_hi] / per_step
+
+
+def measure_peak_tflops():
+    """Anchor: 4096^3 matmul chain, marginal per-iteration time."""
+    import jax
+    import jax.numpy as jnp
+    x = jax.random.normal(jax.random.PRNGKey(0), (4096, 4096), jnp.float32)
+
+    def mk(n):
+        def f(x):
+            def body(c, _):
+                return jnp.tanh(c @ x), None
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c[0, 0]
+        return jax.jit(f)
+
+    g1, g9 = mk(1), mk(9)
+    float(g1(x)), float(g9(x))
+    def best(g):
+        b = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(g(x))
+            b = min(b, time.perf_counter() - t0)
+        return b
+    per = (best(g9) - best(g1)) / 8
+    return 2 * 4096 ** 3 / per / 1e12
+
+
+def main():
+    from collections import Counter
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.sf import SymmetryFunction
+    from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+
+    # ---- QM7-scale headline (reference-comparable task) ----
+    structures = make_synthetic_qm7(120)
+    max_occurs = Counter()
+    for s in structures:
+        for e, c in s.count().items():
+            max_occurs[e] = max(max_occurs[e], c)
+    fz = Featurizer(sorted(max_occurs), rcut=6.5, angular=True)
+    feats, labels = featurize_all(structures, fz, max_occurs)
+    sf = SymmetryFunction(sorted(max_occurs), backend="dense")
     model = AtomicNN(fz, max_occurs, sf, hidden_sizes=[64, 32],
                      minmax_scale=False)
-    trainer = Trainer(model, L.LossParameters(),
-                      OptParameters(learning_rate=1e-3),
-                      TrainParameters(batch_size=batch_size, train_steps=1),
-                      minimize_properties=("energy", "forces"),
-                      n_devices=None)
-    params = model.init_params(jax.random.PRNGKey(0))
-    state = replicate(trainer.init_state(params), trainer.mesh)
-    step_fn = trainer._build_train_step()
+    qm7_step, qm7_fps, _ = measure_train(model, feats, labels,
+                                         batch_size=50, k_hi=66)
+    qm7_throughput = 50.0 / qm7_step
 
-    rng = np.random.RandomState(0)
-    def next_batch():
-        sel = rng.randint(0, n_structures, size=batch_size)
-        bf = {k: jnp.asarray(v[sel]) for k, v in feats.items()}
-        bl = {k: jnp.asarray(v[sel]) for k, v in labels.items()}
-        return shard_batch(bf, trainer.mesh), shard_batch(bl, trainer.mesh)
+    # ---- SNAP-scale flagship (BASELINE.md padding regime) ----
+    snap = make_snap_ni(32)
+    mo = Counter({"Ni": 108})
+    fzs = Featurizer(["Ni"], rcut=6.0)
+    sfeats, slabels = featurize_all(snap, fzs, mo)
+    grap = GenericRadialAtomicPotential(
+        ["Ni"], algorithm="pexp",
+        parameters={"rl": [1.0, 1.2, 1.4, 1.6, 1.8, 2.0, 2.2, 2.4, 2.6,
+                           2.8, 3.0, 3.2, 3.4, 3.6, 3.8, 4.0],
+                    "pl": [5.0, 4.75, 4.5, 4.25, 4.0, 3.75, 3.5, 3.25,
+                           3.0, 2.75, 2.5, 2.25, 2.0, 1.75, 1.5, 1.25]},
+        moment_tensors=[0, 1, 2, 3], backend="dense")
+    smodel = AtomicNN(fzs, mo, grap, hidden_sizes=[128, 128],
+                      minmax_scale=False)
+    snap_step, snap_fps, snap_bps = measure_train(
+        smodel, sfeats, slabels, batch_size=32, k_hi=10)
+    snap_throughput = 32.0 / snap_step
 
-    for _ in range(steps_warmup):
-        bf, bl = next_batch()
-        state, metrics = step_fn(state, bf, bl)
-    jax.block_until_ready(metrics["loss/total"])
-
-    # The host vCPU of this machine is heavily throttled and bursty,
-    # so per-step Python dispatch pollutes wall-clock timing. Fuse the
-    # whole measured loop into ONE device program: scan over a stacked
-    # epoch of batches (also how a production TPU input loop would
-    # amortize dispatch).
-    sel = rng.randint(0, n_structures, size=(steps_bench, batch_size))
-    epoch_f = {k: jnp.asarray(v[sel]) for k, v in feats.items()}
-    epoch_l = {k: jnp.asarray(v[sel]) for k, v in labels.items()}
-
-    def train_step_raw(state, batch):
-        bf, bl = batch
-        step = state["step"]
-        import optax
-        (loss, m), grads = jax.value_and_grad(
-            trainer.total_loss, has_aux=True)(
-                state["params"], bf, bl, step)
-        updates, opt_state = trainer.tx.update(
-            grads, state["opt_state"], state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
-        t = step.astype(jnp.float32)
-        d_t = jnp.minimum(0.999, (1.0 + t) / (10.0 + t))
-        ema = jax.tree_util.tree_map(
-            lambda e, p: d_t * e + (1.0 - d_t) * p,
-            state["ema_params"], new_params)
-        new_state = {"params": new_params, "opt_state": opt_state,
-                     "ema_params": ema, "step": step + 1}
-        return new_state, m["loss/total"]
-
-    @jax.jit
-    def epoch(state, epoch_f, epoch_l):
-        return jax.lax.scan(train_step_raw, state, (epoch_f, epoch_l))
-
-    state2, losses = epoch(state, epoch_f, epoch_l)   # compile
-    jax.block_until_ready(losses)
-    throughput = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state2, losses = epoch(state2, epoch_f, epoch_l)
-        jax.block_until_ready(losses)
-        dt = time.perf_counter() - t0
-        throughput = max(throughput, steps_bench * batch_size / dt)
-
+    peak = measure_peak_tflops()
+    peak_bw = measure_peak_bandwidth()
     print(json.dumps({
         "metric": "qm7_train_throughput_angular_sf_bs50",
-        "value": round(throughput, 1),
+        "value": round(qm7_throughput, 1),
         "unit": "structures/s",
-        "vs_baseline": round(throughput / BASELINE_STRUCTURES_PER_S, 3),
+        "vs_baseline": round(qm7_throughput / BASELINE_STRUCTURES_PER_S, 3),
+        "extras": {
+            "snap_grap_train_structs_per_s": round(snap_throughput, 1),
+            "snap_grap_train_ms_per_step_bs32": round(snap_step * 1e3, 3),
+            "snap_grap_achieved_tflops": round(snap_fps / 1e12, 2),
+            "qm7_achieved_tflops": round(qm7_fps / 1e12, 2),
+            "measured_peak_tflops_matmul_anchor": round(peak, 1),
+            "snap_mfu_vs_measured_peak": round(
+                snap_fps / 1e12 / max(peak, 1e-9), 4),
+            # this op class is bandwidth-bound (tiny matmuls, big
+            # gathers): the roofline axis that binds is HBM bytes
+            "snap_grap_achieved_gbps_hlo_bytes": round(snap_bps / 1e9, 1),
+            "measured_peak_gbps_copy_anchor": round(peak_bw, 1),
+            "snap_bw_util_vs_measured_peak": round(
+                snap_bps / max(peak_bw * 1e9, 1e-9), 4),
+            "descriptor_backend": "dense",
+            "timing": "marginal K-vs-2 fused scan, host-fetch forced "
+                      "(block_until_ready does not block on this "
+                      "backend); full optimizer step incl adam+EMA",
+        },
     }))
 
 

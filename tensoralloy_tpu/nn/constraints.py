@@ -250,9 +250,12 @@ class RoseConstraint:
             sizes = [fz.neighbor_size(s) for s in scaled]
             nij_max = max(z.nij for z in sizes)
             nijk_max = max(z.nijk for z in sizes) if fz.angular else None
+            nnl_max = max(z.nnl_tot for z in sizes)
+            ntl_max = max(z.ntl for z in sizes) if fz.angular else None
             vap = fz.make_vap(spec.structure)
             batch = batch_features([
-                fz.featurize(s, vap, nij_max=nij_max, nijk_max=nijk_max)
+                fz.featurize(s, vap, nij_max=nij_max, nijk_max=nijk_max,
+                             nnl_max=nnl_max, ntl_max=ntl_max)
                 for s in scaled])
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             beta = (options.beta[idx] if idx < len(options.beta) else 0.0)
@@ -418,11 +421,15 @@ class ExtraDatabaseConstraint:
         sizes = [fz.neighbor_size(s) for s in structures]
         nij_max = max(z.nij for z in sizes)
         nijk_max = (max(z.nijk for z in sizes) if fz.angular else None)
+        nnl_max = max(z.nnl_tot for z in sizes)
+        ntl_max = (max(z.ntl for z in sizes) if fz.angular else None)
         feats_list, e_list, f_list, w_list = [], [], [], []
         for s in structures:
             vap = fz.make_vap(s, max_occurs)
             feats_list.append(fz.featurize(s, vap, nij_max=nij_max,
-                                           nijk_max=nijk_max))
+                                           nijk_max=nijk_max,
+                                           nnl_max=nnl_max,
+                                           ntl_max=ntl_max))
             e_list.append(s.energy or 0.0)
             f = s.forces
             f_list.append(vap.map_forces(f) if f is not None else

@@ -248,6 +248,9 @@ class GenericRadialAtomicPotential:
         if backend == "pallas":
             from ..ops.fused import fused_grap
             return fused_grap(self, features, rcut, n_radial_slots)
+        if backend == "dense":
+            return self._compute_dense(features, rcut, n_radial_slots,
+                                       params, vap_element_idx)
 
         vec = pair_vectors(features)
         mask = features["pair_mask"]
@@ -274,28 +277,42 @@ class GenericRadialAtomicPotential:
             return self._legacy(h, unit, seg, nseg, n_vap, n_radial_slots)
 
         m = moment_basis(unit, self.max_moment)        # [nij, D]
-        if backend == "dense":
-            # dense per-atom layout: the (pairs x filters x monomials)
-            # reduction becomes ONE batched matmul over the neighbor
-            # axis on the MXU — no [nij, K, D] HBM intermediate
-            from ..ops.dense import dense_width, densify, slot_onehot
-            nnl = dense_width(features, "pair")
-            k = self.n_filters
-            sel = slot_onehot(features["pair_islot"], mask, n_radial_slots)
-            hs = (sel[:, :, None] * h[:, None, :]).reshape(
-                -1, n_radial_slots * k)
-            hs_d = densify(hs, features["pair_i"], features["pair_col"],
-                           n_vap, nnl)                 # [A, N, S*K]
-            m_d = densify(m * mask[:, None], features["pair_i"],
-                          features["pair_col"], n_vap, nnl)   # [A, N, D]
-            p = jnp.einsum("ajx,ajd->axd", hs_d, m_d,
-                           preferred_element_type=m_d.dtype)
-            p = p.reshape(n_vap * n_radial_slots, k, m.shape[-1])
-            return self.invariants_from_p(p, n_vap, n_radial_slots)
-
         hm = h[:, :, None] * m[:, None, :]             # [nij, K, D]
         p = jax.ops.segment_sum(hm, seg, num_segments=nseg)
         return self.invariants_from_p(p, n_vap, n_radial_slots)
+
+    def _compute_dense(self, features, rcut: float, n_slots: int,
+                       params=None, vap_element_idx=None) -> jnp.ndarray:
+        """Dense per-atom layout: the (pairs x filters x monomials)
+        reduction becomes ONE batched matmul over the neighbor axis on
+        the MXU — gathers only, no scatter, no [nij, K, D] HBM
+        intermediate."""
+        from ..ops.dense import dense_pair_geometry, slot_onehot_dense
+        rij, unit, islotf, mask = dense_pair_geometry(features)
+        a, n = rij.shape
+        fc = apply_cutoff(self.cutoff_function, rij, rcut) * mask
+
+        rcov_pp = None
+        if self.algorithm == "nn" and self.h_modifier != 0:
+            rcov_vap = jnp.asarray(
+                covalent_radii[[atomic_numbers[self.elements[i]]
+                                for i in np.asarray(vap_element_idx)]],
+                rij.dtype)
+            rcov_pp = rcov_vap[:, None] * jnp.ones_like(rij)
+
+        flat = lambda x: x.reshape((a * n,) + x.shape[2:])
+        h = self._filter_values(
+            flat(rij), rcut, params,
+            flat(rcov_pp) if rcov_pp is not None else None)
+        h = h.reshape(a, n, -1) * fc[..., None]        # [A, N, K]
+        m = moment_basis(flat(unit), self.max_moment).reshape(a, n, -1)
+        k = self.n_filters
+        sel = slot_onehot_dense(islotf, mask, n_slots)  # [A, N, S]
+        hs = (sel[..., None] * h[..., None, :]).reshape(a, n, n_slots * k)
+        p = jnp.einsum("ajx,ajd->axd", hs, m,
+                       preferred_element_type=m.dtype)
+        p = p.reshape(a * n_slots, k, m.shape[-1])
+        return self.invariants_from_p(p, a, n_slots)
 
     def _legacy(self, h, unit, seg, nseg, n_vap, n_slots) -> jnp.ndarray:
         """Legacy per-kbody-term scalar contractions

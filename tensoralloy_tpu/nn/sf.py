@@ -79,31 +79,31 @@ class SymmetryFunction:
             from ..ops.fused import fused_g2
             return fused_g2(self, features, rcut, n_slots)
         dtype = features["positions"].dtype
+        eta = jnp.asarray(self.radial_grid[:, 0], dtype)
+        omega = jnp.asarray(self.radial_grid[:, 1], dtype)
+        if self.backend == "dense":
+            from ..ops.dense import (dense_pair_geometry,
+                                     slot_onehot_dense, contract_slots)
+            rij, _, islotf, mask = dense_pair_geometry(features)
+            fc = apply_cutoff(self.cutoff_function, rij, rcut) * mask
+            z = jnp.square(rij[..., None] - omega) / (rcut * rcut)
+            v = jnp.exp(-eta * z) * fc[..., None]           # [A, N, T2]
+            sel = slot_onehot_dense(islotf, mask, n_slots)
+            g = contract_slots(sel, v)              # [A, S, T2] on MXU
+            return g.reshape(n_vap, n_slots * self.n_radial_params)
         _, rij = pair_distances(features)
         mask = features["pair_mask"]
         fc = apply_cutoff(self.cutoff_function, rij, rcut) * mask
-        eta = jnp.asarray(self.radial_grid[:, 0], dtype)
-        omega = jnp.asarray(self.radial_grid[:, 1], dtype)
         z = jnp.square(rij[:, None] - omega[None, :]) / (rcut * rcut)
         v = jnp.exp(-eta[None, :] * z) * fc[:, None]        # [nij, T2]
-        if self.backend == "dense":
-            from ..ops.dense import (dense_width, densify, slot_onehot,
-                                     contract_slots)
-            nnl = dense_width(features, "pair")
-            sel = slot_onehot(features["pair_islot"], mask, n_slots)
-            sel_d = densify(sel, features["pair_i"], features["pair_col"],
-                            n_vap, nnl)
-            v_d = densify(v, features["pair_i"], features["pair_col"],
-                          n_vap, nnl)
-            g = contract_slots(sel_d, v_d)          # [A, S, T2] on MXU
-            return g.reshape(n_vap, n_slots * self.n_radial_params)
         seg = features["pair_i"] * n_slots + features["pair_islot"]
         g = jax.ops.segment_sum(v, seg, num_segments=n_vap * n_slots)
         return g.reshape(n_vap, n_slots * self.n_radial_params)
 
     def angular_values(self, rij, rik, rjk, mask, acut: float
                        ) -> jnp.ndarray:
-        """Per-triple G4 values [n, T4] (shared by every backend)."""
+        """Per-triple G4 values [..., T4] (any leading shape; shared by
+        every backend)."""
         dtype = rij.dtype
         rij2, rik2, rjk2 = rij * rij, rik * rik, rjk * rjk
         z = (rij2 + rik2 + rjk2) / (acut * acut)
@@ -114,12 +114,12 @@ class SymmetryFunction:
         beta = jnp.asarray(self.angular_grid[:, 0], dtype)
         gamma = jnp.asarray(self.angular_grid[:, 1], dtype)
         zeta = jnp.asarray(self.angular_grid[:, 2], dtype)
-        base = 1.0 + gamma[None, :] * cos_theta[:, None]
+        base = 1.0 + gamma * cos_theta[..., None]
         # base can dip slightly below 0 from fp error at theta ~ pi
         base = jnp.maximum(base, 0.0)
         outer = 2.0 ** (1.0 - zeta)
-        return (outer[None, :] * base ** zeta[None, :] *
-                jnp.exp(-beta[None, :] * z[:, None]) * fc[:, None])
+        return (outer * base ** zeta *
+                jnp.exp(-beta * z[..., None]) * fc[..., None])
 
     def angular(self, features, acut: float, n_slots: int) -> jnp.ndarray:
         """-> [n_vap, n_slots * n_angular_params]."""
@@ -127,20 +127,17 @@ class SymmetryFunction:
         if self.backend == "pallas":
             from ..ops.fused import fused_g4
             return fused_g4(self, features, acut, n_slots)
+        if self.backend == "dense":
+            from ..ops.dense import (dense_triple_geometry,
+                                     slot_onehot_dense, contract_slots)
+            rij, rik, rjk, aslotf, mask = dense_triple_geometry(features)
+            v = self.angular_values(rij, rik, rjk, mask, acut)
+            sel = slot_onehot_dense(aslotf, mask, n_slots)
+            g = contract_slots(sel, v)
+            return g.reshape(n_vap, n_slots * self.n_angular_params)
         rij, rik, rjk = triple_distances(features)
         mask = features["trip_mask"]
         v = self.angular_values(rij, rik, rjk, mask, acut)  # [nijk, T4]
-        if self.backend == "dense":
-            from ..ops.dense import (dense_width, densify, slot_onehot,
-                                     contract_slots)
-            ntl = dense_width(features, "trip")
-            sel = slot_onehot(features["trip_aslot"], mask, n_slots)
-            sel_d = densify(sel, features["trip_i"], features["trip_col"],
-                            n_vap, ntl)
-            v_d = densify(v, features["trip_i"], features["trip_col"],
-                          n_vap, ntl)
-            g = contract_slots(sel_d, v_d)
-            return g.reshape(n_vap, n_slots * self.n_angular_params)
         seg = features["trip_i"] * n_slots + features["trip_aslot"]
         g = jax.ops.segment_sum(v, seg, num_segments=n_vap * n_slots)
         return g.reshape(n_vap, n_slots * self.n_angular_params)

@@ -1,56 +1,76 @@
-"""Dense per-atom neighbor layout: segment reductions as MXU matmuls.
+"""Dense per-atom neighbor layout: gathers in, matmuls out, NO scatters.
 
-The flat-pair `segment_sum` descriptor path materializes a
-``[nij, K, D]`` (GRAP) or ``[nij, T]`` (G2/G4) intermediate in HBM and
-reduces it with a scatter-add — memory-bound at SNAP-scale padding
-(nij 12,384 / nijk 526,320 per structure, BASELINE.md).
-
-Here flat per-pair values are scattered ONCE into a dense
-``[n_rows, width]`` per-atom layout (``pair_col`` columns from the
-featurizer), after which every descriptor reduction over neighbors is a
-*batched matmul over the neighbor axis* — exactly the contraction shape
-the MXU wants:
+Measured on the v5e chip, XLA TPU scatter-adds (`segment_sum`, scatter
+densification) run ~30x below HBM bandwidth — they dominate the flat
+pair path at SNAP-scale padding. The featurizer therefore builds the
+dense `[n_vap, nnl]` layout on the HOST (`pair_j_d`/`pair_shift_d`/
+`pair_mask_d`/`pair_islot_d`, triples likewise); on device the forward
+pass is gathers (`positions[pair_j_d]`) + elementwise filters + a
+batched matmul over the neighbor axis (MXU):
 
     G[a, s, t] = sum_j sel[a, j, s] v[a, j, t]  =  sel_d^T @ v_d
 
-Replaces the reference's scatter-into-dense-g-tensor layout
-(`transformer/universal.py:583-620`) with a compiler-friendly
-formulation; autodiff-transparent (scatter-add -> gather in reverse).
+The only scatter left in the whole pipeline is the force backward
+(gather transpose, [A, N, 3] -> [A, 3] — tiny). Replaces the
+reference's scatter-into-dense-g-tensor (`universal.py:583-620`).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-
-def dense_width(features, kind: str = "pair") -> int:
-    """Static dense-row width carried by the `{kind}_ncols` array."""
-    key = f"{kind}_ncols"
-    if key not in features:
-        raise KeyError(
-            f"features lack '{key}' — re-featurize with this version "
-            "(the dense/pallas descriptor backends need the dense-layout "
-            "columns emitted by Featurizer.featurize)")
-    return features[key].shape[-1]
+from .pairs import safe_norm
 
 
-def densify(values: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
-            n_rows: int, width: int) -> jnp.ndarray:
-    """Scatter flat entries into [n_rows, width, ...].
+def dense_pair_geometry(features):
+    """-> (rij_d [A, N], unit_d [A, N, 3], islotf_d [A, N], mask_d).
 
-    `values` MUST be pre-masked (padding entries zero): padding rows/cols
-    all alias slot (0, 0) and are scatter-ADDED, so zeros are a no-op.
+    Padding entries (mask 0) carry FINITE garbage geometry (they alias
+    the virtual-atom row): every consumer must multiply by the mask (or
+    a mask-carrying selector) before reducing, which also zeroes their
+    gradients.
     """
-    flat = jnp.zeros((n_rows * width,) + values.shape[1:], values.dtype)
-    flat = flat.at[rows * width + cols].add(values)
-    return flat.reshape((n_rows, width) + values.shape[1:])
+    if "pair_j_d" not in features:
+        raise KeyError(
+            "features lack the dense pair layout ('pair_j_d' ...) — "
+            "re-featurize with this version to use the dense/pallas "
+            "descriptor backends")
+    pos = features["positions"]
+    cell = features["cell"]
+    mask = features["pair_mask_d"]
+    vec = (pos[features["pair_j_d"]] + features["pair_shift_d"] @ cell
+           - pos[:, None, :])
+    rij = safe_norm(vec)
+    rij = jnp.where(mask > 0, rij, 1.0)
+    unit = vec / rij[..., None]
+    return rij, unit, features["pair_islot_d"], mask
 
 
-def slot_onehot(slot: jnp.ndarray, mask: jnp.ndarray,
-                n_slots: int) -> jnp.ndarray:
-    """[n, n_slots] masked one-hot of the k-body slot index."""
-    eye = jnp.arange(n_slots)
-    return (slot[:, None] == eye[None, :]).astype(mask.dtype) \
-        * mask[:, None]
+def dense_triple_geometry(features):
+    """-> (rij_d, rik_d, rjk_d [A, Nt], aslotf_d, mask_d)."""
+    if "trip_j_d" not in features:
+        raise KeyError(
+            "features lack the dense triple layout ('trip_j_d' ...) — "
+            "re-featurize with this version to use the dense/pallas "
+            "descriptor backends")
+    pos = features["positions"]
+    cell = features["cell"]
+    mask = features["trip_mask_d"]
+    ri = pos[:, None, :]
+    rj = pos[features["trip_j_d"]] + features["trip_shift_j_d"] @ cell
+    rk = pos[features["trip_k_d"]] + features["trip_shift_k_d"] @ cell
+
+    def dist(a, b):
+        return jnp.where(mask > 0, safe_norm(b - a), 1.0)
+
+    return (dist(ri, rj), dist(ri, rk), dist(rj, rk),
+            features["trip_aslot_d"], mask)
+
+
+def slot_onehot_dense(slotf: jnp.ndarray, mask: jnp.ndarray,
+                      n_slots: int) -> jnp.ndarray:
+    """[A, N, S] masked one-hot of the (float-carried) slot index."""
+    eye = jnp.arange(n_slots, dtype=slotf.dtype)
+    return (slotf[..., None] == eye) * mask[..., None]
 
 
 def contract_slots(sel_d: jnp.ndarray, v_d: jnp.ndarray) -> jnp.ndarray:

@@ -32,9 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cutoffs import apply_cutoff
-from .dense import dense_width, densify, slot_onehot
+from .dense import dense_pair_geometry, dense_triple_geometry
 from .generic import density_exp, morse, power_exp
-from .pairs import pair_vectors, safe_norm, triple_distances
 
 _BLOCK = 128
 
@@ -59,38 +58,19 @@ def _pad_rows(arrs, block):
 def _dense_pairs(features, with_unit: bool = True):
     """-> (rij_d, [ux_d, uy_d, uz_d,] islotf_d, mask_d), each [A, N].
 
-    Values are pre-masked so the scatter-add densify is exact; the
-    slot index is carried as float so the custom-VJP signature stays
-    all-float (zero cotangents).
-    """
-    vec = pair_vectors(features)
-    mask = features["pair_mask"]
-    rij = safe_norm(vec)
-    rij = jnp.where(mask > 0, rij, 1.0)
-    n_vap = features["positions"].shape[0]
-    nnl = dense_width(features, "pair")
-    rows, cols = features["pair_i"], features["pair_col"]
-    dd = lambda v: densify(v * mask, rows, cols, n_vap, nnl)
-    out = [dd(rij)]
+    Host-built dense layout + device gathers (no scatter; see
+    `ops/dense.py`). The slot index is carried as float so the
+    custom-VJP signature stays all-float (zero cotangents)."""
+    rij, unit, islotf, mask = dense_pair_geometry(features)
+    out = [rij]
     if with_unit:
-        unit = vec / rij[:, None]
-        out += [dd(unit[:, 0]), dd(unit[:, 1]), dd(unit[:, 2])]
-    islotf = features["pair_islot"].astype(mask.dtype)
-    out += [dd(islotf), densify(mask, rows, cols, n_vap, nnl)]
-    return out
+        out += [unit[..., 0], unit[..., 1], unit[..., 2]]
+    return out + [islotf, mask]
 
 
 def _dense_triples(features):
     """-> (rij_d, rik_d, rjk_d, aslotf_d, mask_d), each [A, Nt]."""
-    rij, rik, rjk = triple_distances(features)
-    mask = features["trip_mask"]
-    n_vap = features["positions"].shape[0]
-    ntl = dense_width(features, "trip")
-    rows, cols = features["trip_i"], features["trip_col"]
-    dd = lambda v: densify(v * mask, rows, cols, n_vap, ntl)
-    aslotf = features["trip_aslot"].astype(mask.dtype)
-    return [dd(rij), dd(rik), dd(rjk), dd(aslotf),
-            densify(mask, rows, cols, n_vap, ntl)]
+    return list(dense_triple_geometry(features))
 
 
 def _custom_vjp_op(pallas_impl, ref_impl, n_diff: int):

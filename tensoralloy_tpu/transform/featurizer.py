@@ -203,9 +203,9 @@ class Featurizer:
         feats["pair_mask"] = np.concatenate(
             [np.ones(nij), np.zeros(pad)]).astype(dtype)
 
-        # dense per-atom layout: column (neighbor counter) of each pair
-        # within its center's row + a tiny shape-carrier array whose
-        # static length IS the dense width (readable inside jit)
+        # Dense per-atom layout, built on the HOST: XLA TPU scatters run
+        # far below HBM bandwidth, so the device must see gathers only.
+        # Row = VAP index of the center, column = neighbor counter.
         cols, nnl = _columns_of(ilist, len(structure))
         if nnl_max is not None:
             if nnl > nnl_max:
@@ -213,8 +213,21 @@ class Featurizer:
             nnl = int(nnl_max)
         elif pair_bucket is not None:
             nnl = int(pair_bucket(nnl))   # bounded recompilation (MD)
-        feats["pair_col"] = _pad(cols, nij_max, 0)
-        feats["pair_ncols"] = np.zeros(max(nnl, 1), dtype=np.int8)
+        nnl = max(nnl, 1)
+        n_vap = vap.n_atoms_vap
+        rows = vap.local_to_vap[ilist]
+        pjd = np.zeros((n_vap, nnl), np.int32)
+        psd = np.zeros((n_vap, nnl, 3), dtype)
+        pmd = np.zeros((n_vap, nnl), dtype)
+        pisd = np.zeros((n_vap, nnl), dtype)
+        pjd[rows, cols] = vap.local_to_vap[jlist]
+        psd[rows, cols] = shift
+        pmd[rows, cols] = 1.0
+        pisd[rows, cols] = self._rslot[ci, cj]
+        feats["pair_j_d"] = pjd
+        feats["pair_shift_d"] = psd
+        feats["pair_mask_d"] = pmd
+        feats["pair_islot_d"] = pisd
 
         if self.angular:
             a_i, a_j, a_s, a_d = all_pairs if all_pairs is not None else (
@@ -296,8 +309,27 @@ class Featurizer:
             ntl = int(ntl_max)
         elif trip_bucket is not None:
             ntl = int(trip_bucket(ntl))
-        feats["trip_col"] = _pad(tcols, nijk_max, 0)
-        feats["trip_ncols"] = np.zeros(max(ntl, 1), dtype=np.int8)
+        ntl = max(ntl, 1)
+        n_vap = vap.n_atoms_vap
+        rows = vap.local_to_vap[t_i]
+        tjd = np.zeros((n_vap, ntl), np.int32)
+        tkd = np.zeros((n_vap, ntl), np.int32)
+        tsjd = np.zeros((n_vap, ntl, 3), dtype)
+        tskd = np.zeros((n_vap, ntl, 3), dtype)
+        tmd = np.zeros((n_vap, ntl), dtype)
+        tasd = np.zeros((n_vap, ntl), dtype)
+        tjd[rows, tcols] = vap.local_to_vap[t_j]
+        tkd[rows, tcols] = vap.local_to_vap[t_k]
+        tsjd[rows, tcols] = t_sj
+        tskd[rows, tcols] = t_sk
+        tmd[rows, tcols] = 1.0
+        tasd[rows, tcols] = self._aslot[ci, cj, ck]
+        feats["trip_j_d"] = tjd
+        feats["trip_k_d"] = tkd
+        feats["trip_shift_j_d"] = tsjd
+        feats["trip_shift_k_d"] = tskd
+        feats["trip_mask_d"] = tmd
+        feats["trip_aslot_d"] = tasd
 
     # ------------------------------------------------------------------
     def as_dict(self) -> dict:

@@ -181,7 +181,7 @@ def test_periodic_checkpoint_and_bitexact_resume(tmp_path):
     model = AtomicNN(fz, Counter({"Ni": 4}), SymmetryFunction(["Ni"]),
                      hidden_sizes=[8], minmax_scale=False)
     feats_list = [fz.featurize(s, fz.make_vap(s, model.max_occurs),
-                               nij_max=256)
+                               nij_max=256, nnl_max=64)
                   for s in structs]
     feats = {k: np.stack([f[k] for f in feats_list])
              for k in feats_list[0]}
