@@ -1,11 +1,23 @@
 """Elastic-constant computation by finite homogeneous deformations
-(reference `tensoralloy/analysis/elastic.py`, which fits Cij from
-symmetry-reduced strain patterns; here the full 6x6 tensor is obtained
-from central differences of the analytic stress — the model's stress is
-itself exact autodiff, so no internal-relaxation fitting loop is
-needed for the unrelaxed (clamped-ion) constants).
+(reference `tensoralloy/analysis/elastic.py:33-684`).
+
+Two methods:
+
+* `compute_elastic_tensor` — clamped-ion 6x6 from central differences
+  of the analytic (autodiff) stress, one strain component at a time.
+* `fit_elastic_tensor` — the reference's symmetry-aware protocol:
+  detect the lattice family, deform only the non-equivalent axes,
+  least-squares fit the family's independent constants through its
+  stress-strain equation matrix, optionally relaxing internal
+  coordinates under each strain (relaxed-ion constants).
+
+Lattice detection is metric-based (cell lengths/angles) since spglib is
+not available in this environment; pass ``lattice=`` to override (e.g.
+for primitive cells expressed in non-conventional settings).
 """
 from __future__ import annotations
+
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -49,6 +61,297 @@ def compute_elastic_tensor(calc, structure: Structure,
     if in_gpa:
         c = c * EV_ANGSTROM3_TO_GPA
     return c
+
+
+
+# ----------------------------------------------------------------------
+# Symmetry-aware least-squares protocol (reference `elastic.py:33-684`)
+# ----------------------------------------------------------------------
+
+LATTICE_NUMBERS = {"triclinic": 1, "monoclinic": 2, "orthorhombic": 3,
+                   "tetragonal": 4, "trigonal": 5, "hexagonal": 6,
+                   "cubic": 7}
+
+
+def detect_lattice(structure: Structure, tol: float = 1e-3) -> str:
+    """Lattice family from the cell metric (conventional settings).
+
+    spglib is unavailable here, so this inspects lengths/angles only; a
+    crystal in a non-conventional cell (e.g. fcc primitive rhombohedron)
+    should pass its family explicitly.
+    """
+    cell = structure.cell
+    a, b, c = np.linalg.norm(cell, axis=1)
+    def angle(u, v):
+        cosv = np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+        return np.degrees(np.arccos(np.clip(cosv, -1, 1)))
+    al = angle(cell[1], cell[2])
+    be = angle(cell[0], cell[2])
+    ga = angle(cell[0], cell[1])
+    eq = lambda x, y: abs(x - y) < tol * max(abs(x), abs(y), 1.0)
+    right = [eq(x, 90.0) for x in (al, be, ga)]
+    if all(right):
+        if eq(a, b) and eq(b, c):
+            return "cubic"
+        if eq(a, b) or eq(b, c) or eq(a, c):
+            return "tetragonal"
+        return "orthorhombic"
+    if eq(a, b) and right[0] and right[1] and eq(ga, 120.0):
+        return "hexagonal"
+    if eq(a, b) and eq(b, c) and eq(al, be) and eq(be, ga):
+        return "trigonal"
+    if sum(right) == 2:
+        return "monoclinic"
+    return "triclinic"
+
+
+def _eq_matrix(lattice: str, u: np.ndarray) -> np.ndarray:
+    """Stress-strain equation matrix M so that  sigma = M @ Cij for the
+    family's independent constants (Landau-Lifshitz relations; same
+    contract as reference `elastic.py:89-307`)."""
+    xx, yy, zz, yz, xz, xy = u
+    if lattice == "cubic":
+        # C11, C12, C44
+        return np.array([[xx, yy + zz, 0],
+                         [yy, xx + zz, 0],
+                         [zz, xx + yy, 0],
+                         [0, 0, 2 * yz],
+                         [0, 0, 2 * xz],
+                         [0, 0, 2 * xy]])
+    if lattice == "tetragonal":
+        # C11, C33, C12, C13, C44, C66
+        return np.array([[xx, 0, yy, zz, 0, 0],
+                         [yy, 0, xx, zz, 0, 0],
+                         [0, zz, 0, xx + yy, 0, 0],
+                         [0, 0, 0, 0, 2 * yz, 0],
+                         [0, 0, 0, 0, 2 * xz, 0],
+                         [0, 0, 0, 0, 0, 2 * xy]])
+    if lattice == "orthorhombic":
+        # C11, C22, C33, C12, C13, C23, C44, C55, C66
+        return np.array(
+            [[xx, 0, 0, yy, zz, 0, 0, 0, 0],
+             [0, yy, 0, xx, 0, zz, 0, 0, 0],
+             [0, 0, zz, 0, xx, yy, 0, 0, 0],
+             [0, 0, 0, 0, 0, 0, 2 * yz, 0, 0],
+             [0, 0, 0, 0, 0, 0, 0, 2 * xz, 0],
+             [0, 0, 0, 0, 0, 0, 0, 0, 2 * xy]])
+    if lattice == "hexagonal":
+        # C11, C33, C12, C13, C44; C66 = (C11 - C12)/2 so
+        # sigma_xy = 2 C66 u_xy = (C11 - C12) u_xy
+        return np.array([[xx, 0, yy, zz, 0],
+                         [yy, 0, xx, zz, 0],
+                         [0, zz, 0, xx + yy, 0],
+                         [0, 0, 0, 0, 2 * yz],
+                         [0, 0, 0, 0, 2 * xz],
+                         [xy, 0, -xy, 0, 0]])
+    if lattice == "trigonal":
+        # C11, C33, C12, C13, C44, C14 for class 3barm:
+        #   [C11 C12 C13  C14  0    0  ]
+        #   [C12 C11 C13 -C14  0    0  ]
+        #   [C13 C13 C33   0   0    0  ]
+        #   [C14 -C14  0  C44  0    0  ]
+        #   [ 0    0   0   0  C44  C14 ]
+        #   [ 0    0   0   0  C14 (C11-C12)/2]
+        return np.array(
+            [[xx, 0, yy, zz, 0, 2 * yz],
+             [yy, 0, xx, zz, 0, -2 * yz],
+             [0, zz, 0, xx + yy, 0, 0],
+             [0, 0, 0, 0, 2 * yz, xx - yy],
+             [0, 0, 0, 0, 2 * xz, 2 * xy],
+             [xy, 0, -xy, 0, 0, 2 * xz]])
+    if lattice == "monoclinic":
+        # C11 C22 C33 C12 C13 C23 C44 C55 C66 C16 C26 C36 C45
+        return np.array(
+            [[xx, 0, 0, yy, zz, 0, 0, 0, 0, 2 * xy, 0, 0, 0],
+             [0, yy, 0, xx, 0, zz, 0, 0, 0, 0, 2 * xy, 0, 0],
+             [0, 0, zz, 0, xx, yy, 0, 0, 0, 0, 0, 2 * xy, 0],
+             [0, 0, 0, 0, 0, 0, 2 * yz, 0, 0, 0, 0, 0, 2 * xz],
+             [0, 0, 0, 0, 0, 0, 0, 2 * xz, 0, 0, 0, 0, 2 * yz],
+             [0, 0, 0, 0, 0, 0, 0, 0, 2 * xy, xx, yy, zz, 0]])
+    # triclinic: all 21 constants, sigma_i = sum_j C_ij u_j (2x shears)
+    w = np.array([xx, yy, zz, 2 * yz, 2 * xz, 2 * xy])
+    m = np.zeros((6, 21))
+    idx = 0
+    pairs = [(i, j) for i in range(6) for j in range(i, 6)]
+    for (i, j) in pairs:
+        m[i, idx] += w[j]
+        if i != j:
+            m[j, idx] += w[i]
+        idx += 1
+    return m
+
+
+_CIJ_SLOTS = {
+    # family -> [(name, [(i, j), ...] Voigt slots it fills)]
+    "cubic": [("C11", [(0, 0), (1, 1), (2, 2)]),
+              ("C12", [(0, 1), (0, 2), (1, 2)]),
+              ("C44", [(3, 3), (4, 4), (5, 5)])],
+    "tetragonal": [("C11", [(0, 0), (1, 1)]), ("C33", [(2, 2)]),
+                   ("C12", [(0, 1)]), ("C13", [(0, 2), (1, 2)]),
+                   ("C44", [(3, 3), (4, 4)]), ("C66", [(5, 5)])],
+    "orthorhombic": [("C11", [(0, 0)]), ("C22", [(1, 1)]),
+                     ("C33", [(2, 2)]), ("C12", [(0, 1)]),
+                     ("C13", [(0, 2)]), ("C23", [(1, 2)]),
+                     ("C44", [(3, 3)]), ("C55", [(4, 4)]),
+                     ("C66", [(5, 5)])],
+    "hexagonal": [("C11", [(0, 0), (1, 1)]), ("C33", [(2, 2)]),
+                  ("C12", [(0, 1)]), ("C13", [(0, 2), (1, 2)]),
+                  ("C44", [(3, 3), (4, 4)])],
+    "trigonal": [("C11", [(0, 0), (1, 1)]), ("C33", [(2, 2)]),
+                 ("C12", [(0, 1)]), ("C13", [(0, 2), (1, 2)]),
+                 ("C44", [(3, 3), (4, 4)]),
+                 # C24 = -C14, C56 = +C14 (sign handled at fill time)
+                 ("C14", [(0, 3), (1, 3), (4, 5)])],
+    "monoclinic": [("C11", [(0, 0)]), ("C22", [(1, 1)]),
+                   ("C33", [(2, 2)]), ("C12", [(0, 1)]),
+                   ("C13", [(0, 2)]), ("C23", [(1, 2)]),
+                   ("C44", [(3, 3)]), ("C55", [(4, 4)]),
+                   ("C66", [(5, 5)]), ("C16", [(0, 5)]),
+                   ("C26", [(1, 5)]), ("C36", [(2, 5)]),
+                   ("C45", [(3, 4)])],
+}
+
+_DEFORM_AXES = {
+    "cubic": [0, 3],
+    "hexagonal": [0, 2, 3, 5],
+    "trigonal": [0, 1, 2, 3, 4, 5],
+    "tetragonal": [0, 2, 3, 5],
+    "orthorhombic": [0, 1, 2, 3, 4, 5],
+    "monoclinic": [0, 1, 2, 3, 4, 5],
+    "triclinic": [0, 1, 2, 3, 4, 5],
+}
+
+
+def deformed_cell(structure: Structure, axis: int,
+                  size_percent: float) -> Structure:
+    """One Cartesian deformation: axes 0-2 stretch x/y/z, 3-5 shear
+    yz/xz/xy by `size_percent` / 100."""
+    s = size_percent / 100.0
+    m = np.eye(3)
+    if axis < 3:
+        m[axis, axis] += s
+    else:
+        a, b = [(1, 2), (0, 2), (0, 1)][axis - 3]
+        m[a, b] += s
+    out = structure.copy()
+    out.cell = structure.cell @ m
+    out.positions = structure.positions @ m
+    return out
+
+
+def elementary_deformations(structure: Structure, n: int = 5,
+                            d: float = 2.0,
+                            lattice: Optional[str] = None):
+    """Symmetry-reduced deformation set (reference
+    `elastic.py:407-456`)."""
+    lattice = lattice or detect_lattice(structure)
+    systems = []
+    for axis in _DEFORM_AXES[lattice]:
+        if axis < 3:
+            sizes = np.linspace(-d, d, n)
+        else:
+            sizes = np.linspace(d / 10.0, d, n)
+        for dx in sizes:
+            systems.append(deformed_cell(structure, axis, dx))
+    return systems, lattice
+
+
+def voigt_strain(deformed: Structure, reference: Structure) -> np.ndarray:
+    """Symmetrized strain in Voigt order [xx, yy, zz, yz, xz, xy]."""
+    du = deformed.cell - reference.cell
+    u = np.linalg.inv(reference.cell) @ du
+    u = 0.5 * (u + u.T)
+    return np.array([u[0, 0], u[1, 1], u[2, 2],
+                     u[2, 1], u[2, 0], u[1, 0]])
+
+
+def relax_positions(calc, structure: Structure, fmax: float = 0.02,
+                    steps: int = 200, dt: float = 0.08) -> Structure:
+    """Fixed-cell internal relaxation (damped dynamics / FIRE-lite)."""
+    s = structure.copy()
+    v = np.zeros_like(s.positions)
+    a_scale = 0.1
+    for _ in range(steps):
+        f = np.asarray(calc.get_forces(s))
+        if np.abs(f).max() < fmax:
+            break
+        power = float(np.vdot(f, v))
+        if power > 0:
+            fn = np.linalg.norm(f) or 1.0
+            vn = np.linalg.norm(v)
+            v = (1 - a_scale) * v + a_scale * vn * f / fn
+        else:
+            v[:] = 0.0
+        v = v + dt * f
+        s.positions = s.positions + dt * v
+    return s
+
+
+def fit_elastic_tensor(calc, structure: Structure, n: int = 5,
+                       d: float = 2.0, lattice: Optional[str] = None,
+                       relax_ions: bool = False, in_gpa: bool = True,
+                       stress_fn: Optional[Callable] = None):
+    """Symmetry-reduced least-squares elastic tensor.
+
+    -> (C 6x6, {"lattice", "cij", "residual"}). `stress_fn` overrides
+    `calc.get_stress` (Voigt eV/A^3).
+    """
+    get_stress = stress_fn or (lambda s: np.asarray(calc.get_stress(s)))
+    systems, lattice = elementary_deformations(structure, n=n, d=d,
+                                               lattice=lattice)
+    p = -np.mean(get_stress(structure)[:3])
+    rows, rhs = [], []
+    for g in systems:
+        if relax_ions:
+            g = relax_positions(calc, g)
+        u = voigt_strain(g, structure)
+        sigma = get_stress(g) - np.array([-p, -p, -p, 0, 0, 0])
+        rows.append(_eq_matrix(lattice, u))
+        rhs.append(sigma)
+    m = np.concatenate(rows, axis=0)
+    y = np.concatenate(rhs)
+    cij, res, _, _ = np.linalg.lstsq(m, y, rcond=None)
+    # Birch-coefficient -> elastic-constant correction at finite ambient
+    # pressure (reference `elastic.py:566-588`); zero at equilibrium
+    birch = {
+        "cubic": [-1, 1, -1],
+        "tetragonal": [-1, -1, 1, 1, -1, -1],
+        "orthorhombic": [-1, -1, -1, 1, 1, 1, -1, -1, -1],
+        "trigonal": [-1, -1, 1, 1, -1, 1],
+        "hexagonal": [-1, -1, 1, 1, -1],
+        "monoclinic": [-1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, 1],
+    }
+    if lattice in birch:
+        cij = cij - p * np.asarray(birch[lattice], dtype=float)
+
+    c = np.zeros((6, 6))
+    if lattice == "triclinic":
+        idx = 0
+        for i in range(6):
+            for j in range(i, 6):
+                c[i, j] = cij[idx]
+                idx += 1
+    else:
+        names = _CIJ_SLOTS[lattice]
+        for (name, slots), value in zip(names, cij):
+            for (i, j) in slots:
+                sign = -1.0 if (lattice == "trigonal" and name == "C14"
+                                and (i, j) == (1, 3)) else 1.0
+                c[i, j] = sign * value
+        if lattice in ("hexagonal", "trigonal"):
+            c[5, 5] = 0.5 * (c[0, 0] - c[0, 1])
+    # all slots fill the upper triangle; mirror it
+    c = np.triu(c) + np.triu(c, 1).T
+    info = {"lattice": lattice,
+            "cij": {name: float(v) * (EV_ANGSTROM3_TO_GPA if in_gpa
+                                      else 1.0)
+                    for (name, _), v in zip(
+                        _CIJ_SLOTS.get(lattice, []), cij)}
+            if lattice != "triclinic" else {},
+            "residual": float(res[0]) if len(np.atleast_1d(res)) else 0.0}
+    if in_gpa:
+        c = c * EV_ANGSTROM3_TO_GPA
+    return c, info
 
 
 def cubic_constants(c: np.ndarray) -> dict:

@@ -1,5 +1,6 @@
-"""Minimal CIF reader (P1 cells, as produced by ASE — the form the
-reference's crystal fixtures use, `test_files/crystals/*.cif`)."""
+"""Minimal CIF reader: P1 cells plus symmetrized CIFs carrying
+`_symmetry_equiv_pos_as_xyz` operator lists (the Materials-Project form
+of the reference's bundled crystals, `data/crystals/*.cif`)."""
 from __future__ import annotations
 
 import re
@@ -61,6 +62,21 @@ def read_cif(path: str) -> Structure:
         float(_num(values["_cell_angle_beta"])),
         float(_num(values["_cell_angle_gamma"])))
 
+    # symmetry operators (one xyz expression per row), identity default
+    symops = [("x", "y", "z")]
+    for loop in loops:
+        heads = loop["headers"]
+        cols = [h for h in heads
+                if h in ("_symmetry_equiv_pos_as_xyz",
+                         "_space_group_symop_operation_xyz")]
+        if not cols:
+            continue
+        ic = heads.index(cols[0])
+        symops = []
+        for row in loop["rows"]:
+            expr = row[ic].strip("'\"")
+            symops.append(tuple(t.strip() for t in expr.split(",")))
+
     symbols, frac = [], []
     for loop in loops:
         heads = loop["headers"]
@@ -80,9 +96,40 @@ def read_cif(path: str) -> Structure:
             symbols.append(sym)
             frac.append([_num(row[ix]), _num(row[iy]), _num(row[iz])])
     frac = np.asarray(frac, dtype=np.float64)
+    if len(symops) > 1:
+        symbols, frac = _apply_symops(symbols, frac, symops)
     positions = frac @ cell
     return Structure.from_symbols(symbols, positions, cell,
                                   pbc=[True, True, True])
+
+
+def _apply_symops(symbols, frac, symops, tol: float = 1e-4):
+    """Expand the asymmetric unit through the operator list, merging
+    duplicates (fractional coordinates wrapped into [0, 1))."""
+    out_sym, out_frac = [], []
+    for sym, xyz in zip(symbols, frac):
+        env = {"x": xyz[0], "y": xyz[1], "z": xyz[2]}
+        for op in symops:
+            p = np.array([_eval_symop(expr, env) for expr in op])
+            p = p % 1.0
+            p = np.where(p > 1.0 - tol, 0.0, p)
+            dup = any(s == sym and np.max(np.abs(
+                (np.asarray(q) - p + 0.5) % 1.0 - 0.5)) < tol
+                for s, q in zip(out_sym, out_frac))
+            if not dup:
+                out_sym.append(sym)
+                out_frac.append(p)
+    return out_sym, np.asarray(out_frac)
+
+
+_SYMOP_RE = re.compile(r"^[xyz0-9+\-*/. ]+$")
+
+
+def _eval_symop(expr: str, env: dict) -> float:
+    expr = expr.strip().lower()
+    if not _SYMOP_RE.match(expr):
+        raise ValueError(f"unsupported symmetry operator {expr!r}")
+    return float(eval(expr, {"__builtins__": {}}, env))
 
 
 def _split_cif_row(row: str) -> List[str]:

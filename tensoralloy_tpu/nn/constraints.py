@@ -60,15 +60,23 @@ class CrystalSpec:
 
 
 def get_crystal(obj, base_dir: str = ".") -> CrystalSpec:
-    """Resolve a crystal from a CrystalSpec / TOML path / cif path.
+    """Resolve a crystal from a built-in name / CrystalSpec / TOML path
+    / cif path.
 
-    TOML schema mirrors the reference crystal files
-    (`test_files/crystals/Ni.toml`): name, phase, file (cif),
-    bulk_modulus, supercell, fc2, plus optional [[elastic_constants]]
-    entries {vi, vj, value, weight}.
+    Built-in names ('Ni', 'Mo/dft', 'Ni3Mo', ... — reference
+    `nn/constraint/data.py:91-180`) resolve from the bundled library.
+    TOML files accept both this framework's [[elastic_constants]]
+    entries {vi, vj, value, weight} and the reference's flat
+    ``cNM = value`` / ``cNM = [value, weight]`` keys
+    (`data/crystals/Ni3Mo_elastic_tensor.toml`).
     """
     if isinstance(obj, CrystalSpec):
         return obj
+    if isinstance(obj, str):
+        from ..data.crystals import built_in_crystals
+        lib = built_in_crystals()
+        if obj in lib:
+            return lib[obj]
     path = obj if os.path.isabs(obj) else os.path.join(base_dir, obj)
     if path.endswith(".cif"):
         from ..io.cif import read_cif
@@ -95,6 +103,16 @@ def get_crystal(obj, base_dir: str = ".") -> CrystalSpec:
                 vi=int(row["vi"]), vj=int(row["vj"]),
                 value=float(row["value"]),
                 weight=float(row.get("weight", 1.0))))
+        # reference-format flat keys: c11 = 385 / c66 = [94.0, 0.0]
+        for key, value in d.items():
+            if len(key) == 3 and key[0] == "c" and key[1:].isdigit():
+                if isinstance(value, (list, tuple)):
+                    cij, weight = float(value[0]), float(value[1])
+                else:
+                    cij, weight = float(value), 1.0
+                spec.elastic_constants.append(ElasticConstant(
+                    vi=int(key[1]), vj=int(key[2]), value=cij,
+                    weight=weight))
         return spec
     raise ValueError(f"cannot resolve crystal from {obj!r}")
 

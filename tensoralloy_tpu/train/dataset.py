@@ -169,17 +169,16 @@ Dataset.next_batch = lambda self, batch_size, mode="train": next(
     self.input_fn(batch_size, mode)())
 
 
-def batches(feats: Arrays, labels: Arrays, batch_size: int, seed: int = 0,
-            shuffle: bool = True, drop_remainder: bool = True,
-            repeat: bool = False, skip: int = 0
-            ) -> Iterator[Tuple[Arrays, Arrays]]:
-    """Simple host-side batch iterator (device_put left to the caller).
+def batch_index_stream(n: int, batch_size: int, seed: int = 0,
+                       shuffle: bool = True, drop_remainder: bool = True,
+                       repeat: bool = False, skip: int = 0
+                       ) -> Iterator[np.ndarray]:
+    """Stream of [batch_size] index arrays (the canonical batch order —
+    `batches` and the device-resident fast path share it, so exact
+    checkpoint resume sees the same data order either way).
 
-    `skip` fast-forwards the stream by that many batches without
-    materializing them (identical RNG sequence — exact checkpoint
-    resume sees the same data order as an uninterrupted run).
+    `skip` fast-forwards by that many batches without materializing.
     """
-    n = len(labels["energy"])
     rng = np.random.RandomState(seed)
     to_skip = int(skip)
     while True:
@@ -195,7 +194,20 @@ def batches(feats: Arrays, labels: Arrays, batch_size: int, seed: int = 0,
             sel = idx[lo:lo + batch_size]
             if len(sel) < batch_size:
                 sel = np.resize(sel, batch_size)  # wrap-pad final batch
-            yield ({k: v[sel] for k, v in feats.items()},
-                   {k: v[sel] for k, v in labels.items()})
+            yield sel
         if not repeat:
             return
+
+
+def batches(feats: Arrays, labels: Arrays, batch_size: int, seed: int = 0,
+            shuffle: bool = True, drop_remainder: bool = True,
+            repeat: bool = False, skip: int = 0
+            ) -> Iterator[Tuple[Arrays, Arrays]]:
+    """Simple host-side batch iterator (device_put left to the caller)."""
+    n = len(labels["energy"])
+    for sel in batch_index_stream(n, batch_size, seed=seed,
+                                  shuffle=shuffle,
+                                  drop_remainder=drop_remainder,
+                                  repeat=repeat, skip=skip):
+        yield ({k: v[sel] for k, v in feats.items()},
+               {k: v[sel] for k, v in labels.items()})

@@ -58,6 +58,12 @@ class TrainParameters:
     # program per dispatch (amortizes host dispatch; metrics are
     # reported from the last step of each fused block)
     scan_steps: int = 1
+    # keep the WHOLE training set device-resident and gather batches on
+    # device by index (single upload instead of per-step host->device
+    # transfer — this link pays ~30 ms + low bandwidth per dispatch).
+    # Used when the mesh is a single device; multi-device data-parallel
+    # runs shard per-step batches instead.
+    device_dataset: bool = True
 
 
 def make_lr_schedule(opt: OptParameters):
@@ -119,6 +125,7 @@ class Trainer:
         self.mesh = make_mesh(n_devices)
         self.efs = make_efs_fn(model.variational_energy)
         self._train_step = None
+        self._train_step_ix = None
         self._eval_step = None
 
     # ------------------------------------------------------------------
@@ -258,7 +265,9 @@ class Trainer:
                 "ema_params": ema,
                 "step": jnp.zeros((), jnp.int32)}
 
-    def _build_train_step(self):
+    def _make_raw_train_step(self):
+        """Unjitted single optimizer step (shared by every fused
+        variant)."""
         decay = self.train_parameters.ema_decay
 
         def train_step(state, feats, labels):
@@ -282,6 +291,10 @@ class Trainer:
                          "ema_params": ema, "step": step + 1}
             return new_state, metrics
 
+        return train_step
+
+    def _build_train_step(self):
+        train_step = self._make_raw_train_step()
         # Inputs arrive pre-sharded (batch over the data axis, state
         # replicated); jit honors argument shardings and XLA inserts the
         # gradient all-reduce over ICI.
@@ -298,6 +311,22 @@ class Trainer:
                 return state2, metrics
             return jax.jit(fused, donate_argnums=(0,))
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_train_step_indexed(self):
+        """Fused K-step program gathering batches ON DEVICE from the
+        resident dataset: (state, all_feats, all_labels, idx [K, B])."""
+        base = self._make_raw_train_step()
+
+        def fused(state, all_feats, all_labels, idx):
+            def body(st, sel):
+                bf = jax.tree_util.tree_map(lambda a: a[sel], all_feats)
+                bl = jax.tree_util.tree_map(lambda a: a[sel], all_labels)
+                return base(st, bf, bl)
+            state2, metrics_seq = jax.lax.scan(body, state, idx)
+            metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics_seq)
+            return state2, metrics
+
+        return jax.jit(fused, donate_argnums=(0,))
 
     def _build_eval_step(self):
         def eval_step(params, feats, labels):
@@ -370,15 +399,38 @@ class Trainer:
                         tp.train_steps)
         state = replicate(initial_state or self.init_state(params),
                           self.mesh)
-        it = batches(train_feats, train_labels, bs, seed=tp.seed,
-                     repeat=True, skip=start)
+        n_train = len(train_labels["energy"])
+        k = max(int(tp.scan_steps or 1), 1)
+        # Device-resident fast path (single-device mesh): upload the
+        # whole training set ONCE, stream only [k, bs] index arrays,
+        # gather batches on device inside the fused scan. Order is
+        # identical to the host path (shared batch_index_stream).
+        use_dev = bool(tp.device_dataset) and self.mesh.size == 1
+        if use_dev:
+            from .dataset import batch_index_stream
+            dev_feats = {key: jnp.asarray(v)
+                         for key, v in train_feats.items()}
+            dev_labels = {key: jnp.asarray(v)
+                          for key, v in train_labels.items()}
+            idx_it = batch_index_stream(n_train, bs, seed=tp.seed,
+                                        repeat=True, skip=start)
+            if self._train_step_ix is None:
+                self._train_step_ix = self._build_train_step_indexed()
+            step_ix = self._train_step_ix
+        else:
+            it = batches(train_feats, train_labels, bs, seed=tp.seed,
+                         repeat=True, skip=start)
         history = []
         t0 = time.time()
         examples = 0
-        k = max(int(tp.scan_steps or 1), 1)
         for step in range(start, tp.train_steps, k):
             n_fused = min(k, tp.train_steps - step)
-            if k > 1:
+            if use_dev:
+                idx = jnp.asarray(np.stack(
+                    [next(idx_it) for _ in range(k)]).astype(np.int32))
+                state, metrics = step_ix(state, dev_feats, dev_labels,
+                                         idx)
+            elif k > 1:
                 group = [next(it) for _ in range(k)]
                 from jax.sharding import NamedSharding, PartitionSpec
                 sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
@@ -387,11 +439,12 @@ class Trainer:
                       for key in group[0][0]}
                 bl = {key: put(np.stack([g[1][key] for g in group]))
                       for key in group[0][1]}
+                state, metrics = self._train_step(state, bf, bl)
             else:
                 bf, bl = next(it)
                 bf = shard_batch(bf, self.mesh)
                 bl = shard_batch(bl, self.mesh)
-            state, metrics = self._train_step(state, bf, bl)
+                state, metrics = self._train_step(state, bf, bl)
             examples += bs * n_fused
             step_now = step + n_fused - 1
             if verbose and (step_now + 1) % tp.log_steps < n_fused:

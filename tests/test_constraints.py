@@ -190,3 +190,55 @@ def test_constraint_training_no_nan(ni_model):
                       callback=lambda s, st, m: metrics_seen.append(
                           float(m["loss/total"])))
     assert all(np.isfinite(v) for v in metrics_seen), metrics_seen
+
+
+def test_built_in_crystal_library():
+    """Named crystals resolve from the bundled library (reference
+    `nn/constraint/data.py:91-180` + `data/crystals/`)."""
+    from collections import Counter as C
+    from tensoralloy_tpu.nn.constraints import get_crystal
+    ni = get_crystal("Ni")
+    assert ni.phase == "fcc" and len(ni.structure) == 4
+    assert ni.bulk_modulus == 188
+    cij = {(e.vi, e.vj): e.value for e in ni.elastic_constants}
+    assert cij[(1, 1)] == 276 and cij[(4, 4)] == 132
+
+    be = get_crystal("Be/dft")
+    assert len(be.structure) == 2 and be.bulk_modulus == 120
+
+    ni3mo = get_crystal("Ni3Mo")
+    assert dict(C(ni3mo.structure.symbols)) == {"Ni": 6, "Mo": 2}
+    mo = get_crystal("Mo/dft")
+    assert np.allclose(np.linalg.norm(mo.structure.cell[0]), 3.168)
+
+
+def test_reference_format_elastic_toml():
+    """The reference's flat-cNM TOML schema loads unmodified
+    (`data/crystals/Ni3Mo_elastic_tensor.toml`)."""
+    from tensoralloy_tpu.nn.constraints import get_crystal
+    from tensoralloy_tpu.data.crystals import crystal_data_dir
+    spec = get_crystal("Ni3Mo_elastic_tensor.toml",
+                       base_dir=crystal_data_dir())
+    assert spec.name == "Ni3Mo"
+    cij = {(e.vi, e.vj): (e.value, e.weight)
+           for e in spec.elastic_constants}
+    assert cij[(1, 1)] == (385.0, 1.0)
+    assert cij[(6, 6)] == (94.0, 0.0)   # [value, weight] form
+
+
+def test_elastic_constraint_from_name():
+    """An elastic constraint built from a name-only crystal list
+    produces a finite, differentiable loss (VERDICT missing #4)."""
+    from collections import Counter as C
+    from tensoralloy_tpu.nn.constraints import ElasticConstraint
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, C({"Ni": 4}), custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    con = ElasticConstraint(model, ["Ni"], weight=0.1)
+    val = float(con.loss(params))
+    assert np.isfinite(val) and val >= 0
+    g = jax.grad(lambda p: con.loss(p))(params)
+    gn = sum(float(jnp.sum(jnp.abs(x)))
+             for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0

@@ -271,3 +271,47 @@ def test_dataset_signature_includes_acut():
         ds.db = _FakeDB()
         sigs.add(ds.signature)
     assert len(sigs) == 3
+
+
+def test_device_dataset_path_bitexact():
+    """The device-resident indexed fast path (single upload + on-device
+    batch gather) is bit-identical to the host per-step path."""
+    from tensoralloy_tpu.nn.sf import SymmetryFunction
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+    from tensoralloy_tpu.nn import losses as L
+    from tensoralloy_tpu.train.trainer import (Trainer, OptParameters,
+                                               TrainParameters)
+    rng = np.random.RandomState(1)
+    structs = [_ni_structure(n_cell=1, rattle=0.06, seed=i)
+               for i in range(6)]
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = AtomicNN(fz, Counter({"Ni": 4}), SymmetryFunction(["Ni"]),
+                     hidden_sizes=[8], minmax_scale=False)
+    feats_list = [fz.featurize(s, fz.make_vap(s, model.max_occurs),
+                               nij_max=256, nnl_max=64)
+                  for s in structs]
+    feats = {k: np.stack([f[k] for f in feats_list])
+             for k in feats_list[0]}
+    n, n_vap = len(structs), model.n_atoms_vap
+    labels = {"energy": rng.normal(size=n).astype(np.float32),
+              "n_atoms": np.full(n, 4.0, np.float32),
+              "forces": rng.normal(size=(n, n_vap, 3)).astype(
+                  np.float32) * 0.1,
+              "stress": np.zeros((n, 6), np.float32),
+              "has_stress": np.zeros(n, np.float32),
+              "weights": np.ones((n, 3), np.float32)}
+
+    outs = {}
+    for dev in (True, False):
+        tr = Trainer(model, L.LossParameters(),
+                     OptParameters(learning_rate=1e-3),
+                     TrainParameters(batch_size=3, train_steps=6,
+                                     seed=3, scan_steps=2,
+                                     device_dataset=dev),
+                     minimize_properties=("energy", "forces"),
+                     n_devices=1)
+        outs[dev] = jax.device_get(tr.fit(feats, labels,
+                                          verbose=False)["state"])
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True]["params"]),
+                    jax.tree_util.tree_leaves(outs[False]["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
