@@ -147,7 +147,11 @@ def _write_block(fh, values: np.ndarray, per_line: int = 5):
 
 
 def write_eam_alloy_setfl(path: str, data: SetflData,
-                          comments: Optional[List[str]] = None):
+                          comments: Optional[List[str]] = None,
+                          style: str = "alloy"):
+    """Write setfl tables; `style` 'alloy' (one rho column per element)
+    or 'fs' (LAMMPS eam/fs: per element i, N columns rho_{i<-j} keyed
+    'ij' in data.rho)."""
     comments = (comments or ["", "", ""]) + ["", "", ""]
     r = data.r_grid
     with open(path, "w") as fh:
@@ -162,7 +166,11 @@ def write_eam_alloy_setfl(path: str, data: SetflData,
                      f"{data.lattice.get(el, 0.0):.6f} "
                      f"{data.structure.get(el, 'fcc')}\n")
             _write_block(fh, data.frho[el])
-            _write_block(fh, data.rho[el])
+            if style == "fs":
+                for other in data.elements:
+                    _write_block(fh, data.rho[el + other])
+            else:
+                _write_block(fh, data.rho[el])
         for i in range(len(data.elements)):
             for j in range(i + 1):
                 key = _pair_key(data.elements[i], data.elements[j])
@@ -182,6 +190,16 @@ def write_adp_setfl(path: str, data: SetflData,
                     comments: Optional[List[str]] = None):
     assert data.dipole is not None and data.quadrupole is not None
     write_eam_alloy_setfl(path, data, comments)
+
+
+def write_eam_fs_setfl(path: str, data: SetflData,
+                       comments: Optional[List[str]] = None):
+    """LAMMPS eam/fs layout: data.rho must hold every ordered pair
+    'AB' (density a neighbor of type B contributes at a center A)."""
+    for a in data.elements:
+        for b in data.elements:
+            assert a + b in data.rho, f"fs rho missing pair {a + b}"
+    write_eam_alloy_setfl(path, data, comments, style="fs")
 
 
 # ----------------------------------------------------------------------

@@ -52,11 +52,16 @@ class LinearTensorMD:
         self.elements = sorted(elements)
         self.rcut = float(rcut)
         self.preset = preset
-        cfg = PRESETS[preset]
+        if "@" in preset:  # reference-named bank, e.g. 'pexp@medium'
+            from .preset import get_filter_preset
+            cfg = dict(get_filter_preset(preset))
+        else:
+            cfg = dict(PRESETS[preset], param_space_method="pair")
         self.featurizer = Featurizer(self.elements, rcut=rcut)
         self.descriptor = GenericRadialAtomicPotential(
             self.elements, algorithm=cfg["algorithm"],
-            parameters=cfg["parameters"], param_space_method="pair",
+            parameters=cfg["parameters"],
+            param_space_method=cfg["param_space_method"],
             moment_tensors=list(range(max_moment + 1)),
             symmetric=symmetric)
         self.max_moment = max_moment
@@ -222,16 +227,60 @@ class LinearTensorMD:
         return calc.calculate(structure)
 
     def export(self, path: str):
-        """Save in the standard saved-model format (the reference
-        exports a binary blob for its external TensorMD C++ engine,
-        `linear/model.py:180-708`; here the .npz saved model IS the
-        deployable artifact)."""
+        """Save in the standard saved-model format (the .npz saved
+        model is this framework's deployable artifact; see
+        `export_tensormd` for the external-engine blob)."""
         from ..io.model import save_model
         occurs = Counter({e: 1 for e in self.elements})
         model, params = self.to_atomic_nn(occurs)
         save_model(path, model, params,
                    extra_metadata={"linear_tensor_md": True,
                                    "preset": self.preset})
+
+    def export_tensormd(self, path: str, precision: int = 64):
+        """Export the fitted model for the external TensorMD engine
+        (LAMMPS `pair_style tensoralloy/native`) using the reference's
+        npz key contract (`linear/model.py:666-707`): rmax/nelt/masses/
+        numbers + descriptor::rl/pl + per-element weights_i_0 (the
+        n_features coefficients) and biases_i_0 (the static energy).
+        Only pexp banks are representable (descriptor::type 0)."""
+        if self.coef_ is None:
+            raise RuntimeError("fit() first")
+        if self.descriptor.algorithm != "pexp":
+            raise ValueError(
+                "TensorMD engine export supports pexp filter banks only")
+        dtype = np.float64 if precision == 64 else np.float32
+        from ..elements import atomic_masses, atomic_numbers
+        params = self.descriptor.parameters
+        chars = [ord(ch) for elt in self.elements for ch in elt]
+        data = {
+            "rmax": dtype(self.rcut),
+            "nelt": np.int32(len(self.elements)),
+            "masses": np.array(
+                [atomic_masses[atomic_numbers[e]] for e in self.elements],
+                dtype=dtype),
+            "numbers": np.array(chars, dtype=np.int32),
+            "tdnp": np.int32(0),
+            "precision": precision,
+            "use_fnn": np.int32(0),
+            "descriptor::rl": np.array(params["rl"], dtype=dtype),
+            "descriptor::pl": np.array(params["pl"], dtype=dtype),
+            "descriptor::type": np.int32(0),
+            "nlayers": np.int32(0),
+            "max_moment": np.int32(self.max_moment),
+            "actfn": np.int32(0),
+            "fctype": np.int32(0),
+            "layer_sizes": np.array([0], dtype=np.int32),
+            "use_resnet_dt": np.int32(0),
+            "apply_output_bias": np.int32(1),
+        }
+        per = self.n_features + 1
+        for i, _ in enumerate(self.elements):
+            block = self.coef_[i * per:(i + 1) * per]
+            data[f"weights_{i}_0"] = np.asarray(block[:-1], dtype=dtype)
+            data[f"biases_{i}_0"] = np.asarray(block[-1:], dtype=dtype)
+        np.savez(path, **data)
+        return data
 
 
 class TensorMDPythonCalculator:

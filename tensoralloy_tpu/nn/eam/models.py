@@ -270,7 +270,8 @@ class EamNN:
         """Tabulate trained rho/F/phi (+u/w for ADP) onto (nr, nrho)
         grids and write a LAMMPS setfl file (reference
         `alloy.py:198-381`, `adp.py:588-794`)."""
-        from ...io.lammps import SetflData, write_eam_alloy_setfl
+        from ...io.lammps import (SetflData, write_eam_alloy_setfl,
+                                  write_eam_fs_setfl)
         from ...elements import atomic_masses, atomic_numbers
         cutoff = self.featurizer.rcut
         dr = cutoff / nr
@@ -286,10 +287,10 @@ class EamNN:
             if self.tag in ("alloy", "adp"):
                 rho_t[e] = np.asarray(self._fn(params, e, "rho", "rho")(
                     r_safe))
-            else:  # fs: LAMMPS eam/fs wants rho_ab per ordered pair;
-                # the single-element column uses the self term
-                rho_t[e] = np.asarray(self._fn(params, e + e, "rho",
-                                               "rho")(r_safe))
+            else:  # fs: LAMMPS eam/fs wants rho_{a<-b} per ORDERED pair
+                for other in self.elements:
+                    rho_t[e + other] = np.asarray(self._fn(
+                        params, e + other, "rho", "rho")(r_safe))
         for term in self.unique_kbody_terms:
             phi_t[term] = np.asarray(self._fn(params, term, "phi", "phi")(
                 r_safe))
@@ -309,7 +310,9 @@ class EamNN:
             structure=structure or {e: "fcc" for e in self.elements},
             frho=frho, rho=rho_t, phi=phi_t,
             dipole=dipole_t, quadrupole=quadrupole_t)
-        write_eam_alloy_setfl(path, data, comments=[
+        writer = (write_eam_fs_setfl if self.tag == "fs"
+                  else write_eam_alloy_setfl)
+        writer(path, data, comments=[
             f"tensoralloy_tpu {type(self).__name__} export",
             f"elements: {' '.join(self.elements)}", ""])
         return data

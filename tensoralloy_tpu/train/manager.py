@@ -165,7 +165,14 @@ class TrainingManager:
             from ..nn.grap import GenericRadialAtomicPotential
             g = r.get("nn.atomic.grap", {})
             algo = g.get("algorithm", "pexp")
-            parameters = r.get(f"nn.atomic.grap.{algo}", {})
+            if "@" in algo:  # named preset bank, e.g. 'pexp@medium'
+                from ..linear.preset import get_filter_preset
+                cfg = get_filter_preset(algo)
+                algo = cfg["algorithm"]
+                parameters = cfg["parameters"]
+                g = dict(g, param_space_method=cfg["param_space_method"])
+            else:
+                parameters = r.get(f"nn.atomic.grap.{algo}", {})
             descriptor = GenericRadialAtomicPotential(
                 self.elements, algorithm=algo, parameters=parameters,
                 param_space_method=g.get("param_space_method", "pair"),

@@ -378,10 +378,14 @@ class Trainer:
             params = self.model.init_params(
                 jax.random.PRNGKey(tp.seed))
             if getattr(self.model, "minmax_scale", False):
-                n0 = min(len(train_labels["energy"]), 512)
-                sample = {k: jnp.asarray(v[:n0])
-                          for k, v in train_feats.items()}
-                params = self.model.update_norm_stats(params, sample)
+                # running min/max over the WHOLE training set (chunked;
+                # reference keeps xlo/xhi as running variables — a
+                # file-order prefix biases heterogeneous databases)
+                n_all = len(train_labels["energy"])
+                for lo in range(0, n_all, 512):
+                    sample = {k: jnp.asarray(v[lo:lo + 512])
+                              for k, v in train_feats.items()}
+                    params = self.model.update_norm_stats(params, sample)
 
         bs = tp.batch_size
         self._feat_struct = {k: None for k in train_feats}
@@ -471,14 +475,20 @@ class Trainer:
     def evaluate(self, params, feats, labels, batch_size: int = 0) -> dict:
         n = len(labels["energy"])
         bs = batch_size or min(n, self.train_parameters.batch_size)
-        outs = []
+        outs, counts = [], []
         for lo in range(0, n, bs):
             sel = slice(lo, min(lo + bs, n))
             bf = {k: jnp.asarray(v[sel]) for k, v in feats.items()}
             bl = {k: jnp.asarray(v[sel]) for k, v in labels.items()}
             outs.append({k: float(v)
                          for k, v in self._eval_step(params, bf, bl).items()})
-        return {k: float(np.mean([o[k] for o in outs])) for k in outs[0]}
+            counts.append(min(lo + bs, n) - lo)
+        # weight per-batch means by batch size so a short final batch
+        # is not overweighted
+        w = np.asarray(counts, dtype=np.float64)
+        w = w / w.sum()
+        return {k: float(np.sum(w * [o[k] for o in outs]))
+                for k in outs[0]}
 
     # ------------------------------------------------------------------
     @staticmethod

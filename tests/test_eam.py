@@ -440,6 +440,35 @@ def test_msah11_vs_published_tables():
     assert np.all(np.isfinite(np.asarray(out["forces"])))
 
 
+def test_fs_setfl_export_roundtrip(tmp_path):
+    """EamFsNN export writes true LAMMPS eam/fs layout: per element, N
+    ordered rho_{a<-b} columns (ADVICE r1: the alloy-layout export
+    silently dropped cross densities). Round-trip vs the msah11
+    analytic functions."""
+    from tensoralloy_tpu.io.lammps import read_eam_fs_setfl
+    from tensoralloy_tpu.nn.eam.potentials import available_potentials
+    fz = Featurizer(["Al", "Fe"], rcut=6.0)
+    model = EamFsNN(fz, Counter({"Al": 2, "Fe": 2}),
+                    custom_potentials="msah11")
+    params = model.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path / "out.eam.fs")
+    model.export_to_setfl(path, params, nr=600, nrho=400, rho_max=90.0)
+    back = read_eam_fs_setfl(path)
+    assert back.elements == ["Al", "Fe"]
+    # every ORDERED pair present and matching the analytic rho
+    m = available_potentials["msah11"]
+    sel = (back.r_grid > 1.8) & (back.r_grid < 5.8)
+    r = jnp.asarray(back.r_grid[sel])
+    for key in ("AlAl", "AlFe", "FeAl", "FeFe"):
+        np.testing.assert_allclose(back.rho[key][sel],
+                                   np.asarray(m.rho({}, r, key)),
+                                   atol=1e-9)
+    # true fs layout: all four ordered tables present, and the file is
+    # NOT alloy-shaped (self-densities differ between elements)
+    assert set(back.rho) == {"AlAl", "AlFe", "FeAl", "FeFe"}
+    assert not np.allclose(back.rho["AlAl"], back.rho["FeFe"])
+
+
 def test_agrawal_be_vs_published_table():
     """Agrawal Be: phi is gauge-invariant and matches the published
     table; the (re-gauged) rho/F pair reproduces the same total energy
