@@ -162,19 +162,84 @@ def _cmd_export(args):
     return 0
 
 
+def _parse_tf_logfile(path):
+    """Parse the reference's TF logfile into evaluation rows (reference
+    `cli/entry.py:24-131`): 'Saving dict for global step N: k = v, ...'
+    lines accumulate; a 'pid=' line starts a fresh experiment; Elastic
+    keys are shortened and rounded to 0.1 GPa."""
+    import re
+    step_patt = re.compile(r".*tensorflow\s+INFO\s+Saving\sdict"
+                           r"\sfor\sglobal\sstep\s(\d+):(.*)")
+    kv_patt = re.compile(r"\s*(.*?)\s=\s([0-9.\-eE]+)")
+    pid_patt = re.compile(r".*tensorflow\s+INFO\s+pid=(\d+)")
+    results = {}
+    with open(path) as fp:
+        for line in fp:
+            line = line.strip()
+            if pid_patt.search(line):
+                results.clear()
+                continue
+            m = step_patt.search(line)
+            if not m:
+                continue
+            for s in m.group(2).split(","):
+                kv = kv_patt.search(s)
+                if not kv:
+                    continue
+                key, val = kv.group(1), kv.group(2)
+                if key == "global_step":
+                    val = int(val)
+                elif key.startswith("Elastic"):
+                    val = f"{round(float(val), 1):.1f}"
+                    if "Constraints" in key:
+                        key = key[8:].replace("/Constraints", "")
+                    else:
+                        key = key[8:].replace("/Cijkl", "")
+                else:
+                    val = float(val)
+                results.setdefault(key, []).append(val)
+    return results
+
+
 def _cmd_print(args):
-    with open(args.filename) as fh:
-        history = json.load(fh)
-    if not history:
-        print("empty history")
+    base = os.path.basename(args.filename)
+    rows = None
+    if base.endswith("summary.csv"):
+        with open(args.filename) as fh:
+            print(fh.read().rstrip())
         return 0
-    keys = list(history[0].keys())
-    out = args.output or "summary.csv"
+    if base.endswith(".json"):
+        with open(args.filename) as fh:
+            history = json.load(fh)
+        if not history:
+            print("empty history")
+            return 0
+        rows = history
+    elif base.endswith(".jsonl"):
+        rows = [json.loads(ln) for ln in open(args.filename)
+                if ln.strip()]
+    else:  # reference TF logfile
+        cols = _parse_tf_logfile(args.filename)
+        if not cols or "global_step" not in cols:
+            print("no evaluation records found")
+            return 0
+        n = len(cols["global_step"])
+        rows = [{k: (v[i] if i < len(v) else "")
+                 for k, v in cols.items()} for i in range(n)]
+    keys = list(rows[0].keys())
+    out = args.output or os.path.join(
+        os.path.dirname(args.filename) or ".", "summary.csv")
     with open(out, "w") as fh:
         fh.write(",".join(keys) + "\n")
-        for row in history:
+        for row in rows:
             fh.write(",".join(str(row.get(k, "")) for k in keys) + "\n")
-    print(f"wrote {out} ({len(history)} rows)")
+    widths = {k: max(len(str(k)), *(len(str(r.get(k, ""))) for r in rows))
+              for k in keys}
+    print("  ".join(str(k).rjust(widths[k]) for k in keys))
+    for row in rows:
+        print("  ".join(str(row.get(k, "")).rjust(widths[k])
+                        for k in keys))
+    print(f"wrote {out} ({len(rows)} rows)")
     return 0
 
 

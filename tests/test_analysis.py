@@ -211,3 +211,79 @@ def test_fit_elastic_ni_matches_central_difference(ni_calc, ni_primitive):
     c_rel, _ = fit_elastic_tensor(ni_calc, s, n=3, d=0.3,
                                   relax_ions=True)
     np.testing.assert_allclose(c_rel, c_fit, rtol=0.02, atol=2.0)
+
+
+def test_fingerprint_coordination_oracle():
+    """Physics oracle for the Valle-Oganov normalization: integrating
+    (F_AA + 1) * 4 pi r^2 * (N/V) * dr over a window around the first
+    fcc shell recovers the coordination number 12."""
+    from tensoralloy_tpu.analysis.fingerprints import StructureFingerprint
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]]) * a0
+    s = Structure.from_symbols(["Ni"] * 4, base, np.eye(3) * a0,
+                               pbc=[True] * 3)
+    fp = StructureFingerprint(s, rmax=3.2, delta=0.02, sigma=0.02)
+    f = fp.fingerprints[("Ni", "Ni")]
+    r = fp.grid
+    d1 = a0 / np.sqrt(2.0)  # first-shell distance 2.489
+    window = (r > d1 - 0.3) & (r < d1 + 0.3)
+    dens = 4.0 / s.volume
+    n_neighbors = np.sum((f[window] + 1.0) * 4.0 * np.pi *
+                         r[window] ** 2 * dens * fp.delta)
+    # erf-box smearing deposits at the pair's own 1/(4 pi d^2); binned
+    # r^2 variation keeps this within a few percent of 12
+    assert n_neighbors == pytest.approx(12.0, rel=0.05)
+    # each pair's smear weights sum to 1: widen sigma, count conserved
+    fp2 = StructureFingerprint(s, rmax=3.2, delta=0.02, sigma=0.06)
+    f2 = fp2.fingerprints[("Ni", "Ni")]
+    n2 = np.sum((f2[window] + 1.0) * 4.0 * np.pi * r[window] ** 2 *
+                dens * fp2.delta)
+    assert n2 == pytest.approx(n_neighbors, rel=0.05)
+
+
+def test_fingerprint_composition_weighting_and_looks_like():
+    """Multi-element similarity uses w_AB = N_A N_B / sum (reference
+    `get_similarity`); looks_like applies the dE gate first."""
+    from tensoralloy_tpu.analysis.fingerprints import (
+        FingerprintsComparator, StructureFingerprint, cosine_distance)
+    rng = np.random.RandomState(3)
+    a0 = 3.6
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]]) * a0
+    s1 = Structure.from_symbols(["Mo", "Ni", "Ni", "Ni"], base,
+                                np.eye(3) * a0, pbc=[True] * 3)
+    s2 = s1.copy()
+    s2.positions = base + rng.normal(0, 0.02, (4, 3))
+    fp1, fp2 = StructureFingerprint(s1), StructureFingerprint(s2)
+    assert set(fp1.fingerprints) == {("Mo", "Mo"), ("Mo", "Ni"),
+                                     ("Ni", "Ni")}
+    d_small = cosine_distance(fp1, fp2)
+    assert 0 <= d_small < 0.1
+    # energy gate: same geometry but energies differ by > dE
+    s1.info["energy"] = 0.0
+    s2.info["energy"] = 5.0
+    comp = FingerprintsComparator([s1, s2], dE=1.0)
+    assert not comp.looks_like(0, 1)
+    s2.info["energy"] = 0.5
+    comp = FingerprintsComparator([s1, s2], dE=1.0, cos_dist_max=0.1)
+    assert comp.looks_like(0, 1)
+    # per-atom fingerprints: every pair channel present
+    ind = fp1.individual(0)
+    assert set(ind) == set(fp1.fingerprints)
+
+
+def test_fingerprint_molecule_0d():
+    """Isolated molecules (no PBC): short-ranged fingerprint, no -1
+    baseline subtraction (reference docstring contract)."""
+    from tensoralloy_tpu.analysis.fingerprints import (
+        StructureFingerprint, cosine_distance)
+    pos = np.array([[0.0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+    s = Structure.from_symbols(["O", "H", "H"], pos,
+                               np.zeros((3, 3)), pbc=[False] * 3)
+    fp = StructureFingerprint(s, rmax=3.0)
+    f_oh = fp.fingerprints[("H", "O")]
+    assert fp.dimensions == 0
+    assert np.all(f_oh >= 0.0)          # no unity subtraction
+    assert f_oh.max() > 0.0             # OH peak present
+    assert cosine_distance(fp, fp) < 1e-12

@@ -221,3 +221,28 @@ def test_cli_build_and_print(tmp_path):
     lines = (tmp_path / "s.csv").read_text().splitlines()
     assert lines[0] == "step,energy/mae"
     assert len(lines) == 3
+
+
+def test_cli_print_reference_tf_logfile(tmp_path):
+    """`print` parses the reference TF logfile format (reference
+    `cli/entry.py:24-131` contract: pid lines reset the experiment,
+    Elastic keys shortened + rounded to 0.1)."""
+    import subprocess
+    out = tmp_path / "summary.csv"
+    env = dict(os.environ)
+    env["TENSORALLOY_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "print",
+         "/root/reference/test_files/logfile", "--output", str(out)],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr
+    rows = [ln.split(",") for ln in out.read_text().splitlines()]
+    head = rows[0]
+    assert "global_step" in head and "Al/fcc/C11" in head
+    assert "Al/fcc/kbar" in head          # Constraints key munged
+    data = dict(zip(head, rows[1]))
+    assert data["global_step"] == "500"
+    assert data["Al/fcc/C11"] == "109.6"  # rounded to 0.1 GPa
+    assert float(data["loss"]) == 8.926156
+    assert len(rows) == 3                 # header + 2 evaluations
