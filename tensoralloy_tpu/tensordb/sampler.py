@@ -87,6 +87,8 @@ def write_incar(path, params: Dict):
     with open(path, "w") as fh:
         fh.write("INCAR created by tensoralloy_tpu/tensordb\n")
         for key, value in params.items():
+            if isinstance(value, bool):
+                value = ".TRUE." if value else ".FALSE."
             fh.write(f" {key.upper()} = {value}\n")
 
 

@@ -122,3 +122,167 @@ def test_recompute_calculator(tmp_path):
     assert (tasks[0] / "POSCAR").exists()
     # idempotent without override
     assert calc.create_tasks([s1, s2]) == []
+
+
+# ----------------------------------------------------------------------
+# Recompute calculators (reference tensordb/calculator/*)
+# ----------------------------------------------------------------------
+class _TrajSampler:
+    """Minimal sampler: one finished task backed by a real AIMD
+    vasprun.xml fixture."""
+
+    def __init__(self, taskdir):
+        self.taskdir = taskdir
+
+    def task_iterator(self):
+        return [self.taskdir]
+
+    def get_samples(self, task, interval=1, **kw):
+        from tensoralloy_tpu.io.vasp import read_vasp_xml
+        frames = read_vasp_xml(str(task / "vasprun.xml"),
+                               index=slice(None))
+        return frames[::max(interval, 1)]
+
+
+def _make_traj_task(tmp_path):
+    import shutil
+    taskdir = tmp_path / "aimd_task"
+    taskdir.mkdir(parents=True)
+    shutil.copy("/root/reference/test_files/Be_md_vasprun.xml",
+                taskdir / "vasprun.xml")
+    return taskdir
+
+
+def test_vasp_calculator_task_layout(tmp_path):
+    """create_tasks: hash-deduped snapshots laid out as
+    <N>atoms/group<G>/task<T> with POSCAR/INCAR/metadata (reference
+    `calculator.py:273-341`); idempotent; status scan tolerates
+    unfinished jobs."""
+    from tensoralloy_tpu.tensordb import VaspCalculator
+    sampler = _TrajSampler(_make_traj_task(tmp_path))
+    calc = VaspCalculator(tmp_path / "root",
+                          {"species": ["Be"],
+                           "calc": {"interval": 4},
+                           "vasp": {"calc": {"encut": 520, "kpar": 2}}})
+    structures = calc.create_tasks({"aimd": sampler})
+    assert len(structures) == 3          # 10 frames, every 4th
+    tasks = list(calc.task_iterator())
+    assert len(tasks) == 3
+    n = len(structures[0])
+    assert tasks[0].parts[-3] == f"{n}atoms"
+    assert tasks[0].parts[-2] == "group0"
+    meta = json.loads((tasks[0] / "metadata.json").read_text())
+    assert meta["aid"].startswith(f"{n}.")
+    incar = (tasks[0] / "INCAR").read_text()
+    assert "ENCUT = 520" in incar and "KPAR = 2" in incar
+    assert "LWAVE = .FALSE." in incar    # bools in VASP syntax
+    assert (calc.workdir / "hash.json").exists()
+    assert (calc.workdir / "accurate_dft_calc.extxyz").exists()
+    # rerun: nothing new (hash dedup)
+    assert len(calc.create_tasks({"aimd": sampler})) == 3
+    assert len(list(calc.task_iterator())) == 3
+    # update_status runs over not-yet-completed jobs without error
+    calc.update_status()
+
+
+def test_vasp_parameters_rules():
+    """NBANDS scalar/dict/lambda rules and finite-T smearing
+    (reference `setup_vasp_accurate_dft_parameters`)."""
+    from tensoralloy_tpu.tensordb import VaspCalculator
+    s = make_phase_structure("Cu", "fcc", 3.6).repeat((2, 2, 2))
+    s.info["etemperature"] = 0.25
+    calc = VaspCalculator("/tmp/_unused_vasp_params", {
+        "species": ["Cu"], "finite_temperature": True,
+        "vasp": {"calc": {
+            "nbands": "lambda a, n, v, t: n * 4 + 8",
+            "magmom": 0.6, "lsorbit": True}}})
+    p = calc.vasp_parameters(s)
+    assert p["nbands"] == 32 * 4 + 8
+    assert p["sigma"] == pytest.approx(0.25)
+    assert p["ismear"] == -1
+    assert p["magmom"] == f"{32 * 3}*0.6"    # noncollinear 3N
+    calc.config["vasp"]["calc"]["nbands"] = {"32": 144}
+    del calc.config["vasp"]["calc"]["lsorbit"]
+    p = calc.vasp_parameters(s)
+    assert p["nbands"] == 144
+    assert p["magmom"] == "32*0.6"
+
+
+def test_aging_calculator_transmutation_and_bubble(tmp_path):
+    """Aging modifications: exact transmutation counts at prob=1 and a
+    helium bubble replacing a small cluster with min-distance-safe He
+    positions (reference `aging.py:47-187,190-395`)."""
+    from tensoralloy_tpu.tensordb import VaspAgingCalculator
+    calc = VaspAgingCalculator(tmp_path / "r", {
+        "species": ["Cu"],
+        "aging": {"transmutation": {"Cu-Ni": {"prob": 1.0, "nmax": 3}},
+                  "helium_bubble": {"target": "Cu",
+                                    "max_target_size": 2,
+                                    "max_bubble_size": 4,
+                                    "max_ratio": 3.0}}})
+    s = make_phase_structure("Cu", "fcc", 3.6).repeat((2, 2, 2))
+    out = calc.may_modify_atoms(s)
+    syms = np.asarray(out.symbols)
+    n_he = int((syms == "He").sum())
+    n_ni = int((syms == "Ni").sum())
+    assert 1 <= n_he <= 4
+    assert n_ni == 3
+    # count conservation: hosts lost = cluster size (1..2)
+    n_host = int((syms == "Cu").sum()) + n_ni
+    assert len(s) - n_host in (1, 2)
+    # He not on top of host atoms
+    from tensoralloy_tpu.neighbor import neighbor_list
+    ii, jj, _, d, _ = neighbor_list(out, 3.0)
+    he = np.flatnonzero(syms == "He")
+    host = syms != "He"
+    for i in he:
+        sel = (ii == i) & host[jj]
+        if np.any(sel):
+            assert d[sel].min() > 0.8
+    # too-small cells are dropped
+    assert calc.may_modify_atoms(make_phase_structure(
+        "Cu", "fcc", 3.6)) is None
+
+
+def test_neq_and_porous_calculators(tmp_path):
+    from tensoralloy_tpu.tensordb import (VaspNonEquilibriumCalculator,
+                                          VaspPorousCalculator)
+    s = make_phase_structure("Cu", "fcc", 3.6).repeat((2, 2, 2))
+    neq = VaspNonEquilibriumCalculator(
+        tmp_path / "n", {"species": ["Cu"],
+                         "neq": {"nmax": 3, "dmin": 1.2}})
+    out = neq.may_modify_atoms(s)
+    moved = np.flatnonzero(np.linalg.norm(
+        out.positions - s.positions, axis=1) > 1e-9)
+    assert 0 <= len(moved) <= 3
+    assert len(out) == len(s)
+    por = VaspPorousCalculator(
+        tmp_path / "p", {"species": ["Cu"],
+                         "porosity": {"porosity": 2.0}})
+    out = por.may_modify_atoms(s)
+    assert len(out) == len(s) // 2
+    with pytest.raises(ValueError):
+        VaspPorousCalculator(tmp_path / "p2",
+                             {"species": ["Cu"], "porosity": {}})
+
+
+def test_vasp_calculator_update_status_and_harvest(tmp_path):
+    """A job dir with real OUTCAR/OSZICAR fixtures is counted as
+    completed; metadata gains SU + convergence (reference
+    `calculator.py:342-452`)."""
+    import shutil
+    from tensoralloy_tpu.tensordb import VaspCalculator
+    sampler = _TrajSampler(_make_traj_task(tmp_path))
+    calc = VaspCalculator(tmp_path / "root",
+                          {"species": ["Be"], "calc": {"interval": 10}})
+    structures = calc.create_tasks({"aimd": sampler})
+    assert len(structures) == 1
+    task = list(calc.task_iterator())[0]
+    for name in ("INCAR", "OSZICAR", "OUTCAR"):
+        shutil.copy(os.path.join(DATA, name), task / name)
+    status = calc.update_status()
+    assert status["total_jobs"][-1] == 1
+    assert status["completed_jobs"][-1] == 1
+    meta = json.loads((task / "metadata.json").read_text())
+    assert "SU" in meta and meta["SU"]["ncores"] == 64
+    assert "converged" in meta
