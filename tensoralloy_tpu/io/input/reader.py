@@ -42,6 +42,9 @@ def _validate(config: dict, choices: dict, prefix: str = ""):
                 config.get(k)
             if value is None or value is False:
                 continue
+            if isinstance(value, str) and "@" in value and \
+                    value.split("@")[0] in allowed:
+                continue  # named preset bank of an allowed algorithm
             if value not in allowed:
                 raise ValueError(
                     f"'{value}' is not a valid choice for '{path}' "

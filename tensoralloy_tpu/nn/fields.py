@@ -82,3 +82,61 @@ def make_hessian_fn(energy_fn: Callable) -> Callable:
         return jax.hessian(e_of)(pos)
 
     return hess
+
+
+def make_rij_efs_fn(energy_fn: Callable) -> Callable:
+    """rij-fed evaluation (reference `use_computed_dists=False`,
+    `universal.py:265-276`): the caller supplies displacement vectors
+    ("rij" [nij, 3], plus "trip_rij"/"trip_rik" for angular models)
+    and the energy is differentiated w.r.t. THEM — positions and cell
+    stay out of the graph. This is the contract an external MD engine
+    (LAMMPS pair style) needs: per-pair force partials it can
+    accumulate itself.
+
+    Returns fn(params, features) -> dict with
+      energy        scalar
+      pair_forces   dE/drij [nij, 3]  (engine-side accumulation)
+      forces        [n_vap, 3] reconstructed: F_i = sum_{i center} g
+                    - sum_{i neighbor} g  (for verification)
+      virial/stress from W = sum_p g_p (x) rij_p.
+
+    Only the flat pair layout (descriptor backend 'segment') carries
+    explicit rij arrays; dense/pallas backends compute distances from
+    their own columns.
+    """
+
+    def efs(params, features) -> Dict[str, jnp.ndarray]:
+        keys = [k for k in ("rij", "trip_rij", "trip_rik")
+                if k in features]
+        vecs = tuple(features[k] for k in keys)
+
+        def e_of(*vs):
+            f = dict(features)
+            f.update(zip(keys, vs))
+            return energy_fn(params, f)
+
+        energy, grads = jax.value_and_grad(
+            e_of, argnums=tuple(range(len(keys))))(*vecs)
+        grads = dict(zip(keys, grads))
+        n_vap = features["positions"].shape[0]
+        seg = lambda v, i: jax.ops.segment_sum(v, features[i],
+                                               num_segments=n_vap)
+        g = grads["rij"]
+        forces = seg(g, "pair_i") - seg(g, "pair_j")
+        virial = g.T @ features["rij"]
+        out = {"energy": energy, "pair_forces": g}
+        for gk, (src, dst) in (("trip_rij", ("trip_i", "trip_j")),
+                               ("trip_rik", ("trip_i", "trip_k"))):
+            if gk in grads:
+                gt = grads[gk]
+                forces = forces + seg(gt, src) - seg(gt, dst)
+                virial = virial + gt.T @ features[gk]
+                out[f"{gk}_forces"] = gt
+        volume = jnp.abs(jnp.linalg.det(features["cell"]))
+        stress = virial / jnp.maximum(volume, 1e-12)
+        out.update({"forces": forces, "virial": virial,
+                    "stress": stress,
+                    "stress_voigt": full_to_voigt(stress)})
+        return out
+
+    return efs

@@ -47,6 +47,57 @@ def get_activation(name: str):
     return ACTIVATIONS[name]
 
 
+# ----------------------------------------------------------------------
+# Kernel initializer registry (reference `nn/init_ops.py:20-130`).
+# Variance-scaling *normal* variants draw from a TRUNCATED normal at
+# +-2 sigma with the TF VarianceScaling std correction, *uniform*
+# variants from U(-limit, limit) with limit = sqrt(3 * scale / fan).
+_TRUNC_STD_CORRECTION = 0.8796256610342398  # std of N(0,1)|[-2,2]
+
+KERNEL_INITIALIZERS = (
+    "he_normal", "he_uniform", "lecun_normal", "lecun_uniform",
+    "glorot_normal", "glorot_uniform", "xavier_normal",
+    "xavier_uniform", "truncated_normal", "random_normal",
+    "random_uniform", "zeros", "constant")
+
+
+def sample_kernel(key, name: str, fan_in: int, fan_out: int, dtype,
+                  value: float = 0.0, stddev: float = 0.05,
+                  limit: float = 0.05):
+    """Draw a [fan_in, fan_out] kernel from the named initializer."""
+    name = (name or "he_normal").lower()
+    shape = (fan_in, fan_out)
+    scaled = {"he_normal": 2.0 / fan_in, "he_uniform": 2.0 / fan_in,
+              "lecun_normal": 1.0 / fan_in,
+              "lecun_uniform": 1.0 / fan_in,
+              "glorot_normal": 2.0 / (fan_in + fan_out),
+              "glorot_uniform": 2.0 / (fan_in + fan_out),
+              "xavier_normal": 2.0 / (fan_in + fan_out),
+              "xavier_uniform": 2.0 / (fan_in + fan_out)}
+    if name in scaled:
+        if name.endswith("_uniform"):
+            lim = np.sqrt(3.0 * scaled[name])
+            w = jax.random.uniform(key, shape, minval=-lim, maxval=lim)
+        else:
+            std = np.sqrt(scaled[name]) / _TRUNC_STD_CORRECTION
+            w = jax.random.truncated_normal(key, -2.0, 2.0, shape) * std
+    elif name == "truncated_normal":
+        w = jax.random.truncated_normal(key, -2.0, 2.0, shape) * \
+            (stddev / _TRUNC_STD_CORRECTION)
+    elif name == "random_normal":
+        w = jax.random.normal(key, shape) * stddev
+    elif name == "random_uniform":
+        w = jax.random.uniform(key, shape, minval=-limit, maxval=limit)
+    elif name == "zeros":
+        w = jnp.zeros(shape)
+    elif name == "constant":
+        w = jnp.full(shape, value)
+    else:
+        raise ValueError(f"unknown kernel initializer {name!r} "
+                         f"(allowed: {KERNEL_INITIALIZERS})")
+    return w.astype(dtype)
+
+
 def init_dense_stack(key, in_dim: int, hidden_sizes: Sequence[int],
                      out_dim: int = 1,
                      output_bias: bool = True,
@@ -61,14 +112,8 @@ def init_dense_stack(key, in_dim: int, hidden_sizes: Sequence[int],
     for li in range(len(sizes) - 1):
         key, sub = jax.random.split(key)
         fan_in, fan_out = sizes[li], sizes[li + 1]
-        if kernel_init == "he_normal":
-            std = np.sqrt(2.0 / fan_in)
-        elif kernel_init == "lecun_normal":
-            std = np.sqrt(1.0 / fan_in)
-        else:  # glorot
-            std = np.sqrt(2.0 / (fan_in + fan_out))
-        layer = {"w": (jax.random.normal(sub, (fan_in, fan_out)) *
-                       std).astype(dtype)}
+        layer = {"w": sample_kernel(sub, kernel_init, fan_in, fan_out,
+                                    dtype)}
         is_output = li == len(sizes) - 2
         if not is_output:
             layer["b"] = jnp.zeros((fan_out,), dtype)

@@ -15,7 +15,15 @@ def safe_norm(vec, eps: float = 1e-14, axis: int = -1):
 
 
 def pair_vectors(features):
-    """r_ij vectors [nij, 3]: R[j] + S @ cell - R[i]."""
+    """r_ij vectors [nij, 3]: R[j] + S @ cell - R[i].
+
+    If the features carry an explicit "rij" array, it is returned
+    verbatim — the rij-fed evaluation mode (reference
+    `use_computed_dists=False`, `universal.py:265-276`): an external
+    engine (e.g. a LAMMPS pair style) supplies the displacement vectors
+    and differentiates the energy w.r.t. them instead of positions."""
+    if "rij" in features:
+        return features["rij"]
     pos = features["positions"]
     cell = features["cell"]
     ri = pos[features["pair_i"]]
@@ -32,14 +40,30 @@ def pair_distances(features, eps: float = 1e-14):
 
 
 def triple_distances(features, eps: float = 1e-14):
-    """(rij, rik, rjk) for each triple, padding-safe (=1 where masked)."""
+    """(rij, rik, rjk) for each triple, padding-safe (=1 where masked).
+
+    rij-fed mode: if "trip_rij"/"trip_rik" displacement arrays are
+    present (external engine supplies triple geometry, reference
+    `use_computed_dists=False`), distances derive from them and the
+    positions/cell stay out of the graph."""
+    mask = features["trip_mask"]
+
+    def safe(r):
+        return jnp.where(mask > 0, r, 1.0)
+
+    if "trip_rij" in features:
+        vj = features["trip_rij"]
+        vk = features["trip_rik"]
+        return (safe(safe_norm(vj, eps=eps)),
+                safe(safe_norm(vk, eps=eps)),
+                safe(safe_norm(vk - vj, eps=eps)))
     pos = features["positions"]
     cell = features["cell"]
     ri = pos[features["trip_i"]]
     rj = pos[features["trip_j"]] + features["trip_shift_j"] @ cell
     rk = pos[features["trip_k"]] + features["trip_shift_k"] @ cell
-    mask = features["trip_mask"]
+
     def dist(a, b):
-        r = safe_norm(b - a, eps=eps)
-        return jnp.where(mask > 0, r, 1.0)
+        return safe(safe_norm(b - a, eps=eps))
+
     return dist(ri, rj), dist(ri, rk), dist(rj, rk)

@@ -315,3 +315,82 @@ def test_device_dataset_path_bitexact():
     for a, b in zip(jax.tree_util.tree_leaves(outs[True]["params"]),
                     jax.tree_util.tree_leaves(outs[False]["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rij_fed_evaluation_mode():
+    """rij-fed mode (reference use_computed_dists=False,
+    `universal.py:265-276`): supplying displacement vectors reproduces
+    the position-mode energy/forces/stress exactly — for EAM and for an
+    angular symmetry-function model (triple vectors)."""
+    from tensoralloy_tpu.nn.fields import make_efs_fn, make_rij_efs_fn
+    from tensoralloy_tpu.nn.sf import SymmetryFunction
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+    from tensoralloy_tpu.ops.pairs import pair_vectors
+
+    s = _ni_structure(n_cell=2, rattle=0.08, seed=5)
+
+    def check(model, params, fz, angular=False):
+        vap = fz.make_vap(s, model.max_occurs)
+        feats = {k: jnp.asarray(v)
+                 for k, v in fz.featurize(s, vap).items()}
+        ref = jax.jit(make_efs_fn(
+            model.variational_energy))(params, feats)
+        fed = dict(feats)
+        fed["rij"] = pair_vectors(feats)
+        if angular:
+            pos, cell = feats["positions"], feats["cell"]
+            ri = pos[feats["trip_i"]]
+            fed["trip_rij"] = (pos[feats["trip_j"]] +
+                               feats["trip_shift_j"] @ cell - ri)
+            fed["trip_rik"] = (pos[feats["trip_k"]] +
+                               feats["trip_shift_k"] @ cell - ri)
+        out = jax.jit(make_rij_efs_fn(
+            model.variational_energy))(params, fed)
+        np.testing.assert_allclose(float(out["energy"]),
+                                   float(ref["energy"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["forces"]),
+                                   np.asarray(ref["forces"]),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out["stress_voigt"]),
+                                   np.asarray(ref["stress_voigt"]),
+                                   atol=5e-6)
+        assert out["pair_forces"].shape == fed["rij"].shape
+
+    fz = Featurizer(["Ni"], rcut=5.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 32}),
+                       custom_potentials="zjw04")
+    check(model, model.init_params(jax.random.PRNGKey(0)), fz)
+
+    fza = Featurizer(["Ni"], rcut=4.5, angular=True)
+    sf = SymmetryFunction(["Ni"])
+    m2 = AtomicNN(fza, Counter({"Ni": 32}), sf, hidden_sizes=[8],
+                  minmax_scale=False)
+    check(m2, m2.init_params(jax.random.PRNGKey(1)), fza, angular=True)
+
+
+def test_kernel_initializer_registry():
+    """Reference init_ops parity: truncated-normal variance scaling,
+    uniform variants, constants (reference `nn/init_ops.py:20-130`)."""
+    from tensoralloy_tpu.nn.layers import (sample_kernel,
+                                           KERNEL_INITIALIZERS)
+    key = jax.random.PRNGKey(0)
+    for name in KERNEL_INITIALIZERS:
+        w = sample_kernel(key, name, 64, 32, jnp.float32)
+        assert w.shape == (64, 32)
+        assert np.all(np.isfinite(np.asarray(w)))
+    # he_normal is truncated at 2 sigma-equivalent
+    w = np.asarray(sample_kernel(key, "he_normal", 4096, 64,
+                                 jnp.float32))
+    std = np.sqrt(2.0 / 4096)
+    assert np.abs(w).max() <= 2.0 * std / 0.8796256610342398 + 1e-6
+    assert w.std() == pytest.approx(std, rel=0.05)
+    # uniform limit
+    w = np.asarray(sample_kernel(key, "he_uniform", 4096, 64,
+                                 jnp.float32))
+    assert np.abs(w).max() <= np.sqrt(3 * 2.0 / 4096) + 1e-9
+    # constants
+    w = np.asarray(sample_kernel(key, "constant", 3, 3, jnp.float32,
+                                 value=1.5))
+    np.testing.assert_array_equal(w, np.full((3, 3), 1.5))
+    with pytest.raises(ValueError):
+        sample_kernel(key, "nosuch", 3, 3, jnp.float32)
