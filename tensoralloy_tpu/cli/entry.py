@@ -86,6 +86,16 @@ def main(argv=None):
         "elastic", help="elastic constants of a crystal with a model")
     c_elastic.add_argument("model")
     c_elastic.add_argument("crystal")
+    c_elastic.add_argument("--method", choices=["fit", "cdiff"],
+                           default="fit",
+                           help="'fit': symmetry-reduced least-squares "
+                                "(reference protocol); 'cdiff': full "
+                                "6x6 central differences")
+    c_elastic.add_argument("--relax-ions", action="store_true",
+                           help="relax internal coordinates under "
+                                "each strain (relaxed-ion constants)")
+    c_elastic.add_argument("--lattice", default=None,
+                           help="override lattice-family detection")
 
     c_ph = comp_sub.add_parser(
         "phonon", help="phonon band structure from the model Hessian")
@@ -344,6 +354,15 @@ def _load_crystal(path):
     if path.endswith(".cif"):
         from ..io.cif import read_cif
         return read_cif(path)
+    if not os.path.exists(path):
+        # built-in crystal name ('Ni', 'Mo/dft', 'Ni3Mo', ...)
+        from ..data.crystals import built_in_crystals
+        lib = built_in_crystals()
+        if path in lib:
+            return lib[path].structure
+        raise FileNotFoundError(
+            f"{path!r} is neither a structure file nor a built-in "
+            f"crystal (known: {sorted(lib)})")
     return read_extxyz(path)[0]
 
 
@@ -376,10 +395,19 @@ def _compute_eos(args):
 
 def _compute_elastic(args):
     from ..calculator import TensorAlloyCalculator
-    from ..analysis.elastic import compute_elastic_tensor
+    from ..analysis.elastic import (compute_elastic_tensor,
+                                    fit_elastic_tensor)
     calc = TensorAlloyCalculator(args.model)
     crystal = _load_crystal(args.crystal)
-    c = compute_elastic_tensor(calc, crystal)
+    if getattr(args, "method", "fit") == "cdiff":
+        c = compute_elastic_tensor(calc, crystal)
+    else:
+        c, info = fit_elastic_tensor(
+            calc, crystal, lattice=getattr(args, "lattice", None),
+            relax_ions=getattr(args, "relax_ions", False))
+        print(f"lattice family: {info['lattice']}")
+        for name, value in info["cij"].items():
+            print(f"  {name} = {value:.2f} GPa")
     print("elastic tensor (GPa):")
     for row in c:
         print("  " + " ".join(f"{x:10.2f}" for x in row))

@@ -4,8 +4,9 @@ train/eval steps, checkpointing.
 Replaces the reference's Estimator machinery
 (`tensoralloy/train/training.py`, `nn/opt.py`, `nn/hooks.py`) with a
 functional JAX loop: one jitted `train_step` (grads -> optax update ->
-EMA), one jitted `eval_step` (MAE/MSE metrics with EMA params), orbax
-checkpoints, and a 1-D device mesh for data parallelism.
+EMA), one jitted `eval_step` (MAE/MSE metrics with EMA params), flat
+npz checkpoints with keep-N rotation, and a 1-D device mesh for data
+parallelism.
 """
 from __future__ import annotations
 
