@@ -322,3 +322,50 @@ def test_scan_steps_equivalent(ethanol_db, tmp_path):
                     jax.tree_util.tree_leaves(results[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-12)
+
+
+def test_spatial_pair_sharding_matches_single_device():
+    """Spatial parallelism (parallel/spatial.py): one structure's pair
+    arrays sharded over a 4-device mesh gives the same energy, forces
+    and stress as a single device — XLA partitions the segment-sums
+    and all-reduces the per-atom accumulators, so the nonlinear
+    embedding runs on exact densities."""
+    from collections import Counter
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.nn.fields import make_efs_fn
+    from tensoralloy_tpu.parallel.mesh import make_mesh
+    from tensoralloy_tpu.parallel.spatial import (
+        is_pairwise_key, make_spatial_efs_fn, shard_features_spatial)
+
+    rng = np.random.RandomState(7)
+    a0, n_cell = 3.52, 2
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(n_cell)
+                           for j in range(n_cell) for k in range(n_cell)])
+    s = Structure.from_symbols(
+        ["Ni"] * len(frac),
+        frac * a0 + rng.normal(scale=0.08, size=(len(frac), 3)),
+        np.eye(3) * a0 * n_cell, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=5.0)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    feats_np = fz.featurize(s, fz.make_vap(s, model.max_occurs))
+    ref = jax.jit(make_efs_fn(model.energy))(
+        params, {k: jnp.asarray(v) for k, v in feats_np.items()})
+
+    mesh = make_mesh(4, axis_name="pairs")
+    sharded = shard_features_spatial(feats_np, mesh)
+    # pair arrays padded to a multiple of the mesh and actually sharded
+    assert sharded["pair_i"].shape[0] % 4 == 0
+    assert not is_pairwise_key("positions")
+    assert not is_pairwise_key("pair_j_d")   # dense cols stay replicated
+    out = make_spatial_efs_fn(model.energy, mesh)(params, sharded)
+    assert float(out["energy"]) == pytest.approx(float(ref["energy"]),
+                                                 abs=1e-8)
+    np.testing.assert_allclose(np.asarray(out["forces"]),
+                               np.asarray(ref["forces"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["stress_voigt"]),
+                               np.asarray(ref["stress_voigt"]),
+                               atol=1e-8)
