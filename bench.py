@@ -198,6 +198,61 @@ def measure_train(model, feats, labels, batch_size, k_hi=18,
     return per_step, flops[k_hi] / per_step, nbytes[k_hi] / per_step
 
 
+def measure_md(n_axis=10):
+    """Device-resident NVE MD throughput (zjw04 EAM Ni, 4*n_axis^3
+    atoms): marginal seconds/step via 64-vs-32-step fused chunks with a
+    forced host fetch. Returns (natoms, md_steps_per_s,
+    atom_steps_per_s)."""
+    from collections import Counter
+    import jax
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(n_axis)
+                           for j in range(n_axis) for k in range(n_axis)])
+    s = Structure.from_symbols(["Ni"] * len(frac), frac * a0,
+                               np.eye(3) * a0 * n_axis, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    md = VelocityVerlet(model, params, s, timestep=1.0, skin=1.0,
+                        chunk_size=32, temperature=600.0)
+    # one host featurization (skinned), then time the jitted chunk
+    old = fz.rcut
+    try:
+        fz.rcut += md.skin
+        feats_np = md._build_features(s.positions)
+    finally:
+        fz.rcut = old
+    import jax.numpy as jnp
+    feats = {k: jnp.asarray(v) for k, v in feats_np.items()}
+    pos = jnp.asarray(md.vap.map_positions(s.positions).astype(
+        np.asarray(feats["positions"]).dtype))
+    feats["positions"] = pos
+    vel = jnp.asarray(md.velocities_vap)
+    scan = md._make_scan()
+
+    def run(n):
+        _, _, pe, _ = scan(pos, vel, feats, n)
+        return float(pe)   # forced host fetch
+
+    run(64), run(32)       # compile both
+    def best(n):
+        b = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(n)
+            b = min(b, time.perf_counter() - t0)
+        return b
+    per_step = max((best(64) - best(32)) / 32, 1e-9)
+    return len(s), 1.0 / per_step, len(s) / per_step
+
+
 def measure_peak_tflops():
     """Anchor: 4096^3 matmul chain, marginal per-iteration time."""
     import jax
@@ -267,6 +322,7 @@ def main():
 
     peak = measure_peak_tflops()
     peak_bw = measure_peak_bandwidth()
+    md_atoms, md_sps, md_aps = measure_md(10)
     print(json.dumps({
         "metric": "qm7_train_throughput_angular_sf_bs50",
         "value": round(qm7_throughput, 1),
@@ -286,6 +342,9 @@ def main():
             "measured_peak_gbps_copy_anchor": round(peak_bw, 1),
             "snap_bw_util_vs_measured_peak": round(
                 snap_bps / max(peak_bw * 1e9, 1e-9), 4),
+            "md_nve_eam_atoms": md_atoms,
+            "md_nve_eam_steps_per_s": round(md_sps, 1),
+            "md_nve_eam_atom_steps_per_s": round(md_aps, 0),
             "descriptor_backend": "dense",
             "timing": "marginal K-vs-2 fused scan, host-fetch forced "
                       "(block_until_ready does not block on this "

@@ -67,7 +67,7 @@ def test_td_forces_differentiate_free_energy(be_structure):
     efs = jax.jit(make_efs_fn(model.variational_energy))
     out = efs(params, feats)
     forces = np.asarray(out["forces"])
-    eps = 1e-6
+    eps = 1e-5
     pos0 = np.asarray(feats["positions"])
     for row, alpha in [(1, 0), (50, 2)]:
         fp = dict(feats)
@@ -79,7 +79,10 @@ def test_td_forces_differentiate_free_energy(be_structure):
         fp["positions"] = jnp.asarray(pp)
         fminus = float(model.variational_energy(params, fp))
         fd = -(fplus - fminus) / (2 * eps)
-        assert fd == pytest.approx(forces[row, alpha], rel=1e-5, abs=1e-7)
+        # abs floor: central FD of an ~50 eV energy carries one-ULP
+        # noise of ~1e-13/(2 eps) eV/A even in f64
+        assert fd == pytest.approx(forces[row, alpha], rel=1e-5,
+                                   abs=5e-8)
     # the plain energy (U) gradient differs from the F gradient
     gU = jax.grad(lambda p: model.energy(params, dict(feats, positions=p))
                   )(feats["positions"])
