@@ -108,6 +108,14 @@ def main(argv=None):
     c_ph.add_argument("--npoints", type=int, default=20)
     c_ph.add_argument("--output", default="bands.csv")
 
+    v2l = sub.add_parser(
+        "vasp2lammps",
+        help="convert a POSCAR/CONTCAR to a LAMMPS data file "
+             "(reference tools/vasp2lammps)")
+    v2l.add_argument("poscar")
+    v2l.add_argument("-o", "--output", default="data.lammps")
+    v2l.add_argument("-s", "--specorder", nargs="+", default=None)
+
     args = parser.parse_args(argv)
     return {
         "stop": _cmd_stop,
@@ -116,6 +124,7 @@ def main(argv=None):
         "export": _cmd_export,
         "print": _cmd_print,
         "compute": _cmd_compute,
+        "vasp2lammps": _cmd_vasp2lammps,
     }[args.command](args)
 
 
@@ -250,6 +259,15 @@ def _cmd_print(args):
         print("  ".join(str(row.get(k, "")).rjust(widths[k])
                         for k in keys))
     print(f"wrote {out} ({len(rows)} rows)")
+    return 0
+
+
+def _cmd_vasp2lammps(args):
+    from ..io.vasp import read_poscar
+    from ..analysis.lammps import write_lammps_data
+    s = read_poscar(args.poscar)
+    write_lammps_data(args.output, s, elements=args.specorder)
+    print(f"wrote {args.output} ({len(s)} atoms)")
     return 0
 
 

@@ -108,3 +108,37 @@ def read_vasp_xml(filename: str = "vasprun.xml",
     if isinstance(index, int):
         return structures[index]
     return structures[index]
+
+
+def read_poscar(path: str):
+    """Read a VASP POSCAR/CONTCAR (vasp5 format with a symbol line;
+    Direct or Cartesian coordinates, optional selective dynamics)."""
+    from ..atoms import Structure
+    with open(path) as fh:
+        lines = [ln.rstrip() for ln in fh]
+    scale = float(lines[1].split()[0])
+    cell = np.array([[float(x) for x in lines[2 + i].split()[:3]]
+                     for i in range(3)])
+    if scale < 0:  # negative scale = target cell volume
+        vol = abs(np.linalg.det(cell))
+        scale = (-scale / vol) ** (1.0 / 3.0)
+    cell = cell * scale
+    symbols_line = lines[5].split()
+    if symbols_line and symbols_line[0].isdigit():
+        raise ValueError(f"{path}: vasp4 POSCAR without a symbol line "
+                         "is not supported — add the element row")
+    counts = [int(x) for x in lines[6].split()]
+    symbols = []
+    for sym, cnt in zip(symbols_line, counts):
+        symbols.extend([sym] * cnt)
+    idx = 7
+    if lines[idx].strip().lower().startswith("s"):  # selective dynamics
+        idx += 1
+    cartesian = lines[idx].strip().lower().startswith(("c", "k"))
+    idx += 1
+    n = sum(counts)
+    coords = np.array([[float(x) for x in lines[idx + i].split()[:3]]
+                       for i in range(n)])
+    positions = coords * scale if cartesian else coords @ cell
+    return Structure.from_symbols(symbols, positions, cell,
+                                  pbc=[True, True, True])

@@ -165,6 +165,40 @@ class BaseSampler:
     def is_task_finished(taskdir: Path) -> bool:
         return (Path(taskdir) / "vasprun.xml").exists()
 
+    TRAJECTORY_FILE = "trajectory.extxyz"
+
+    def post_process_task(self, taskdir: Path):
+        """Extract a finished task's vasprun.xml into
+        trajectory.extxyz (idempotent; reference
+        `sampler.py:666-706`)."""
+        taskdir = Path(taskdir)
+        vasprun = taskdir / "vasprun.xml"
+        out = taskdir / self.TRAJECTORY_FILE
+        if not vasprun.exists() or out.exists():
+            return
+        from ..io.vasp import read_vasp_xml
+        from ..io.extxyz import write_extxyz
+        try:
+            frames = read_vasp_xml(
+                str(vasprun), index=slice(None),
+                finite_temperature=self.config.get(
+                    "finite_temperature", False))
+        except Exception as exc:
+            print(f"[sampling/postprocess] FAILED to read {vasprun}: "
+                  f"{exc}")
+            return
+        if not frames:
+            return
+        for i, s in enumerate(frames):
+            s.info["_source"] = f"{taskdir}@{i}"
+        write_extxyz(str(out), frames)
+        self.set_status(taskdir, "processed")
+
+    def post_process(self):
+        for task in self.task_iterator():
+            if self.is_task_finished(task):
+                self.post_process_task(task)
+
     def update_status(self):
         for task in self.task_iterator():
             data = self.get_status(task)
@@ -273,9 +307,14 @@ class VaspAimdSampler(AimdSampler):
                 walltime=slurm.get("walltime", "24:00:00"))
         return created
 
-    def post_process(self, db, interval: int = 50):
-        """Extract snapshots of finished tasks into a database."""
+    def post_process(self, db=None, interval: int = 50):
+        """Without `db`: extract each finished task's vasprun.xml into
+        trajectory.extxyz (base behavior, reference
+        `sampler.py:666-706`). With `db`: additionally harvest the
+        snapshots into the database."""
         self.update_status()
+        if db is None:
+            return super().post_process()
         count = 0
         for task in self.task_iterator():
             if self.get_status(task)["status"] != "finished":

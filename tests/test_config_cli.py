@@ -246,3 +246,41 @@ def test_cli_print_reference_tf_logfile(tmp_path):
     assert data["Al/fcc/C11"] == "109.6"  # rounded to 0.1 GPa
     assert float(data["loss"]) == 8.926156
     assert len(rows) == 3                 # header + 2 evaluations
+
+
+def test_vasp2lammps_roundtrip(tmp_path):
+    """`vasp2lammps` (reference tools/vasp2lammps): POSCAR -> LAMMPS
+    data file; read_poscar round-trips write_poscar (Cartesian) and
+    handles Direct coordinates."""
+    import subprocess
+    from tensoralloy_tpu.tensordb.sampler import (make_phase_structure,
+                                                  write_poscar)
+    from tensoralloy_tpu.io.vasp import read_poscar
+    s = make_phase_structure("Cu", "fcc", 3.6).repeat((2, 1, 1))
+    poscar = tmp_path / "POSCAR"
+    write_poscar(poscar, s)
+    back = read_poscar(str(poscar))
+    assert back.symbols == s.symbols
+    np.testing.assert_allclose(back.cell, s.cell, atol=1e-10)
+    np.testing.assert_allclose(back.positions, s.positions, atol=1e-9)
+    # Direct-coordinate form
+    frac = s.positions @ np.linalg.inv(s.cell)
+    lines = [f"direct test", "1.0"]
+    lines += ["  " + " ".join(f"{x:.12f}" for x in row)
+              for row in s.cell]
+    lines += ["Cu", str(len(s)), "Direct"]
+    lines += ["  " + " ".join(f"{x:.12f}" for x in row) for row in frac]
+    (tmp_path / "POSCAR2").write_text("\n".join(lines) + "\n")
+    back2 = read_poscar(str(tmp_path / "POSCAR2"))
+    np.testing.assert_allclose(back2.positions, s.positions, atol=1e-8)
+
+    env = dict(os.environ)
+    env["TENSORALLOY_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "vasp2lammps",
+         str(poscar), "-o", str(tmp_path / "data.lammps")],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert out.returncode == 0, out.stderr
+    data = (tmp_path / "data.lammps").read_text()
+    assert "8 atoms" in data and "1 atom types" in data

@@ -286,3 +286,62 @@ def test_vasp_calculator_update_status_and_harvest(tmp_path):
     meta = json.loads((task / "metadata.json").read_text())
     assert "SU" in meta and meta["SU"]["ncores"] == 64
     assert "converged" in meta
+    # harvest the converged job into a database
+    if meta["converged"]:
+        shutil.copy("/root/reference/test_files/Be_md_vasprun.xml",
+                    task / "vasprun.xml")
+        from tensoralloy_tpu.io.sqlite import connect
+        db = connect(str(tmp_path / "harvest.db"))
+        n = calc.harvest(db)
+        assert n == 1 and len(db) == 1
+        s = db.get(1)
+        assert s.energy is not None
+
+
+def test_tensordb_cli_pipeline(tmp_path):
+    """The TensorDB orchestrator (reference `tools/tensordb`):
+    sampling -> postprocess -> create calc -> gather over a real
+    AIMD fixture, driven through the CLI entry."""
+    import shutil
+    from tensoralloy_tpu.tensordb.cli import TensorDB, main
+
+    config = tmp_path / "config.toml"
+    config.write_text("""
+species = ["Be"]
+phases = ["hcp"]
+[hcp]
+a = 2.29
+supercell = [[2, 2, 2]]
+[calc]
+interval = 4
+[aimd.sampling.nvt.hcp]
+t0 = 300
+t1 = 600
+size = 1
+[vasp.sampling]
+encut = 400
+[vasp.calc]
+encut = 500
+""")
+    db = TensorDB(config)
+    db.create_sampling_tasks()
+    tasks = list(db.samplers["aimd"].task_iterator())
+    assert len(tasks) == 1
+    # simulate a finished AIMD job
+    shutil.copy("/root/reference/test_files/Be_md_vasprun.xml",
+                tasks[0] / "vasprun.xml")
+    db.post_process()
+    assert (tasks[0] / "trajectory.extxyz").exists()
+    # high-precision recompute tasks from the sampled snapshots
+    db.create_accurate_dft_tasks("calc")
+    calc_tasks = list(db.calculators["calc"].task_iterator())
+    assert len(calc_tasks) == 3          # 10 frames, every 4th
+    assert (calc_tasks[0] / "INCAR").exists()
+    # unknown calculator type errors clearly
+    with pytest.raises(ValueError):
+        db.create_accurate_dft_tasks("aging")
+    # CLI surface: status over created-but-unfinished jobs
+    assert main(["-i", str(config), "status", "calc"]) == 0
+    # plot diagnostics from the post-processed trajectory
+    out = db.plot(tasks[0] / "trajectory.extxyz")
+    assert out.exists()
