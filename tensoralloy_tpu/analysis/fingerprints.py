@@ -251,3 +251,21 @@ class FingerprintsComparator:
         n = len(self.fps)
         return [(i, j) for i in range(n) for j in range(i + 1, n)
                 if d[i, j] < thr]
+
+
+def get_motifs(structure: Structure, rcut: float = 20.0
+               ) -> List[Structure]:
+    """Per-atom motifs: for each atom, the sub-structure of atoms
+    within `rcut` of it (reference `get_motifs`,
+    `fingerprints.py:487-506`)."""
+    pos = structure.positions
+    out = []
+    for i in range(len(structure)):
+        keep = [j for j in range(len(structure))
+                if j == i or np.linalg.norm(pos[i] - pos[j]) <= rcut]
+        out.append(Structure(
+            numbers=structure.numbers[keep].copy(),
+            positions=pos[keep].copy(),
+            cell=structure.cell.copy(), pbc=structure.pbc.copy(),
+            info=dict(structure.info)))
+    return out
