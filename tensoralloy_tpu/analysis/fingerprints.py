@@ -51,6 +51,13 @@ class StructureFingerprint:
         if abs(np.linalg.det(structure.cell)) < 1e-12:
             self.pbc = np.zeros(3, dtype=bool)
         self.dimensions = int(self.pbc.sum())
+        if self.dimensions in (1, 2):
+            for axis in range(3):
+                if not self.pbc[axis] and not maxdims[axis] > 0:
+                    raise ValueError(
+                        "a positive thickness must be given in maxdims "
+                        "for every non-periodic direction of a 1D/2D "
+                        f"system (axis {axis})")
         syms = np.asarray(structure.symbols)
         self.elements = sorted(set(structure.symbols))
         self.counts = {e: int(np.sum(syms == e)) for e in self.elements}
@@ -257,15 +264,24 @@ def get_motifs(structure: Structure, rcut: float = 20.0
                ) -> List[Structure]:
     """Per-atom motifs: for each atom, the sub-structure of atoms
     within `rcut` of it (reference `get_motifs`,
-    `fingerprints.py:487-506`)."""
+    `fingerprints.py:487-506`, which uses raw Cartesian distances;
+    here distances are minimum-image for periodic cells)."""
     pos = structure.positions
+    cell = structure.cell
+    periodic = np.any(structure.pbc) and \
+        abs(np.linalg.det(cell)) > 1e-12
+    d = pos[None, :, :] - pos[:, None, :]
+    if periodic:
+        frac = d @ np.linalg.inv(cell)
+        frac -= np.round(frac * np.asarray(structure.pbc, float))
+        d = frac @ cell
+    dist = np.linalg.norm(d, axis=-1)
     out = []
     for i in range(len(structure)):
-        keep = [j for j in range(len(structure))
-                if j == i or np.linalg.norm(pos[i] - pos[j]) <= rcut]
+        keep = np.flatnonzero(dist[i] <= rcut)
         out.append(Structure(
             numbers=structure.numbers[keep].copy(),
             positions=pos[keep].copy(),
-            cell=structure.cell.copy(), pbc=structure.pbc.copy(),
+            cell=cell.copy(), pbc=structure.pbc.copy(),
             info=dict(structure.info)))
     return out

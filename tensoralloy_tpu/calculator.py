@@ -27,6 +27,15 @@ from .nn.fields import make_efs_fn, make_hessian_fn
 from .vap import VirtualAtomMap
 
 
+def model_feature_layout(model) -> str:
+    """Which feature layout a model consumes: 'segment' for EAM-family
+    models and segment-backend descriptors, 'dense' for dense/pallas
+    descriptor backends."""
+    descriptor = getattr(model, "descriptor", None)
+    backend = getattr(descriptor, "backend", "segment")
+    return "segment" if backend == "segment" else "dense"
+
+
 def _bucket(n: int, minimum: int = 256) -> int:
     size = minimum
     while size < n:
@@ -124,7 +133,8 @@ class TensorAlloyCalculator:
                              pair_bucket=lambda n: _bucket(max(n, 1)),
                              trip_bucket=lambda n: _bucket(max(n, 1)),
                              dtype=np.float64 if jax.config.jax_enable_x64
-                             else np.float32)
+                             else np.float32,
+                             layout=model_feature_layout(self.model))
         return {k: jnp.asarray(v) for k, v in feats.items()}
 
     # ------------------------------------------------------------------

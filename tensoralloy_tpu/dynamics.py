@@ -76,13 +76,15 @@ class VelocityVerlet:
 
     # ------------------------------------------------------------------
     def _build_features(self, positions_local: np.ndarray) -> Dict:
+        from .calculator import model_feature_layout
         s = self.structure.copy()
         s.positions = positions_local
         pad = lambda n: max(256, 1 << int(np.ceil(np.log2(max(n, 1)))))
         feats = self.fz.featurize(
             s, self.vap, pair_bucket=pad, trip_bucket=pad,
             dtype=np.float64 if jax.config.jax_enable_x64
-            else np.float32)
+            else np.float32,
+            layout=model_feature_layout(self.model))
         return feats
 
     def _make_scan(self):

@@ -107,7 +107,8 @@ def get_crystal(obj, base_dir: str = ".") -> CrystalSpec:
         for key, value in d.items():
             if len(key) == 3 and key[0] == "c" and key[1:].isdigit():
                 if isinstance(value, (list, tuple)):
-                    cij, weight = float(value[0]), float(value[1])
+                    cij = float(value[0])
+                    weight = float(value[1]) if len(value) > 1 else 1.0
                 else:
                     cij, weight = float(value), 1.0
                 spec.elastic_constants.append(ElasticConstant(

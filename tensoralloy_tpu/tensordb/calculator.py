@@ -150,7 +150,10 @@ class BaseCalculator:
                 try:
                     selected = sampler.get_samples(
                         task, interval=self.sampling_interval, **kwargs)
-                except (IOError, OSError):
+                except FileNotFoundError:
+                    continue  # task not finished (no vasprun.xml yet)
+                except (IOError, OSError) as exc:
+                    print(f"[{name}/gather] skipping {task}: {exc}")
                     continue
                 for s in selected:
                     src = f"{name}:{Path(task).name}"
@@ -425,26 +428,20 @@ class HeliumBubbleInjection:
         assert 0.5 <= self.min_ratio <= self.max_ratio
 
 
-def fibonacci_sphere(n: int, radius: float = 1.0,
-                     min_distance: float = 1.0) -> np.ndarray:
-    """n points on a sphere via the Fibonacci lattice, rejecting points
-    closer than `min_distance` to already-kept ones."""
-    points: List[np.ndarray] = []
-    start = 0
-    while len(points) < n:
-        idx = np.arange(start, start + 1000)
-        start += 1000
-        phi = np.arccos(1.0 - 2.0 * (idx + 0.5) / (n + 1000))
-        theta = np.pi * (1.0 + 5 ** 0.5) * idx
-        cand = np.stack([radius * np.sin(phi) * np.cos(theta),
-                         radius * np.sin(phi) * np.sin(theta),
-                         radius * np.cos(phi)], axis=1)
-        if points:
-            dd = np.linalg.norm(cand[:, None] - np.asarray(points),
-                                axis=2)
-            cand = cand[np.all(dd > min_distance, axis=1)]
-        points.extend(cand[:n - len(points)])
-    return np.asarray(points[:n])
+def fibonacci_sphere(n: int, radius: float = 1.0) -> np.ndarray:
+    """n points spread evenly over the sphere via the Fibonacci
+    lattice (golden-angle spiral). Unlike the reference's batched
+    rejection variant (`aging.py:369-395`, which takes the first n of
+    1000 candidates and therefore clusters them near a pole), the
+    denominator is n itself, so coverage is uniform for any n."""
+    if n == 1:
+        return np.array([[0.0, 0.0, radius]])
+    idx = np.arange(n)
+    phi = np.arccos(1.0 - 2.0 * (idx + 0.5) / n)
+    theta = np.pi * (1.0 + 5 ** 0.5) * idx
+    return np.stack([radius * np.sin(phi) * np.cos(theta),
+                     radius * np.sin(phi) * np.sin(theta),
+                     radius * np.cos(phi)], axis=1)
 
 
 def find_cluster(structure: Structure, center: int, cluster_size: int,

@@ -334,7 +334,19 @@ class ExistedTrajectorySampler(BaseSampler):
 
     def __init__(self, root, config: dict):
         super().__init__(root, config)
-        self.trajectories = config.get("trajectories", [])
+        self.trajectories = config.get(
+            "trajectories", config.get("external", {}).get(
+                "trajectories", []))
+
+    def task_iterator(self) -> Iterator[Path]:
+        """Each external trajectory FILE is one task (the base
+        status.json-directory iterator would hand directories to
+        get_samples)."""
+        for f in self.trajectories:
+            yield Path(f)
+
+    def post_process(self, db=None, interval: int = 50):
+        return None  # external files need no extraction
 
     def get_samples(self, path=None, interval: int = 1,
                     **kwargs) -> List[Structure]:

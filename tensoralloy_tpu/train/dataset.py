@@ -29,7 +29,8 @@ class Dataset:
     def __init__(self, database: CoreDatabase, featurizer: Featurizer,
                  name: str = "dataset", test_size: float | int = 0.2,
                  seed: int = 611, dtype=np.float32,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 layout: str = "both"):
         self.db = database
         self.featurizer = featurizer
         self.name = name
@@ -37,6 +38,10 @@ class Dataset:
         self.seed = seed
         self.dtype = dtype
         self.cache_dir = cache_dir or os.path.dirname(database.filename)
+        # which feature layout(s) to emit: 'both' | 'segment' | 'dense'
+        # (emit only what the descriptor backend consumes — at
+        # SNAP-scale padding the other layout doubles cache + HBM)
+        self.layout = layout
         self.max_occurs = database.max_occurs
         self.sizes: NeighborSize = database.get_neighbor_sizes(
             featurizer.max_cutoff, angular=featurizer.angular)
@@ -55,6 +60,8 @@ class Dataset:
               np.dtype(np.float64): "fp64"}[np.dtype(self.dtype)]
         # v2: dense-layout columns (pair_col/ncols) added to the schema
         sig = f"{self.name}-v2-k{k}-rc{self.featurizer.rcut:.2f}"
+        if self.layout != "both":
+            sig += f"-{self.layout}"
         if self.featurizer.angular:
             # acut and the symmetric flag change the triple features;
             # they must invalidate the cache
@@ -74,7 +81,7 @@ class Dataset:
                              nijk_max=self.nijk_max or None,
                              nnl_max=self.nnl_max or None,
                              ntl_max=self.ntl_max or None,
-                             dtype=self.dtype)
+                             dtype=self.dtype, layout=self.layout)
         labels: Arrays = {
             "energy": np.asarray(s.energy if s.energy is not None else 0.0,
                                  dtype=self.dtype),

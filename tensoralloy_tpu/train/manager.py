@@ -58,10 +58,19 @@ class TrainingManager:
             acut=r["acut"] if angular else None, angular=angular)
 
         dtype = np.float64 if r["precision"] == "high" else np.float32
+        # emit only the feature layout the descriptor backend consumes
+        # (the unused layout would double cache + device-resident HBM
+        # at SNAP-scale padding)
+        if self.pair_style.model in ("sf", "grap"):
+            bk_key = f"nn.atomic.{self.pair_style.model}.backend"
+            backend = r.get(bk_key, "dense") or "dense"
+            layout = "segment" if backend == "segment" else "dense"
+        else:  # EAM family computes geometry from the flat pair arrays
+            layout = "segment"
         self.dataset = Dataset(
             self.db, self.featurizer, name=r["dataset.name"],
             test_size=r["dataset.test_size"], seed=r["seed"], dtype=dtype,
-            cache_dir=r["dataset.tfrecords_dir"])
+            cache_dir=r["dataset.tfrecords_dir"], layout=layout)
 
         self.model = self._build_model()
         self.loss_parameters = self._build_loss_parameters()

@@ -430,13 +430,17 @@ class Trainer:
         examples = 0
         for step in range(start, tp.train_steps, k):
             n_fused = min(k, tp.train_steps - step)
+            # stack exactly n_fused batches: a final short block must
+            # not overshoot train_steps (the fused program
+            # re-specializes once for the tail shape)
             if use_dev:
                 idx = jnp.asarray(np.stack(
-                    [next(idx_it) for _ in range(k)]).astype(np.int32))
+                    [next(idx_it) for _ in range(n_fused)]
+                ).astype(np.int32))
                 state, metrics = step_ix(state, dev_feats, dev_labels,
                                          idx)
             elif k > 1:
-                group = [next(it) for _ in range(k)]
+                group = [next(it) for _ in range(n_fused)]
                 from jax.sharding import NamedSharding, PartitionSpec
                 sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
                 put = lambda v: jax.device_put(v, sh)

@@ -141,7 +141,8 @@ class Featurizer:
                   dtype=np.float64,
                   pair_bucket=None, trip_bucket=None,
                   nnl_max: Optional[int] = None,
-                  ntl_max: Optional[int] = None) -> Features:
+                  ntl_max: Optional[int] = None,
+                  layout: str = "both") -> Features:
         """Build the fixed-shape feature arrays for one structure.
 
         `pair_bucket`/`trip_bucket` round the exact pair/triple counts
@@ -149,10 +150,16 @@ class Featurizer:
         single neighbor-list pass, bounded recompilation.
 
         `nnl_max`/`ntl_max` fix the widths of the dense per-atom
-        neighbor/triple layouts (``pair_col``/``trip_col`` columns +
-        the ``pair_ncols``/``trip_ncols`` shape carriers) used by the
-        'dense' and 'pallas' descriptor backends; default = this
-        structure's own maxima."""
+        neighbor/triple layouts used by the 'dense' and 'pallas'
+        descriptor backends; default = this structure's own maxima.
+
+        `layout` selects which layouts to emit: 'both' (default),
+        'segment' (flat pair/triple index arrays only), or 'dense'
+        (per-atom columns only) — training at SNAP-scale padding
+        should emit only the layout its backend consumes, halving
+        feature memory / cache / device-resident HBM."""
+        if layout not in ("both", "segment", "dense"):
+            raise ValueError(f"unknown layout {layout!r}")
         structure = structure.ensure_cell()
         if vap is None:
             vap = self.make_vap(structure)
@@ -194,52 +201,56 @@ class Featurizer:
             raise ValueError(f"nij={nij} exceeds nij_max={nij_max}")
         ci = elem_idx_local[ilist]
         cj = elem_idx_local[jlist]
-        feats["pair_i"] = _pad(vap.local_to_vap[ilist], nij_max, 0)
-        feats["pair_j"] = _pad(vap.local_to_vap[jlist], nij_max, 0)
-        feats["pair_shift"] = np.concatenate(
-            [shift, np.zeros((pad, 3))], axis=0).astype(dtype)
-        feats["pair_islot"] = _pad(self._rslot[ci, cj], nij_max, 0)
-        feats["pair_term"] = _pad(self._rterm[ci, cj], nij_max, 0)
-        feats["pair_mask"] = np.concatenate(
-            [np.ones(nij), np.zeros(pad)]).astype(dtype)
+        if layout in ("both", "segment"):
+            feats["pair_i"] = _pad(vap.local_to_vap[ilist], nij_max, 0)
+            feats["pair_j"] = _pad(vap.local_to_vap[jlist], nij_max, 0)
+            feats["pair_shift"] = np.concatenate(
+                [shift, np.zeros((pad, 3))], axis=0).astype(dtype)
+            feats["pair_islot"] = _pad(self._rslot[ci, cj], nij_max, 0)
+            feats["pair_term"] = _pad(self._rterm[ci, cj], nij_max, 0)
+            feats["pair_mask"] = np.concatenate(
+                [np.ones(nij), np.zeros(pad)]).astype(dtype)
 
-        # Dense per-atom layout, built on the HOST: XLA TPU scatters run
-        # far below HBM bandwidth, so the device must see gathers only.
-        # Row = VAP index of the center, column = neighbor counter.
-        cols, nnl = _columns_of(ilist, len(structure))
-        if nnl_max is not None:
-            if nnl > nnl_max:
-                raise ValueError(f"nnl={nnl} exceeds nnl_max={nnl_max}")
-            nnl = int(nnl_max)
-        elif pair_bucket is not None:
-            nnl = int(pair_bucket(nnl))   # bounded recompilation (MD)
-        nnl = max(nnl, 1)
-        n_vap = vap.n_atoms_vap
-        rows = vap.local_to_vap[ilist]
-        pjd = np.zeros((n_vap, nnl), np.int32)
-        psd = np.zeros((n_vap, nnl, 3), dtype)
-        pmd = np.zeros((n_vap, nnl), dtype)
-        pisd = np.zeros((n_vap, nnl), dtype)
-        pjd[rows, cols] = vap.local_to_vap[jlist]
-        psd[rows, cols] = shift
-        pmd[rows, cols] = 1.0
-        pisd[rows, cols] = self._rslot[ci, cj]
-        feats["pair_j_d"] = pjd
-        feats["pair_shift_d"] = psd
-        feats["pair_mask_d"] = pmd
-        feats["pair_islot_d"] = pisd
+        if layout in ("both", "dense"):
+            # Dense per-atom layout, built on the HOST: XLA TPU
+            # scatters run far below HBM bandwidth, so the device must
+            # see gathers only. Row = VAP index of the center, column =
+            # neighbor counter.
+            cols, nnl = _columns_of(ilist, len(structure))
+            if nnl_max is not None:
+                if nnl > nnl_max:
+                    raise ValueError(
+                        f"nnl={nnl} exceeds nnl_max={nnl_max}")
+                nnl = int(nnl_max)
+            elif pair_bucket is not None:
+                nnl = int(pair_bucket(nnl))  # bounded recompiles (MD)
+            nnl = max(nnl, 1)
+            n_vap = vap.n_atoms_vap
+            rows = vap.local_to_vap[ilist]
+            pjd = np.zeros((n_vap, nnl), np.int32)
+            psd = np.zeros((n_vap, nnl, 3), dtype)
+            pmd = np.zeros((n_vap, nnl), dtype)
+            pisd = np.zeros((n_vap, nnl), dtype)
+            pjd[rows, cols] = vap.local_to_vap[jlist]
+            psd[rows, cols] = shift
+            pmd[rows, cols] = 1.0
+            pisd[rows, cols] = self._rslot[ci, cj]
+            feats["pair_j_d"] = pjd
+            feats["pair_shift_d"] = psd
+            feats["pair_mask_d"] = pmd
+            feats["pair_islot_d"] = pisd
 
         if self.angular:
             a_i, a_j, a_s, a_d = all_pairs if all_pairs is not None else (
                 ilist, jlist, shift, dists)
             self._build_triples(feats, structure, vap, a_i, a_j, a_s,
                                 a_d, elem_idx_local, nijk_max, dtype,
-                                trip_bucket, ntl_max)
+                                trip_bucket, ntl_max, layout)
         return feats
 
     def _build_triples(self, feats, structure, vap, ilist, jlist, shift,
                        dists, elem_idx_local, nijk_max, dtype,
-                       trip_bucket=None, ntl_max=None):
+                       trip_bucket=None, ntl_max=None, layout="both"):
         within = dists < self.acut
         ii, jj, ss = ilist[within], jlist[within], shift[within]
         # group pairs by center atom; emit j<k combinations
@@ -291,16 +302,20 @@ class Featurizer:
         ci = elem_idx_local[t_i]
         cj = elem_idx_local[t_j]
         ck = elem_idx_local[t_k]
-        feats["trip_i"] = _pad(vap.local_to_vap[t_i], nijk_max, 0)
-        feats["trip_j"] = _pad(vap.local_to_vap[t_j], nijk_max, 0)
-        feats["trip_k"] = _pad(vap.local_to_vap[t_k], nijk_max, 0)
-        feats["trip_shift_j"] = np.concatenate(
-            [t_sj, np.zeros((pad, 3))], axis=0).astype(dtype)
-        feats["trip_shift_k"] = np.concatenate(
-            [t_sk, np.zeros((pad, 3))], axis=0).astype(dtype)
-        feats["trip_aslot"] = _pad(self._aslot[ci, cj, ck], nijk_max, 0)
-        feats["trip_mask"] = np.concatenate(
-            [np.ones(nijk), np.zeros(pad)]).astype(dtype)
+        if layout in ("both", "segment"):
+            feats["trip_i"] = _pad(vap.local_to_vap[t_i], nijk_max, 0)
+            feats["trip_j"] = _pad(vap.local_to_vap[t_j], nijk_max, 0)
+            feats["trip_k"] = _pad(vap.local_to_vap[t_k], nijk_max, 0)
+            feats["trip_shift_j"] = np.concatenate(
+                [t_sj, np.zeros((pad, 3))], axis=0).astype(dtype)
+            feats["trip_shift_k"] = np.concatenate(
+                [t_sk, np.zeros((pad, 3))], axis=0).astype(dtype)
+            feats["trip_aslot"] = _pad(self._aslot[ci, cj, ck],
+                                       nijk_max, 0)
+            feats["trip_mask"] = np.concatenate(
+                [np.ones(nijk), np.zeros(pad)]).astype(dtype)
+        if layout == "segment":
+            return
         tcols, ntl = _columns_of(np.asarray(t_i, dtype=np.int64),
                                  len(structure))
         if ntl_max is not None:

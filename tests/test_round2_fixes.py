@@ -268,7 +268,7 @@ def test_dataset_signature_includes_acut():
     for fz in (fz1, fz2, fz3):
         ds = Dataset.__new__(Dataset)
         ds.name, ds.featurizer, ds.dtype = "t", fz, np.float32
-        ds.db = _FakeDB()
+        ds.db, ds.layout = _FakeDB(), "both"
         sigs.add(ds.signature)
     assert len(sigs) == 3
 
@@ -394,3 +394,57 @@ def test_kernel_initializer_registry():
     np.testing.assert_array_equal(w, np.full((3, 3), 1.5))
     with pytest.raises(ValueError):
         sample_kernel(key, "nosuch", 3, 3, jnp.float32)
+
+
+def test_feature_layout_selection():
+    """featurize(layout=...) emits only the requested layout; energies
+    agree between a segment-backend model on 'segment' features and a
+    dense-backend model on 'dense' features (memory fix: the unused
+    layout doubled cache + HBM at SNAP scale)."""
+    from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+    from tensoralloy_tpu.calculator import model_feature_layout
+
+    s = _ni_structure(n_cell=2, rattle=0.06, seed=9)
+    fz = Featurizer(["Ni"], rcut=5.0)
+    occurs = Counter({"Ni": len(s)})
+    vap = fz.make_vap(s, occurs)
+    seg_feats = fz.featurize(s, vap, layout="segment")
+    den_feats = fz.featurize(s, vap, layout="dense")
+    both = fz.featurize(s, vap, layout="both")
+    assert "pair_i" in seg_feats and "pair_j_d" not in seg_feats
+    assert "pair_j_d" in den_feats and "pair_i" not in den_feats
+    assert "pair_i" in both and "pair_j_d" in both
+    with pytest.raises(ValueError):
+        fz.featurize(s, vap, layout="sparse")
+
+    outs = {}
+    for backend, feats in (("segment", seg_feats), ("dense", den_feats)):
+        g = GenericRadialAtomicPotential(
+            ["Ni"], algorithm="pexp",
+            parameters={"rl": [1.5, 2.5, 3.5], "pl": [3.0, 2.0, 1.0]},
+            moment_tensors=[0, 1], backend=backend)
+        m = AtomicNN(fz, occurs, g, hidden_sizes=[8],
+                     minmax_scale=False)
+        expected = "segment" if backend == "segment" else "dense"
+        assert model_feature_layout(m) == expected
+        params = m.init_params(jax.random.PRNGKey(0))
+        outs[backend] = float(m.energy(
+            params, {k: jnp.asarray(v) for k, v in feats.items()}))
+    assert outs["segment"] == pytest.approx(outs["dense"], rel=1e-6)
+
+    # EAM consumes the segment layout
+    model = EamAlloyNN(fz, occurs, custom_potentials="zjw04")
+    assert model_feature_layout(model) == "segment"
+    p = model.init_params(jax.random.PRNGKey(0))
+    e = float(model.energy(
+        p, {k: jnp.asarray(v) for k, v in seg_feats.items()}))
+    assert np.isfinite(e)
+
+    # angular: segment layout omits dense triple columns and vice versa
+    fza = Featurizer(["Ni"], rcut=4.5, angular=True)
+    vap_a = fza.make_vap(s, occurs)
+    seg_a = fza.featurize(s, vap_a, layout="segment")
+    den_a = fza.featurize(s, vap_a, layout="dense")
+    assert "trip_i" in seg_a and "trip_j_d" not in seg_a
+    assert "trip_j_d" in den_a and "trip_i" not in den_a
