@@ -99,17 +99,19 @@ class VelocityVerlet:
             return -g * f["atom_masks"][:, None]
 
         def step(carry, _):
-            pos, vel, feats = carry
-            acc = forces_of(feats, pos) / masses * FORCE_TO_ACC
+            # carry the end-of-step acceleration: velocity Verlet needs
+            # ONE new force evaluation per step, not two
+            pos, vel, acc, feats = carry
             vel_half = vel + 0.5 * dt * acc
             pos_new = pos + dt * vel_half
             acc_new = forces_of(feats, pos_new) / masses * FORCE_TO_ACC
             vel_new = vel_half + 0.5 * dt * acc_new
-            return (pos_new, vel_new, feats), None
+            return (pos_new, vel_new, acc_new, feats), None
 
         def chunk(pos, vel, feats, n):
-            (pos, vel, _), _ = jax.lax.scan(
-                step, (pos, vel, feats), None, length=n)
+            acc0 = forces_of(feats, pos) / masses * FORCE_TO_ACC
+            (pos, vel, _, _), _ = jax.lax.scan(
+                step, (pos, vel, acc0, feats), None, length=n)
             f = dict(feats)
             f["positions"] = pos
             energy = model.variational_energy(self.params, f)
