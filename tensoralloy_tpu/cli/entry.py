@@ -97,6 +97,23 @@ def main(argv=None):
     c_elastic.add_argument("--lattice", default=None,
                            help="override lattice-family detection")
 
+    c_neb = comp_sub.add_parser(
+        "neb", help="migration barrier: native on-device NEB "
+                    "(climbing image, FIRE)")
+    c_neb.add_argument("model")
+    c_neb.add_argument("initial", help="initial endpoint structure")
+    c_neb.add_argument("final", help="final endpoint structure")
+    c_neb.add_argument("--n-images", type=int, default=9)
+    c_neb.add_argument("--spring", type=float, default=5.0,
+                       help="inter-replica spring constant (eV/A^2)")
+    c_neb.add_argument("--no-climb", action="store_true")
+    c_neb.add_argument("--fmax", type=float, default=0.05)
+    c_neb.add_argument("--max-steps", type=int, default=1000)
+    c_neb.add_argument("--relax-endpoints", action="store_true",
+                       help="pre-relax both endpoints (fixed cell)")
+    c_neb.add_argument("--output", default=None,
+                       help="write per-image path energies as CSV")
+
     c_ph = comp_sub.add_parser(
         "phonon", help="phonon band structure from the model Hessian")
     c_ph.add_argument("model")
@@ -339,7 +356,38 @@ def _cmd_compute(args):
         return _compute_elastic(args)
     if args.task == "phonon":
         return _compute_phonon(args)
+    if args.task == "neb":
+        return _compute_neb(args)
     raise ValueError(args.task)
+
+
+def _compute_neb(args):
+    from ..calculator import TensorAlloyCalculator
+    from ..neb import NEB
+    calc = TensorAlloyCalculator(args.model)
+    s_i = _load_crystal(args.initial)
+    s_f = _load_crystal(args.final)
+    if args.relax_endpoints:
+        from ..analysis.elastic import relax_positions
+        s_i = relax_positions(calc, s_i, fmax=args.fmax)
+        s_f = relax_positions(calc, s_f, fmax=args.fmax)
+    neb = NEB(calc.model, calc.params, s_i, s_f,
+              n_images=args.n_images, k=args.spring,
+              climb=not args.no_climb)
+    res = neb.run(fmax=args.fmax, max_steps=args.max_steps)
+    state = "converged" if res["converged"] else \
+        f"NOT converged (fmax={res['fmax']:.4f})"
+    print(f"{state} after {res['n_steps']} FIRE steps")
+    print(f"forward barrier : {res['barrier']:.6f} eV")
+    print(f"reverse barrier : {res['reverse_barrier']:.6f} eV")
+    print(f"reaction dE     : {res['delta_e']:.6f} eV")
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write("image,energy\n")
+            for m, e in enumerate(res["energies"]):
+                fh.write(f"{m},{e:.8f}\n")
+        print(f"wrote {args.output}")
+    return 0
 
 
 def _compute_phonon(args):
