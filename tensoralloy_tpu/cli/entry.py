@@ -114,6 +114,17 @@ def main(argv=None):
     c_neb.add_argument("--output", default=None,
                        help="write per-image path energies as CSV")
 
+    c_def = comp_sub.add_parser(
+        "defect", help="vacancy formation energy (native relaxation, "
+                       "no LAMMPS)")
+    c_def.add_argument("model")
+    c_def.add_argument("crystal")
+    c_def.add_argument("--supercell", type=int, nargs=3,
+                       default=[3, 3, 3])
+    c_def.add_argument("--site", type=int, default=0,
+                       help="atom index removed from the supercell")
+    c_def.add_argument("--fmax", type=float, default=0.02)
+
     c_ph = comp_sub.add_parser(
         "phonon", help="phonon band structure from the model Hessian")
     c_ph.add_argument("model")
@@ -358,7 +369,36 @@ def _cmd_compute(args):
         return _compute_phonon(args)
     if args.task == "neb":
         return _compute_neb(args)
+    if args.task == "defect":
+        return _compute_defect(args)
     raise ValueError(args.task)
+
+
+def _compute_defect(args):
+    """Vacancy formation: E_f = E_def - (N-1)/N * E_bulk, internally
+    relaxed with the model (ref analog: analysis/lammps DefectFormation,
+    which needs an external LAMMPS)."""
+    import numpy as np
+    from ..atoms import Structure
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.elastic import relax_positions
+    calc = TensorAlloyCalculator(args.model)
+    bulk = _load_crystal(args.crystal).repeat(tuple(args.supercell))
+    bulk = relax_positions(calc, bulk, fmax=args.fmax)
+    e_bulk = calc.get_potential_energy(bulk)
+    n = len(bulk)
+    if not 0 <= args.site < n:
+        raise SystemExit(f"--site {args.site} out of range (N={n})")
+    keep = np.arange(n) != args.site
+    defect = Structure(bulk.numbers[keep], bulk.positions[keep],
+                       bulk.cell.copy(), bulk.pbc)
+    defect = relax_positions(calc, defect, fmax=args.fmax)
+    e_def = calc.get_potential_energy(defect)
+    e_f = e_def - (n - 1) / n * e_bulk
+    print(f"supercell N = {n}; E_bulk = {e_bulk:.6f} eV; "
+          f"E_defect = {e_def:.6f} eV")
+    print(f"vacancy formation energy = {e_f:.6f} eV")
+    return 0
 
 
 def _compute_neb(args):

@@ -84,3 +84,44 @@ def test_neb_vacancy_migration_zjw04_ni():
     assert np.argmax(e) == res["saddle_index"]
     saddle = neb.saddle_structure()
     assert len(saddle) == len(s_i)
+
+
+def test_neb_runs_with_descriptor_nn():
+    """The band evaluator must work for descriptor models (dense
+    backend features batched through vmap), not just EAM."""
+    from tensoralloy_tpu.nn.sf import SymmetryFunction
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+
+    s_i, s_f = _fcc_vacancy_pair()
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = AtomicNN(fz, Counter(s_i.symbols),
+                     SymmetryFunction(["Ni"]), hidden_sizes=[16],
+                     minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(1))
+    neb = NEB(model, params, s_i, s_f, n_images=5, chunk_size=5)
+    res = neb.run(fmax=1e-9, max_steps=10)   # smoke: 10 FIRE steps
+    assert res["n_steps"] == 10
+    assert np.all(np.isfinite(res["energies"]))
+
+
+def test_cli_compute_defect_vacancy_formation(tmp_path):
+    """Native vacancy-formation verb: zjw04 Ni should give the known
+    ~1.5-1.8 eV EAM vacancy formation energy."""
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 32}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "defect", str(mpath), "Ni", "--supercell", "2", "2", "2"],
+        capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines()
+            if "vacancy formation energy" in l][0]
+    e_f = float(line.split("=")[1].split()[0])
+    assert 1.0 < e_f < 2.2
