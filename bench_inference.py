@@ -66,7 +66,13 @@ def main(n: int = 20):
                 d2 = dict(d)
                 d2["positions"] = d["positions"] + carry * 1e-12
                 o = efs_raw(p, d2)
-                return o["energy"], None
+                # the carry must depend on EVERY output (not just the
+                # energy) or XLA dead-code-eliminates the force/stress
+                # backward pass and this times a forward-only program
+                acc = (o["energy"] +
+                       1e-30 * jnp.sum(o["forces"]) +
+                       1e-30 * jnp.sum(o["stress"]))
+                return acc, None
             acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=k)
             return acc
         return jax.jit(f)

@@ -93,15 +93,24 @@ def detect_lattice(structure: Structure, tol: float = 1e-3) -> str:
     if all(right):
         if eq(a, b) and eq(b, c):
             return "cubic"
-        if eq(a, b) or eq(b, c) or eq(a, c):
-            return "tetragonal"
+        if eq(a, b):
+            return "tetragonal"   # unique axis z, the orientation the
+            # tetragonal-I equation matrix assumes
+        # a==c or b==c: tetragonal with unique axis x/y — the
+        # orthorhombic pattern (same zero couplings, independent
+        # C11/C22/C33) is valid in ANY axis orientation, so fit that
         return "orthorhombic"
     if eq(a, b) and right[0] and right[1] and eq(ga, 120.0):
         return "hexagonal"
     if eq(a, b) and eq(b, c) and eq(al, be) and eq(be, ga):
         return "trigonal"
-    if sum(right) == 2:
+    if right[0] and right[1] and not right[2]:
+        # unique axis c (gamma oblique) — matches the monoclinic
+        # C16/C26/C36/C45 coupling pattern of _eq_matrix
         return "monoclinic"
+    # monoclinic in the common unique-axis-b (beta oblique) or
+    # unique-axis-a setting couples C15/C25/C35/C46 instead; the full
+    # triclinic fit is the orientation-independent correct choice
     return "triclinic"
 
 

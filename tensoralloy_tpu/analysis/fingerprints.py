@@ -122,32 +122,30 @@ class StructureFingerprint:
                                   erf(c * (2 * i - 1)))
                            for i in offsets]) / smearing_norm
         rbin = np.floor(d / self.delta).astype(np.int64)
-        out = [{e: np.zeros(self.nbins) for e in self.elements}
-               for _ in range(n)]
         if self.dimensions in (1, 2):
             area = self._areas(d, s.positions[ii])  # center-dependent
         else:
             area = self._areas(d, None)
         dep = 1.0 / (area * self.delta)
+        # one scatter-add per element over ALL (pair, smearing-offset)
+        # contributions at once — no per-atom / per-offset Python loops
+        volume = struct.volume if self.dimensions else 1.0
+        acc = {}
         for e in self.elements:
             sel_e = syms[jj] == e
-            for off, val in zip(offsets, values):
-                nb = rbin[sel_e] + off
+            flat = np.zeros(n * self.nbins)
+            if sel_e.any():
+                nb = rbin[sel_e][None, :] + offsets[:, None]
                 ok = (nb >= 0) & (nb < self.nbins)
-                contrib = val * dep[sel_e][ok]
-                centers = ii[sel_e][ok]
-                bins = nb[ok]
-                flat = np.zeros(n * self.nbins)
-                np.add.at(flat, centers * self.nbins + bins, contrib)
-                flat = flat.reshape(n, self.nbins)
-                for idx in range(n):
-                    out[idx][e] += flat[idx]
-        # normalize each center's rdf by N_e / V
-        volume = struct.volume if self.dimensions else 1.0
-        for idx in range(n):
-            for e in self.elements:
-                out[idx][e] *= volume / self.counts[e]
-        return out
+                contrib = np.broadcast_to(
+                    values[:, None] * dep[sel_e][None, :], nb.shape)[ok]
+                centers = np.broadcast_to(ii[sel_e], nb.shape)[ok]
+                np.add.at(flat, centers * self.nbins + nb[ok], contrib)
+            # normalize each center's rdf by N_e / V
+            acc[e] = flat.reshape(n, self.nbins) * \
+                (volume / self.counts[e])
+        return [{e: acc[e][idx] for e in self.elements}
+                for idx in range(n)]
 
     def _sum_types(self, per_atom) -> Dict[PairKey, np.ndarray]:
         syms = np.asarray(self.structure.symbols)
@@ -266,15 +264,10 @@ def get_motifs(structure: Structure, rcut: float = 20.0
     within `rcut` of it (reference `get_motifs`,
     `fingerprints.py:487-506`, which uses raw Cartesian distances;
     here distances are minimum-image for periodic cells)."""
+    from ..atoms import minimum_image
     pos = structure.positions
-    cell = structure.cell
-    periodic = np.any(structure.pbc) and \
-        abs(np.linalg.det(cell)) > 1e-12
-    d = pos[None, :, :] - pos[:, None, :]
-    if periodic:
-        frac = d @ np.linalg.inv(cell)
-        frac -= np.round(frac * np.asarray(structure.pbc, float))
-        d = frac @ cell
+    d = minimum_image(pos[None, :, :] - pos[:, None, :],
+                      structure.cell, structure.pbc)
     dist = np.linalg.norm(d, axis=-1)
     out = []
     for i in range(len(structure)):

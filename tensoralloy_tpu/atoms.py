@@ -171,3 +171,21 @@ def voigt_to_full_3x3(v: np.ndarray) -> np.ndarray:
     return np.array([[v[0], v[5], v[4]],
                      [v[5], v[1], v[3]],
                      [v[4], v[3], v[2]]])
+
+
+def minimum_image(d: np.ndarray, cell: np.ndarray,
+                  pbc=None) -> np.ndarray:
+    """Minimum-image displacement vector(s) `d` under `cell`.
+
+    `pbc` (default: fully periodic) masks the wrap per axis; a
+    singular/zero cell returns `d` unchanged. Shared by NEB band
+    tangents, tensordb cluster geometry and fingerprint motifs."""
+    d = np.asarray(d, dtype=float)
+    if cell is None or abs(np.linalg.det(cell)) < 1e-12:
+        return d
+    mask = np.ones(3) if pbc is None else np.asarray(pbc, dtype=float)
+    if not mask.any():
+        return d
+    frac = d @ np.linalg.inv(cell)
+    frac -= np.round(frac * mask)
+    return frac @ cell

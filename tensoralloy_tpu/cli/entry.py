@@ -273,6 +273,9 @@ def _cmd_print(args):
         n = len(cols["global_step"])
         rows = [{k: (v[i] if i < len(v) else "")
                  for k, v in cols.items()} for i in range(n)]
+    if not rows:
+        print("empty history")
+        return 0
     keys = list(rows[0].keys())
     out = args.output or os.path.join(
         os.path.dirname(args.filename) or ".", "summary.csv")

@@ -23,13 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .atoms import Structure
-
-
-def _mic(d: np.ndarray, cell: np.ndarray) -> np.ndarray:
-    """Minimum-image displacement(s) d under the periodic cell."""
-    frac = d @ np.linalg.inv(cell)
-    return (frac - np.round(frac)) @ cell
+from .atoms import Structure, minimum_image
 
 
 def interpolate_band(initial: Structure, final: Structure,
@@ -37,7 +31,7 @@ def interpolate_band(initial: Structure, final: Structure,
     """[M, N, 3] linear path (minimum-image) incl. both endpoints."""
     if list(initial.symbols) != list(final.symbols):
         raise ValueError("initial/final stoichiometry-order mismatch")
-    d = _mic(final.positions - initial.positions, initial.cell)
+    d = minimum_image(final.positions - initial.positions, initial.cell)
     s = np.linspace(0.0, 1.0, n_images)[:, None, None]
     return initial.positions[None] + s * d[None]
 
@@ -235,34 +229,52 @@ class NEB:
         return jax.jit(chunk, static_argnames="n")
 
     # ------------------------------------------------------------------
-    def run(self, fmax: float = 0.05, max_steps: int = 1000) -> dict:
-        """Relax the band; returns energies, barrier and convergence."""
+    def _eval_chunk(self, vel, dt, alpha, n_up, n):
+        """Featurize the CURRENT band, run `n` FIRE steps, return the
+        end-of-chunk state. n=0 is a pure (fresh-list) band evaluation."""
         l2v = self.vap.local_to_vap
+        feats = self._featurize_band()
+        key = tuple((k,) + tuple(np.asarray(v).shape)
+                    for k, v in sorted(feats.items()))
+        if self._scan is None or key != self._shapes_key:
+            self._scan = self._make_scan()
+            self._shapes_key = key
+        pos_vap = np.zeros(
+            (self.n_images, self.model.n_atoms_vap, 3),
+            dtype=np.asarray(feats["positions"]).dtype)
+        pos_vap[:, l2v] = self.positions
+        pos_j, vel, dt, alpha, n_up, e, f = self._scan(
+            jnp.asarray(pos_vap), vel, dt, alpha, n_up, feats, n)
+        self.positions = np.asarray(pos_j)[:, l2v]
+        return vel, dt, alpha, n_up, np.asarray(e), float(f)
+
+    def run(self, fmax: float = 0.05, max_steps: int = 1000) -> dict:
+        """Relax the band; returns energies, barrier and convergence.
+
+        The neighbor list is rebuilt between chunks; because replicas
+        can drift within a chunk while the list is frozen, convergence
+        is only declared after a re-evaluation on FRESH features (an
+        n=0 chunk), and the reported energies always come from a fresh
+        list."""
         vel = jnp.zeros((self.n_images, self.model.n_atoms_vap, 3))
         dt, alpha, n_up = jnp.asarray(0.1), jnp.asarray(0.1), \
             jnp.asarray(0)
-        steps_done, converged, cur_fmax = 0, False, np.inf
-        energies = None
+        steps_done, converged = 0, False
         while steps_done < max_steps and not converged:
-            feats = self._featurize_band()
-            key = tuple(
-                (k,) + tuple(np.asarray(v).shape)
-                for k, v in sorted(feats.items()))
-            if self._scan is None or key != self._shapes_key:
-                self._scan = self._make_scan()
-                self._shapes_key = key
-            pos_vap = np.zeros(
-                (self.n_images, self.model.n_atoms_vap, 3),
-                dtype=np.asarray(feats["positions"]).dtype)
-            pos_vap[:, l2v] = self.positions
             n = min(self.chunk_size, max_steps - steps_done)
-            pos_j, vel, dt, alpha, n_up, e, f = self._scan(
-                jnp.asarray(pos_vap), vel, dt, alpha, n_up, feats, n)
-            self.positions = np.asarray(pos_j)[:, l2v]
-            energies = np.asarray(e)
-            cur_fmax = float(f)
+            vel, dt, alpha, n_up, energies, cur_fmax = \
+                self._eval_chunk(vel, dt, alpha, n_up, n)
             steps_done += n
-            converged = cur_fmax < fmax
+            if cur_fmax < fmax:
+                # chunk-end forces used the chunk-start neighbor list;
+                # confirm against a freshly built one before accepting
+                _, _, _, _, energies, cur_fmax = self._eval_chunk(
+                    vel, dt, alpha, n_up, 0)
+                converged = cur_fmax < fmax
+        if not converged:
+            # honest final report: fresh-list energies and fmax
+            _, _, _, _, energies, cur_fmax = self._eval_chunk(
+                vel, dt, alpha, n_up, 0)
         self.energies = energies
         i_top = 1 + int(np.argmax(energies[1:-1]))
         return {

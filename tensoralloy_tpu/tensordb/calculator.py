@@ -68,13 +68,9 @@ def append_atoms(s: Structure, element: str,
 
 
 def _mic(d: np.ndarray, cell: np.ndarray, pbc) -> np.ndarray:
-    """Minimum-image displacement vectors (orthorhombic-safe general
-    cell wrap through fractional coordinates)."""
-    if not np.any(pbc) or abs(np.linalg.det(cell)) < 1e-12:
-        return d
-    frac = d @ np.linalg.inv(cell)
-    frac -= np.round(frac * np.asarray(pbc, float))
-    return frac @ cell
+    """Minimum-image displacements (shared helper in atoms.py)."""
+    from ..atoms import minimum_image
+    return minimum_image(d, cell, pbc)
 
 
 # ----------------------------------------------------------------------
@@ -448,7 +444,9 @@ def find_cluster(structure: Structure, center: int, cluster_size: int,
                  cutoff: float = 5.0) -> List[int]:
     """The `cluster_size` same-element atoms nearest to `center`
     (inclusive), via the periodic neighbor list."""
-    assert 1 <= cluster_size < 5
+    # bound must match HeliumBubbleInjection.max_target_size <= 5
+    # (inclusive), which _inject_bubble draws up to
+    assert 1 <= cluster_size <= 5
     sym = structure.symbols[center]
     ii, jj, _, d, _ = neighbor_list(structure, cutoff)
     sel = (ii == center) & (np.asarray(structure.symbols)[jj] == sym)
@@ -686,6 +684,10 @@ class VaspPorousCalculator(VaspCalculator):
             raise ValueError("missing 'porosity' key in [porosity]")
         porosity = params["porosity"]
         if isinstance(porosity, (int, float)):
+            if porosity <= 1:
+                raise ValueError(
+                    f"porosity must be > 1 (n_keep = n/porosity); "
+                    f"got {porosity}")
             self.get_porosity = lambda: float(porosity)
         else:
             pmin, pmax = sorted(float(x) for x in porosity)

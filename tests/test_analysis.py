@@ -287,3 +287,67 @@ def test_fingerprint_molecule_0d():
     assert np.all(f_oh >= 0.0)          # no unity subtraction
     assert f_oh.max() > 0.0             # OH peak present
     assert cosine_distance(fp, fp) < 1e-12
+
+
+def test_fit_elastic_non_canonical_orientations_fall_back_safely():
+    """Reduced patterns assume a canonical unique axis (tetragonal: z,
+    monoclinic: c). Cells in other settings must detect a superset
+    family whose equation matrix is valid there, and still recover the
+    true constants exactly."""
+    from tensoralloy_tpu.analysis import elastic as EL
+
+    # tetragonal with unique axis y (a == c != b): the z-unique
+    # tetragonal matrix would misassign C33 -> orthorhombic fallback
+    cell = np.diag([3.0, 4.2, 3.0])
+    s = Structure.from_symbols(["Ni"], [[0, 0, 0]], cell, pbc=[True] * 3)
+    assert EL.detect_lattice(s) == "orthorhombic"
+    cz = np.zeros((6, 6))
+    for name, val in (("C11", 1.5), ("C33", 1.2), ("C12", 0.7),
+                      ("C13", 0.5), ("C44", 0.4), ("C66", 0.3)):
+        for (i, j) in dict(EL._CIJ_SLOTS["tetragonal"])[name]:
+            cz[i, j] = val
+    cz = np.triu(cz) + np.triu(cz, 1).T
+    p = [0, 2, 1, 3, 5, 4]            # swap y<->z in Voigt order
+    c_true = cz[np.ix_(p, p)]
+    fn = _linear_medium_stress_fn(c_true, s)
+    c_fit, info = EL.fit_elastic_tensor(None, s, in_gpa=False,
+                                        stress_fn=fn)
+    assert info["lattice"] == "orthorhombic"
+    np.testing.assert_allclose(c_fit, c_true, atol=1e-10)
+
+    # monoclinic in the standard unique-axis-b setting (beta oblique):
+    # couplings are C15/C25/C35/C46, not the unique-c C16/C26/C36/C45
+    # pattern -> must fall back to the full triclinic fit
+    beta = np.radians(100.0)
+    cell_b = np.array([[3.1, 0, 0],
+                       [0, 3.7, 0],
+                       [4.3 * np.cos(beta), 0, 4.3 * np.sin(beta)]])
+    sb = Structure.from_symbols(["Ni"], [[0, 0, 0]], cell_b,
+                                pbc=[True] * 3)
+    assert EL.detect_lattice(sb) == "triclinic"
+    cm = np.zeros((6, 6))
+    vals = {"C11": 1.5, "C22": 1.4, "C33": 1.2, "C12": 0.7,
+            "C13": 0.5, "C23": 0.45, "C44": 0.4, "C55": 0.35,
+            "C66": 0.3}
+    for name, val in vals.items():
+        i, j = int(name[1]) - 1, int(name[2]) - 1
+        cm[i, j] = val
+    for (i, j), val in {(0, 4): 0.2, (1, 4): 0.15, (2, 4): 0.1,
+                        (3, 5): 0.05}.items():   # C15 C25 C35 C46
+        cm[i, j] = val
+    cm = np.triu(cm) + np.triu(cm, 1).T
+    fnb = _linear_medium_stress_fn(cm, sb)
+    c_fit_b, info_b = EL.fit_elastic_tensor(None, sb, in_gpa=False,
+                                            stress_fn=fnb)
+    assert info_b["lattice"] == "triclinic"
+    np.testing.assert_allclose(c_fit_b, cm, atol=1e-9)
+
+    # gamma-oblique (unique axis c) monoclinic still uses the reduced
+    # 13-constant fit
+    gamma = np.radians(105.0)
+    cell_c = np.array([[3.1, 0, 0],
+                       [3.7 * np.cos(gamma), 3.7 * np.sin(gamma), 0],
+                       [0, 0, 4.3]])
+    sc = Structure.from_symbols(["Ni"], [[0, 0, 0]], cell_c,
+                                pbc=[True] * 3)
+    assert EL.detect_lattice(sc) == "monoclinic"
