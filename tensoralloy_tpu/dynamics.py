@@ -48,13 +48,27 @@ class VelocityVerlet:
     def __init__(self, model, params, structure: Structure,
                  timestep: float = 1.0, skin: float = 1.0,
                  chunk_size: int = 20,
-                 temperature: Optional[float] = None, seed: int = 0):
+                 temperature: Optional[float] = None, seed: int = 0,
+                 target_temperature: Optional[float] = None,
+                 friction: Optional[float] = None):
+        """`temperature` seeds Maxwell-Boltzmann initial velocities
+        (NVE). Setting BOTH `target_temperature` (K) and `friction`
+        (1/fs) switches the integrator to the BAOAB Langevin
+        splitting (Leimkuhler & Matthews 2013) — NVT sampling with
+        the same one-force-evaluation-per-step cost, noise generated
+        on device inside the scan."""
         self.base_model = model
         self.params = params
         self.structure = structure.copy()
         self.timestep = float(timestep)
         self.skin = float(skin)
         self.chunk_size = int(chunk_size)
+        self.target_temperature = target_temperature
+        self.friction = friction
+        if (target_temperature is None) != (friction is None):
+            raise ValueError("Langevin NVT needs both "
+                             "target_temperature and friction")
+        self._key = jax.random.PRNGKey(seed + 7919)
 
         self.model = model.clone_for(Counter(structure.symbols))
         self.fz = model.featurizer
@@ -90,6 +104,14 @@ class VelocityVerlet:
     def _make_scan(self):
         model, dt = self.model, self.timestep
         masses = jnp.asarray(self.masses_vap)[:, None]
+        mask = jnp.asarray(self.vap.atom_masks)[:, None]
+        langevin = self.friction is not None
+        if langevin:
+            c1 = float(np.exp(-self.friction * dt))
+            c2 = float(np.sqrt(1.0 - c1 * c1))
+            # thermal velocity scale per atom (A/fs)
+            sigma_v = jnp.sqrt(KB * self.target_temperature / masses *
+                               FORCE_TO_ACC) * mask
 
         def forces_of(feats, pos):
             f = dict(feats)
@@ -99,27 +121,37 @@ class VelocityVerlet:
             return -g * f["atom_masks"][:, None]
 
         def step(carry, _):
-            # carry the end-of-step acceleration: velocity Verlet needs
+            # carry the end-of-step acceleration: both integrators need
             # ONE new force evaluation per step, not two
-            pos, vel, acc, feats = carry
+            pos, vel, acc, key, feats = carry
+            if langevin:
+                # BAOAB: B(half kick) A(half drift) O(OU noise)
+                #        A(half drift) B(half kick)
+                vel = vel + 0.5 * dt * acc
+                pos = pos + 0.5 * dt * vel
+                key, sub = jax.random.split(key)
+                xi = jax.random.normal(sub, vel.shape, vel.dtype)
+                vel = c1 * vel + c2 * sigma_v * xi
+                pos = pos + 0.5 * dt * vel
+                acc_new = forces_of(feats, pos) / masses * FORCE_TO_ACC
+                vel = vel + 0.5 * dt * acc_new
+                return (pos, vel, acc_new, key, feats), None
             vel_half = vel + 0.5 * dt * acc
             pos_new = pos + dt * vel_half
             acc_new = forces_of(feats, pos_new) / masses * FORCE_TO_ACC
             vel_new = vel_half + 0.5 * dt * acc_new
-            return (pos_new, vel_new, acc_new, feats), None
+            return (pos_new, vel_new, acc_new, key, feats), None
 
-        def chunk(pos, vel, feats, n):
+        def chunk(pos, vel, key, feats, n):
             acc0 = forces_of(feats, pos) / masses * FORCE_TO_ACC
-            (pos, vel, _, _), _ = jax.lax.scan(
-                step, (pos, vel, acc0, feats), None, length=n)
+            (pos, vel, _, key, _), _ = jax.lax.scan(
+                step, (pos, vel, acc0, key, feats), None, length=n)
             f = dict(feats)
             f["positions"] = pos
             energy = model.variational_energy(self.params, f)
-            ke = 0.5 * jnp.sum(masses * jnp.square(vel) *
-                               jnp.asarray(
-                                   self.vap.atom_masks)[:, None]) / \
+            ke = 0.5 * jnp.sum(masses * jnp.square(vel) * mask) / \
                 FORCE_TO_ACC
-            return pos, vel, energy, ke
+            return pos, vel, key, energy, ke
 
         return jax.jit(chunk, static_argnames="n")
 
@@ -129,7 +161,9 @@ class VelocityVerlet:
         (potential, kinetic, total) energies per chunk."""
         pos_local = self.structure.positions.copy()
         vel = jnp.asarray(self.velocities_vap)
-        history = {"potential": [], "kinetic": [], "total": []}
+        history = {"potential": [], "kinetic": [], "total": [],
+                   "temperature": []}
+        ndof = 3 * len(self.structure)
         remaining = n_steps
         while remaining > 0:
             n = min(self.chunk_size, remaining)
@@ -149,11 +183,14 @@ class VelocityVerlet:
             pos_vap = jnp.asarray(self.vap.map_positions(
                 pos_local).astype(np.asarray(feats["positions"]).dtype))
             feats["positions"] = pos_vap
-            pos_vap, vel, pe, ke = self._scan(pos_vap, vel, feats, n)
+            pos_vap, vel, self._key, pe, ke = self._scan(
+                pos_vap, vel, self._key, feats, n)
             pos_local = np.asarray(pos_vap)[self.vap.local_to_vap]
             history["potential"].append(float(pe))
             history["kinetic"].append(float(ke))
             history["total"].append(float(pe) + float(ke))
+            history["temperature"].append(2.0 * float(ke) /
+                                          (ndof * KB))
             remaining -= n
         self.structure.positions = pos_local
         self.velocities_vap = np.asarray(vel)

@@ -48,3 +48,42 @@ def test_nve_energy_conservation():
     assert drift_mev_per_atom < 0.5
     # energy flowed from kinetic to potential (started at the minimum)
     assert hist["kinetic"][-1] < hist["kinetic"][0] * 1.5
+
+
+def test_langevin_nvt_thermalizes():
+    """BAOAB Langevin: starting from rest, the kinetic temperature
+    must equilibrate to the target within sampling noise."""
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(2)
+                           for j in range(2) for k in range(2)]) / 2
+    s = Structure.from_symbols(["Ni"] * len(frac),
+                               frac @ (np.eye(3) * 2 * a0),
+                               np.eye(3) * 2 * a0, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    md = VelocityVerlet(model, params, s, timestep=2.0, skin=1.0,
+                        chunk_size=25, seed=5,
+                        target_temperature=500.0, friction=0.1)
+    hist = md.run(500)
+    temps = np.asarray(hist["temperature"])
+    # equilibration: mean of the second half near the target
+    # (instantaneous T of 32 atoms fluctuates with sigma ~ 0.15 T)
+    t_mean = temps[len(temps) // 2:].mean()
+    assert 350.0 < t_mean < 650.0
+    # energy is NOT conserved (thermostat pumps heat in from rest)
+    assert hist["kinetic"][-1] > hist["kinetic"][0] + 0.1
+
+
+def test_langevin_requires_both_knobs():
+    s = Structure.from_symbols(["Ni"], [[0, 0, 0]],
+                               np.eye(3) * 3.52, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter({"Ni": 1}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        VelocityVerlet(model, params, s, target_temperature=300.0)
