@@ -238,7 +238,7 @@ def measure_md(n_axis=10):
     scan = md._make_scan()
 
     def run(n):
-        _, _, pe, _ = scan(pos, vel, feats, n)
+        _, _, _, pe, _ = scan(pos, vel, md._key, feats, n)
         return float(pe)   # forced host fetch
 
     run(64), run(32)       # compile both
