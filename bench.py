@@ -180,6 +180,9 @@ def measure_train(model, feats, labels, batch_size, k_hi=18,
         state = replicate(trainer.init_state(params), trainer.mesh)
         step = trainer._build_train_step()
         bf, bl = stacked(k)
+        batch_bytes = (sum(np.asarray(v).nbytes for v in bf.values()) +
+                       sum(np.asarray(v).nbytes
+                           for v in bl.values())) / k
         state, m = step(state, bf, bl)
         float(m["loss/total"])              # compile + force completion
         best = 1e9
@@ -195,7 +198,8 @@ def measure_train(model, feats, labels, batch_size, k_hi=18,
     per_step = max((results[k_hi] - results[2]) / (k_hi - 2), 1e-9)
     # XLA cost_analysis counts a lax.scan body ONCE (trip count is not
     # folded in), so the k-fused program's flops ARE the per-step flops
-    return per_step, flops[k_hi] / per_step, nbytes[k_hi] / per_step
+    return (per_step, flops[k_hi] / per_step, nbytes[k_hi] / per_step,
+            batch_bytes / per_step)
 
 
 def measure_md(n_axis=10):
@@ -298,8 +302,8 @@ def main():
     sf = SymmetryFunction(sorted(max_occurs), backend="dense")
     model = AtomicNN(fz, max_occurs, sf, hidden_sizes=[64, 32],
                      minmax_scale=False)
-    qm7_step, qm7_fps, _ = measure_train(model, feats, labels,
-                                         batch_size=50, k_hi=66)
+    qm7_step, qm7_fps, _, _ = measure_train(model, feats, labels,
+                                            batch_size=50, k_hi=66)
     qm7_throughput = 50.0 / qm7_step
 
     # ---- SNAP-scale flagship (BASELINE.md padding regime) ----
@@ -316,7 +320,7 @@ def main():
         moment_tensors=[0, 1, 2, 3], backend="dense")
     smodel = AtomicNN(fzs, mo, grap, hidden_sizes=[128, 128],
                       minmax_scale=False)
-    snap_step, snap_fps, snap_bps = measure_train(
+    snap_step, snap_fps, snap_bps, snap_stream = measure_train(
         smodel, sfeats, slabels, batch_size=32, k_hi=10)
     snap_throughput = 32.0 / snap_step
 
@@ -337,10 +341,18 @@ def main():
             "snap_mfu_vs_measured_peak": round(
                 snap_fps / 1e12 / max(peak, 1e-9), 4),
             # this op class is bandwidth-bound (tiny matmuls, big
-            # gathers): the roofline axis that binds is HBM bytes
-            "snap_grap_achieved_gbps_hlo_bytes": round(snap_bps / 1e9, 1),
+            # gathers): the roofline axis that binds is HBM bytes.
+            # HLO 'bytes accessed' counts each op's logical traffic
+            # BEFORE fusion, so it is an UPPER bound — a ratio > 1 vs
+            # the copy anchor means XLA fused away materializations,
+            # not a violation. The batch-stream rate is the matching
+            # LOWER bound (input features/labels actually read).
+            "snap_grap_hlo_gbps_prefusion_upper": round(
+                snap_bps / 1e9, 1),
+            "snap_grap_batch_stream_gbps_lower": round(
+                snap_stream / 1e9, 1),
             "measured_peak_gbps_copy_anchor": round(peak_bw, 1),
-            "snap_bw_util_vs_measured_peak": round(
+            "snap_hlo_bytes_vs_peak": round(
                 snap_bps / max(peak_bw * 1e9, 1e-9), 4),
             "md_nve_eam_atoms": md_atoms,
             "md_nve_eam_steps_per_s": round(md_sps, 1),

@@ -75,6 +75,16 @@ def main(argv=None):
     c_eos.add_argument("--eos", default="birchmurnaghan")
     c_eos.add_argument("--output", default=None)
 
+    c_latt = comp_sub.add_parser(
+        "latt", help="equilibrium lattice constant + bulk modulus "
+                     "(EOS fit, native)")
+    c_latt.add_argument("model")
+    c_latt.add_argument("crystal")
+    c_latt.add_argument("--xlo", type=float, default=0.94)
+    c_latt.add_argument("--xhi", type=float, default=1.06)
+    c_latt.add_argument("--num", type=int, default=13)
+    c_latt.add_argument("--eos", default="birchmurnaghan")
+
     c_pct = comp_sub.add_parser(
         "percentile", help="per-atom |error| percentiles over a db")
     c_pct.add_argument("model")
@@ -366,6 +376,8 @@ def _cmd_compute(args):
         return 0
     if args.task == "eos":
         return _compute_eos(args)
+    if args.task == "latt":
+        return _compute_latt(args)
     if args.task == "elastic":
         return _compute_elastic(args)
     if args.task == "phonon":
@@ -499,6 +511,35 @@ def _compute_eos(args):
             fh.write("volume,energy\n")
             for v, e in zip(volumes, energies):
                 fh.write(f"{v},{e}\n")
+    return 0
+
+
+def _compute_latt(args):
+    """Equilibrium lattice constant from the EOS minimum (ref analog:
+    analysis/lammps LatticeConstant driver, which needs LAMMPS). The
+    input cell is scaled isotropically; a0 = cbrt(V0 / V) * a_in per
+    cell vector, exact for cubic conventional cells."""
+    import numpy as np
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.eos import EquationOfState
+    calc = TensorAlloyCalculator(args.model)
+    crystal = _load_crystal(args.crystal)
+    volumes, energies = [], []
+    for x in np.linspace(args.xlo, args.xhi, args.num):
+        s = crystal.copy()
+        scale = x ** (1.0 / 3.0)
+        s.cell = s.cell * scale
+        s.positions = s.positions * scale
+        volumes.append(s.volume)
+        energies.append(calc.get_potential_energy(s))
+    eos = EquationOfState(volumes, energies, eos=args.eos)
+    v0, e0, b = eos.fit()
+    from ..nn.fields import EV_ANGSTROM3_TO_GPA
+    scale = (v0 / crystal.volume) ** (1.0 / 3.0)
+    a, bv, c = (np.linalg.norm(crystal.cell, axis=1) * scale)
+    print(f"a = {a:.6f} A, b = {bv:.6f} A, c = {c:.6f} A")
+    print(f"E0 = {e0 / len(crystal):.6f} eV/atom, "
+          f"B = {b * EV_ANGSTROM3_TO_GPA:.2f} GPa")
     return 0
 
 

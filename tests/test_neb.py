@@ -125,3 +125,26 @@ def test_cli_compute_defect_vacancy_formation(tmp_path):
             if "vacancy formation energy" in l][0]
     e_f = float(line.split("=")[1].split()[0])
     assert 1.0 < e_f < 2.2
+
+
+def test_cli_compute_latt(tmp_path):
+    """Native lattice-constant verb: zjw04 Ni must recover its own
+    a0 = 3.52 A and cohesive energy -4.45 eV/atom."""
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "latt", str(mpath), "Ni"],
+        capture_output=True, text=True, check=True)
+    a0 = float(out.stdout.split("a = ")[1].split()[0])
+    e0 = float(out.stdout.split("E0 = ")[1].split()[0])
+    assert a0 == pytest.approx(3.52, abs=0.01)
+    assert e0 == pytest.approx(-4.45, abs=0.02)
