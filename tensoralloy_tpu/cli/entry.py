@@ -85,6 +85,15 @@ def main(argv=None):
     c_latt.add_argument("--num", type=int, default=13)
     c_latt.add_argument("--eos", default="birchmurnaghan")
 
+    c_rx = comp_sub.add_parser(
+        "relax", help="relax internal coordinates with the model "
+                      "(fixed cell, FIRE)")
+    c_rx.add_argument("model")
+    c_rx.add_argument("structure")
+    c_rx.add_argument("--fmax", type=float, default=0.02)
+    c_rx.add_argument("--steps", type=int, default=500)
+    c_rx.add_argument("-o", "--output", default="relaxed.extxyz")
+
     c_pct = comp_sub.add_parser(
         "percentile", help="per-atom |error| percentiles over a db")
     c_pct.add_argument("model")
@@ -378,6 +387,8 @@ def _cmd_compute(args):
         return _compute_eos(args)
     if args.task == "latt":
         return _compute_latt(args)
+    if args.task == "relax":
+        return _compute_relax(args)
     if args.task == "elastic":
         return _compute_elastic(args)
     if args.task == "phonon":
@@ -511,6 +522,26 @@ def _compute_eos(args):
             fh.write("volume,energy\n")
             for v, e in zip(volumes, energies):
                 fh.write(f"{v},{e}\n")
+    return 0
+
+
+def _compute_relax(args):
+    import numpy as np
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.elastic import relax_positions
+    from ..io.extxyz import write_extxyz
+    calc = TensorAlloyCalculator(args.model)
+    s = _load_crystal(args.structure)
+    e_in = calc.get_potential_energy(s)
+    s = relax_positions(calc, s, fmax=args.fmax, steps=args.steps)
+    e_out = calc.get_potential_energy(s)
+    f = np.abs(np.asarray(calc.get_forces(s))).max()
+    s.info["energy"] = float(e_out)
+    write_extxyz(args.output, [s])
+    state = "converged" if f < args.fmax else "NOT converged"
+    print(f"{state}: E {e_in:.6f} -> {e_out:.6f} eV "
+          f"(dE = {e_out - e_in:+.6f}), max|F| = {f:.4f} eV/A")
+    print(f"wrote {args.output}")
     return 0
 
 
