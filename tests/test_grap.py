@@ -152,3 +152,55 @@ def test_grap_nn_filters_forces(pd3o2):
     gnorm = sum(float(jnp.sum(jnp.abs(leaf))) for leaf in
                 jax.tree_util.tree_leaves(grads["descriptor"]))
     assert gnorm > 0
+
+
+@pytest.mark.parametrize("moments", [[0, 1, 2, 3, 4], [0, 1, 2, 3, 4, 5]])
+def test_grap_high_moments_rotation_invariance(moments):
+    """Moments 4-5 go through the full outer-product basis
+    (`full_multiplicity_tensor`); the contracted descriptors must be
+    exactly rotation-invariant and forces must co-rotate — this is the
+    path the SNAP accuracy runs with moment_tensors=[0..5] rely on."""
+    from scipy.spatial.transform import Rotation
+    from tensoralloy_tpu.atoms import Structure
+
+    rng = np.random.RandomState(7)
+    n = 12
+    cell = np.eye(3) * 7.0
+    pos = rng.uniform(0.8, 6.0, size=(n, 3))
+    syms = ["Ni"] * n
+    s = Structure.from_symbols(syms, pos, cell, pbc=[True] * 3)
+
+    fz = Featurizer(["Ni"], rcut=4.5)
+    grap = GenericRadialAtomicPotential(
+        ["Ni"], algorithm="pexp",
+        parameters={"rl": [1.0, 2.0, 3.0], "pl": [4.0, 3.0, 2.0]},
+        moment_tensors=moments)
+    model = AtomicNN(fz, Counter(syms), grap, hidden_sizes=[8],
+                     minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    efs = jax.jit(make_efs_fn(model.variational_energy))
+
+    def run(structure):
+        vap = fz.make_vap(structure, model.max_occurs)
+        feats = {k: jnp.asarray(v)
+                 for k, v in fz.featurize(structure, vap).items()}
+        out = efs(params, feats)
+        f = np.asarray(out["forces"])[vap.local_to_vap]
+        return float(out["energy"]), f
+
+    e0, f0 = run(s)
+    rot = Rotation.from_euler("zyx", [31.0, -47.0, 13.0],
+                              degrees=True).as_matrix()
+    s_rot = Structure.from_symbols(syms, pos @ rot.T, cell @ rot.T,
+                                   pbc=[True] * 3)
+    e1, f1 = run(s_rot)
+    assert e1 == pytest.approx(e0, abs=1e-9)
+    np.testing.assert_allclose(f1, f0 @ rot.T, atol=1e-9)
+
+    # permutation invariance through the VAP layout
+    perm = rng.permutation(n)
+    s_perm = Structure.from_symbols([syms[i] for i in perm], pos[perm],
+                                    cell, pbc=[True] * 3)
+    e2, f2 = run(s_perm)
+    assert e2 == pytest.approx(e0, abs=1e-9)
+    np.testing.assert_allclose(f2, f0[perm], atol=1e-9)
