@@ -19,7 +19,9 @@ import numpy as np
 
 from ..transform.featurizer import Featurizer
 from ..utils import Defaults
-from .layers import (apply_dense_stack, init_dense_stack, l2_of_stack)
+from .layers import (apply_dense_stack, init_dense_stack, l2_of_stack,
+                     freeze_output_bias, minmax_normalize_apply,
+                     minmax_normalize_init)
 
 
 class AtomicNN:
@@ -104,10 +106,8 @@ class AtomicNN:
                 resnet_dt=self.use_resnet_dt,
                 kernel_init=self.kernel_initializer)}
             if self.minmax_scale:
-                dtype = p["mlp"]["layers"][0]["w"].dtype
-                p["norm"] = {
-                    "xlo": jnp.zeros((self.feature_dim,), dtype),
-                    "xhi": jnp.ones((self.feature_dim,), dtype)}
+                p["norm"] = minmax_normalize_init(
+                    self.feature_dim, p["mlp"]["layers"][0]["w"].dtype)
             params[e] = p
         return params
 
@@ -129,11 +129,11 @@ class AtomicNN:
                 continue
             x = jax.lax.dynamic_slice_in_dim(g, lo, cnt, axis=0)
             if self.minmax_scale:
-                norm = jax.lax.stop_gradient(params[e]["norm"])
-                span = jnp.maximum(norm["xhi"] - norm["xlo"], 1e-12)
-                x = (x - norm["xlo"]) / span
-            y = apply_dense_stack(params[e]["mlp"], x,
-                                  self.activation)[:, 0]
+                x = minmax_normalize_apply(params[e]["norm"], x)
+            mlp = params[e]["mlp"]
+            if self.fixed_static_energy:
+                mlp = freeze_output_bias(mlp)
+            y = apply_dense_stack(mlp, x, self.activation)[:, 0]
             out = jax.lax.dynamic_update_slice_in_dim(out, y, lo, axis=0)
         return out * features["atom_masks"]
 
@@ -146,7 +146,14 @@ class AtomicNN:
     variational_energy = energy
 
     def l2_loss(self, params: dict) -> jnp.ndarray:
-        return sum(l2_of_stack(params[e]["mlp"]) for e in self.elements)
+        total = sum(l2_of_stack(params[e]["mlp"])
+                    for e in self.elements)
+        # trainable descriptor stacks (GRAP algorithm='nn' filters)
+        # are part of the model and must be regularized too
+        for stack in (params.get("descriptor") or {}).values():
+            if isinstance(stack, dict) and "layers" in stack:
+                total = total + l2_of_stack(stack)
+        return total
 
     # ------------------------------------------------------------------
     def update_norm_stats(self, params: dict, features_batch) -> dict:

@@ -296,7 +296,15 @@ class RoseConstraint:
             v0 = jnp.abs(jnp.linalg.det(eq_feats["cell"]))
             p0 = -efs["stress_voigt"][:3] / GPa
             b_ev = spec.bulk_modulus * GPa    # eV/A^3
-            a = jnp.sqrt(-9.0 * v0 * b_ev / e0)
+            # a = sqrt(-9 V0 B / E0) is only real for a bound crystal
+            # (E0 < 0); early in training the prediction can be >= 0,
+            # which would make the whole loss NaN (or exp(-a x) inf)
+            # and destroy the Adam state — clamp E0 below zero and cap
+            # a far above its physical range (~3-10) so the residual
+            # stays finite while the energy/pressure terms pull E0 down
+            a = jnp.minimum(
+                jnp.sqrt(-9.0 * v0 * b_ev / jnp.minimum(e0, -1e-6)),
+                25.0)
             ax = a * x
             coef = jnp.exp(-ax) * (
                 1.0 + ax + beta * ax ** 3 * (2.0 * x + 3.0) /
@@ -449,7 +457,7 @@ class ExtraDatabaseConstraint:
                                            nijk_max=nijk_max,
                                            nnl_max=nnl_max,
                                            ntl_max=ntl_max))
-            e_list.append(s.energy or 0.0)
+            e_list.append(s.energy if s.energy is not None else 0.0)
             f = s.forces
             f_list.append(vap.map_forces(f) if f is not None else
                           np.zeros((vap.n_atoms_vap, 3)))
@@ -460,6 +468,12 @@ class ExtraDatabaseConstraint:
         self.energies = jnp.asarray(e_list)
         self.forces = jnp.asarray(np.stack(f_list))
         self.sample_weights = jnp.asarray(w_list)
+        # label-presence masks: rows without a stored energy/forces
+        # must not contribute (a missing energy is NOT 0 eV)
+        self.has_energy = jnp.asarray(
+            [1.0 if s.energy is not None else 0.0 for s in structures])
+        self.has_forces = jnp.asarray(
+            [1.0 if s.forces is not None else 0.0 for s in structures])
         self.n_atoms = jnp.asarray(
             [float(len(s)) for s in structures])
 
@@ -470,10 +484,13 @@ class ExtraDatabaseConstraint:
         total = 0.0
         if "energy" in self.minimize:
             diff = (efs["energy"] - self.energies) / self.n_atoms
+            w = self.sample_weights * self.has_energy
             total = total + jnp.sqrt(
-                jnp.mean(self.sample_weights * jnp.square(diff)) + 1e-14)
+                jnp.sum(w * jnp.square(diff)) /
+                jnp.maximum(jnp.sum(self.has_energy), 1.0) + 1e-14)
         if "forces" in self.minimize:
-            mask = self.feats["atom_masks"][:, 1:]
+            mask = (self.feats["atom_masks"][:, 1:] *
+                    self.has_forces[:, None])
             d = (efs["forces"][:, 1:] - self.forces[:, 1:]) * \
                 mask[..., None]
             total = total + jnp.sqrt(

@@ -41,11 +41,6 @@ from ...ops.pairs import pair_vectors, safe_norm
 from .potentials import resolve_potential
 
 
-def _unordered(term: str) -> str:
-    a, b = get_elements_from_kbody_term(term)
-    return "".join(sorted([a, b]))
-
-
 class EamNN:
     """Shared machinery for the EAM family."""
 

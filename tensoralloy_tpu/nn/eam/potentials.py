@@ -51,6 +51,16 @@ class EmpiricalPotential:
                 p[k] = jax.lax.stop_gradient(p[k])
         return p
 
+    @staticmethod
+    def _rho_element(element_or_term: str) -> str:
+        """FS models pass the ordered pair 'AB' (center A, neighbor B)
+        to rho; element-parameterized potentials evaluate the NEIGHBOR
+        element's density, rho_ab := rho_b — without this an eam/fs
+        config selecting e.g. zjw04 for a rho slot crashes at the
+        first evaluation on the unseeded pair section."""
+        els = get_elements_from_kbody_term(element_or_term)
+        return els[-1] if len(els) == 2 else element_or_term
+
     # subclasses implement (r is [nij]-shaped; all pure):
     def phi(self, params, r, kbody_term, fixed=False):
         raise NotImplementedError(f"{self.name} has no phi")
@@ -170,7 +180,7 @@ class Zjw04(EmpiricalPotential):
         return 0.5 * (rho_a / rho_b * phi_b + rho_b / rho_a * phi_a)
 
     def rho(self, params, r, element, fixed=False):
-        p = self.resolve(params, element, fixed)
+        p = self.resolve(params, self._rho_element(element), fixed)
         return self._rho_elemental(p, r)
 
     def embed(self, params, rho, element, fixed=False):
@@ -202,7 +212,7 @@ class AgSutton90(EmpiricalPotential):
         return (p["b"] / r) ** 12
 
     def rho(self, params, r, element, fixed=False):
-        p = self.resolve(params, element, fixed)
+        p = self.resolve(params, self._rho_element(element), fixed)
         return (p["a"] / r) ** 6
 
     def embed(self, params, rho, element, fixed=False):
@@ -306,33 +316,53 @@ class MorsePotential(EmpiricalPotential):
                         "rho": dict(A=1.0, beta=4.0, re=2.5)}
 
     def initial_params(self, sections):
+        """Element sections hold density params (flat); 2-element
+        sections can be assigned EITHER phi (eam/alloy pairs) or rho
+        (eam/fs ordered pairs) — possibly both names colliding (e.g.
+        Buckingham phi A vs density A) — so pair sections nest one
+        sub-dict per function kind."""
         out = {}
         for section in sections:
-            key = "phi" if len(
-                get_elements_from_kbody_term(section)) == 2 else "rho"
-            out[section] = {k: jnp.asarray(float(v)) for k, v in
-                            self.generic_defaults[key].items()}
+            if len(get_elements_from_kbody_term(section)) == 2:
+                out[section] = {
+                    kind: {k: jnp.asarray(float(v)) for k, v in
+                           self.generic_defaults[kind].items()}
+                    for kind in ("phi", "rho")}
+            else:
+                out[section] = {k: jnp.asarray(float(v)) for k, v in
+                                self.generic_defaults["rho"].items()}
         return out
 
-    def resolve(self, params, section, fixed):
-        p = dict(params.get(self.name, {}).get(section, {}))
-        if not p:
-            key = "phi" if len(
-                get_elements_from_kbody_term(section)) == 2 else "rho"
-            p = {k: jnp.asarray(float(v)) for k, v in
-                 self.generic_defaults[key].items()}
+    def _resolve_kind(self, params, section, kind, fixed):
+        raw = params.get(self.name, {}).get(section, {})
+        p = raw.get(kind) if isinstance(raw.get(kind), dict) else None
+        if p is not None:
+            p = dict(p)
+        else:
+            # flat layout: element sections, or older checkpoints that
+            # stored pair phi params directly in the section
+            keys = set(self.generic_defaults[kind])
+            if raw and keys <= set(raw):
+                p = {k: raw[k] for k in keys}
+            else:
+                p = {k: jnp.asarray(float(v)) for k, v in
+                     self.generic_defaults[kind].items()}
         if fixed:
             p = {k: jax.lax.stop_gradient(v) for k, v in p.items()}
         return p
 
+    def resolve(self, params, section, fixed):
+        # kept for API symmetry with the table-driven potentials
+        return self._resolve_kind(params, section, "rho", fixed)
+
     def phi(self, params, r, kbody_term, fixed=False):
         from ...ops.generic import morse as morse_fn
-        p = self.resolve(params, kbody_term, fixed)
+        p = self._resolve_kind(params, kbody_term, "phi", fixed)
         return morse_fn(r, p["D"], p["gamma"], p["r0"])
 
     def rho(self, params, r, element, fixed=False):
         from ...ops.generic import density_exp
-        p = self.resolve(params, element, fixed)
+        p = self._resolve_kind(params, element, "rho", fixed)
         return density_exp(r, p["A"], p["beta"], p["re"])
 
     def embed(self, params, rho, element, fixed=False):
@@ -352,7 +382,7 @@ class BuckinghamPotential(MorsePotential):
 
     def phi(self, params, r, kbody_term, fixed=False):
         from ...ops.generic import buckingham
-        p = self.resolve(params, kbody_term, fixed)
+        p = self._resolve_kind(params, kbody_term, "phi", fixed)
         return buckingham(r, p["A"], p["rho"], p["C"])
 
 
@@ -619,7 +649,7 @@ class AgrawalBe(EmpiricalPotential):
         return phi0 + phi1 + phi2
 
     def rho(self, params, r, element, fixed=False):
-        p = self.resolve(params, element, fixed)
+        p = self.resolve(params, self._rho_element(element), fixed)
         rc, m = p["rc"], p["m"]
         rho0 = p["A"] * jnp.exp(-p["B"] * (r - p["re"]))
         rho1 = p["A"] * jnp.exp(-p["B"] * (rc - p["re"]))
@@ -724,7 +754,7 @@ class RWGrimes(EmpiricalPotential):
 
     def rho(self, params, r, element, fixed=False):
         from jax.scipy.special import erf
-        p = self.resolve(params, element, fixed)
+        p = self.resolve(params, self._rho_element(element), fixed)
         left = p["n"] / jnp.maximum(r, 1e-8) ** 8
         right = 0.5 + 0.5 * erf(20.0 * (r - 1.5))
         return left * right

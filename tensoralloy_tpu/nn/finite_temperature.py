@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 
 from .atomic import AtomicNN
-from .layers import apply_dense_stack, init_dense_stack, l2_of_stack
+from .layers import (apply_dense_stack, init_dense_stack, l2_of_stack,
+                     freeze_output_bias, minmax_normalize_apply,
+                     minmax_normalize_init)
 
 
 class TemperatureDependentAtomicNN(AtomicNN):
@@ -79,12 +81,18 @@ class TemperatureDependentAtomicNN(AtomicNN):
                     kernel_init=self.kernel_initializer),
             }
             if self.minmax_scale:
-                dtype = p["trunk"]["layers"][0]["w"].dtype
-                p["norm"] = {
-                    "xlo": jnp.zeros((self.feature_dim,), dtype),
-                    "xhi": jnp.ones((self.feature_dim,), dtype)}
+                p["norm"] = minmax_normalize_init(
+                    self.feature_dim, p["trunk"]["layers"][0]["w"].dtype)
             params[e] = p
         return params
+
+    # hook: map the raw entropy-head output to S (subclasses override,
+    # e.g. BeNN's semi-analytic free-electron form)
+    def _entropy_from_head(self, s_raw: jnp.ndarray,
+                           t: jnp.ndarray) -> jnp.ndarray:
+        if self.eentropy_algo.lower() == "sommerfeld":
+            return s_raw * t
+        return s_raw
 
     # ------------------------------------------------------------------
     def _atomic_heads(self, params: dict, features
@@ -102,19 +110,18 @@ class TemperatureDependentAtomicNN(AtomicNN):
                 continue
             x = jax.lax.dynamic_slice_in_dim(g, lo, cnt, axis=0)
             if self.minmax_scale:
-                norm = jax.lax.stop_gradient(params[e]["norm"])
-                span = jnp.maximum(norm["xhi"] - norm["xlo"], 1e-12)
-                x = (x - norm["xlo"]) / span
+                x = minmax_normalize_apply(params[e]["norm"], x)
             h = apply_dense_stack(params[e]["trunk"], x,
                                   self.ft_activation)
             tcol = jnp.full((cnt, 1), t, h.dtype)
             ht = jnp.concatenate([h, tcol], axis=1)
-            u = apply_dense_stack(params[e]["head_u"], ht,
-                                  self.activation)[:, 0]
+            head_u = params[e]["head_u"]
+            if self.fixed_static_energy:
+                head_u = freeze_output_bias(head_u)
+            u = apply_dense_stack(head_u, ht, self.activation)[:, 0]
             s = apply_dense_stack(params[e]["head_s"], ht,
                                   self.activation)[:, 0]
-            if self.eentropy_algo.lower() == "sommerfeld":
-                s = s * t
+            s = self._entropy_from_head(s, t)
             u_out = jax.lax.dynamic_update_slice_in_dim(u_out, u, lo, 0)
             s_out = jax.lax.dynamic_update_slice_in_dim(s_out, s, lo, 0)
         u_out = u_out * masks

@@ -235,8 +235,12 @@ class GenericRadialAtomicPotential:
         eps = 1e-16
         g0 = jnp.sign(p[..., 0]) * jnp.sqrt(q[..., 0] + eps)
         g = jnp.concatenate([g0[..., None], q[..., 1:]], axis=-1)
+        if self.moment_tensors != list(range(self.max_moment + 1)):
+            # honor gaps in the requested list (e.g. [0, 2]) exactly
+            # like legacy mode — emit only the requested moments
+            g = g[..., jnp.asarray(self.moment_tensors)]
         return g.reshape(n_vap, n_slots * self.n_filters *
-                         (self.max_moment + 1))
+                         len(self.moment_tensors))
 
     def compute(self, features, rcut: float, acut: float,
                 n_radial_slots: int, n_angular_slots: int, angular: bool,

@@ -156,5 +156,19 @@ def minmax_normalize_init(feature_dim: int, dtype=None) -> dict:
 
 
 def minmax_normalize_apply(state: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Scale by the (non-trainable) running min/max stats."""
+    state = jax.lax.stop_gradient(state)
     span = jnp.maximum(state["xhi"] - state["xlo"], 1e-12)
     return (x - state["xlo"]) / span
+
+
+def freeze_output_bias(stack: dict) -> dict:
+    """Stop-gradient the LAST layer's bias of a dense stack — used by
+    `fixed_atomic_static_energy` so the per-element static-energy bias
+    stays pinned at its database value during training."""
+    layers = list(stack["layers"])
+    last = dict(layers[-1])
+    if "b" in last:
+        last["b"] = jax.lax.stop_gradient(last["b"])
+    layers[-1] = last
+    return {**stack, "layers": layers}

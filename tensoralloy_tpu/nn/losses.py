@@ -181,7 +181,11 @@ def forces_loss(labels, predictions, atom_masks, options: LossOptions,
     if options.method == "logcosh":
         if sample_weight is not None:
             w = sample_weight[:, None, None] * mask[..., None]
-            w = w / jnp.maximum(jnp.sum(w), 1e-12) if normalized else w
+            # w is per-atom but logcosh(diff) has 3 components per
+            # atom: normalize by 3*sum(w) like the rmse branch, so
+            # enabling sample weights does not rescale the loss 3x
+            if normalized:
+                w = w / (jnp.maximum(jnp.sum(w), 1e-12) * 3.0)
             return jnp.sum(logcosh(diff) * w), mae
         return jnp.sum(logcosh(diff)) / n_real, mae
     return jnp.sqrt(val + _eps(diff)), mae

@@ -167,7 +167,6 @@ def _grap_kernel(rij_ref, ux_ref, uy_ref, uz_ref, islot_ref, mask_ref,
     r = jnp.where(mask > 0, rij_ref[:], 1.0)
     fc = apply_cutoff(desc.cutoff_function, r, rcut)
     u = (ux_ref[:], uy_ref[:], uz_ref[:])
-    n_moments = t_dm.shape[1]
     eps = 1e-16
     cols = []
     for s in range(n_slots):
@@ -181,7 +180,7 @@ def _grap_kernel(rij_ref, ux_ref, uy_ref, uz_ref, islot_ref, mask_ref,
                     m = m * u[ax]
                 p_list.append(jnp.sum(m, axis=1))          # [blk]
             s2 = [p * p for p in p_list]
-            for mcol in range(n_moments):
+            for mcol in desc.moment_tensors:   # honor gaps in the list
                 acc = None
                 for d in range(len(p_list)):
                     w = float(t_dm[d, mcol])
@@ -203,7 +202,7 @@ def _grap_pallas(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf, mask_d):
     n = rij_d.shape[1]
     moment_cols = tuple(_moment_columns(desc.max_moment))
     t_dm = np.asarray(multiplicity_tensor(desc.max_moment, desc.symmetric))
-    out_cols = n_slots * desc.n_filters * (desc.max_moment + 1)
+    out_cols = n_slots * desc.n_filters * len(desc.moment_tensors)
     (rij_d, ux, uy, uz, islotf, mask_d), nrows = _pad_rows(
         [rij_d, ux, uy, uz, islotf, mask_d], _BLOCK)
     padded = rij_d.shape[0]

@@ -1,0 +1,172 @@
+"""Regression tests for the round-2 nn/ review findings."""
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensoralloy_tpu.atoms import Structure
+from tensoralloy_tpu.transform import Featurizer
+from tensoralloy_tpu.nn.sf import SymmetryFunction
+from tensoralloy_tpu.nn.atomic import AtomicNN
+from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+from tensoralloy_tpu.nn.eam.models import EamAlloyNN, EamFsNN
+
+
+def _ni_cell(n=4):
+    rng = np.random.RandomState(3)
+    pos = rng.uniform(0.5, 4.5, size=(n, 3))
+    return Structure.from_symbols(["Ni"] * n, pos, np.eye(3) * 5.5,
+                                  pbc=[True] * 3)
+
+
+def _feats(fz, model, s):
+    vap = fz.make_vap(s, model.max_occurs)
+    return {k: jnp.asarray(v) for k, v in fz.featurize(s, vap).items()}
+
+
+def test_fixed_static_energy_freezes_output_bias():
+    """fixed_atomic_static_energy must actually pin the static-energy
+    bias: its gradient is zero, so the optimizer never moves it."""
+    s = _ni_cell()
+    fz = Featurizer(["Ni"], rcut=4.5)
+    sf = SymmetryFunction(["Ni"])
+    for fixed, expect_zero in ((True, True), (False, False)):
+        model = AtomicNN(fz, Counter(s.symbols), sf, hidden_sizes=[8],
+                         minmax_scale=False,
+                         atomic_static_energy={"Ni": -4.0},
+                         fixed_static_energy=fixed)
+        params = model.init_params(jax.random.PRNGKey(0))
+        feats = _feats(fz, model, s)
+        g = jax.grad(lambda p: model.energy(p, feats))(params)
+        bias_grad = float(jnp.abs(
+            g["Ni"]["mlp"]["layers"][-1]["b"]).max())
+        if expect_zero:
+            assert bias_grad == 0.0
+        else:
+            assert bias_grad > 0.0
+
+
+def test_rose_constraint_finite_for_unbound_prediction():
+    """a = sqrt(-9 V0 B / E0) must stay finite when the model predicts
+    E0 >= 0 (early training), instead of poisoning the loss with NaN."""
+    import os
+    from tensoralloy_tpu.nn import constraints as C
+    crystals_dir = os.path.join(os.path.dirname(__file__), "..",
+                                "tensoralloy_tpu", "data", "crystals")
+    fz = Featurizer(["Ni"], rcut=6.0)
+    sf = SymmetryFunction(["Ni"])
+    # +5 eV/atom static bias -> guaranteed positive (unbound) E0
+    model = AtomicNN(fz, Counter({"Ni": 1}), sf, hidden_sizes=[8],
+                     minmax_scale=False,
+                     atomic_static_energy={"Ni": 5.0})
+    params = model.init_params(jax.random.PRNGKey(0))
+    con = C.RoseConstraint(
+        model, C.RoseConstraintOptions(crystals=["Ni"], weight=1.0,
+                                       beta=[0.005]),
+        base_dir=crystals_dir)
+    loss, grads = jax.value_and_grad(
+        lambda p: con.loss(p))(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
+def test_logcosh_weighted_forces_loss_scale():
+    """Uniform sample weights must give the SAME logcosh forces loss
+    as no weights (the weighted branch used to be 3x larger)."""
+    from tensoralloy_tpu.nn.losses import forces_loss, LossOptions
+    rng = np.random.RandomState(0)
+    b, nvap = 4, 9
+    labels = jnp.asarray(rng.normal(size=(b, nvap, 3)))
+    preds = jnp.asarray(rng.normal(size=(b, nvap, 3)))
+    masks = jnp.asarray(np.concatenate(
+        [np.zeros((b, 1)), np.ones((b, nvap - 1))], axis=1))
+    opts = LossOptions(method="logcosh")
+    v0, _ = forces_loss(labels, preds, masks, opts)
+    v1, _ = forces_loss(labels, preds, masks, opts,
+                        sample_weight=jnp.ones(b))
+    assert float(v1) == pytest.approx(float(v0), rel=1e-6)
+
+
+def test_eam_fs_with_element_parameterized_rho():
+    """eam/fs with zjw04 everywhere: the ordered-pair rho slot must
+    resolve the NEIGHBOR element's density instead of crashing, and
+    for a single element FS == alloy exactly."""
+    s = _ni_cell()
+    fz = Featurizer(["Ni"], rcut=6.0)
+    fs = EamFsNN(fz, Counter(s.symbols), custom_potentials="zjw04")
+    alloy = EamAlloyNN(fz, Counter(s.symbols),
+                       custom_potentials="zjw04")
+    p_fs = fs.init_params(jax.random.PRNGKey(0))
+    p_al = alloy.init_params(jax.random.PRNGKey(0))
+    feats = _feats(fz, fs, s)
+    e_fs = float(fs.energy(p_fs, feats))
+    e_al = float(alloy.energy(p_al, feats))
+    assert np.isfinite(e_fs)
+    assert e_fs == pytest.approx(e_al, abs=1e-8)
+
+
+def test_eam_fs_generic_morse_trains_per_pair_rho():
+    """Generic morse on eam/fs: pair sections seed nested phi/rho
+    sub-dicts (phi 'A' would collide with density 'A' in Buckingham),
+    and the energy evaluates finite with trainable per-pair rho."""
+    s = _ni_cell()
+    fz = Featurizer(["Ni"], rcut=4.5)
+    fs = EamFsNN(fz, Counter(s.symbols), custom_potentials="morse")
+    params = fs.init_params(jax.random.PRNGKey(0))
+    sec = params["morse"]["NiNi"]
+    assert set(sec) == {"phi", "rho"}
+    feats = _feats(fz, fs, s)
+    e = float(fs.energy(params, feats))
+    assert np.isfinite(e)
+    g = jax.grad(lambda p: fs.energy(p, feats))(params)
+    assert float(jnp.abs(g["morse"]["NiNi"]["rho"]["A"])) > 0.0
+
+
+@pytest.mark.parametrize("backend", ["segment", "dense"])
+def test_grap_moment_list_gaps_are_honored(backend):
+    """moment_tensors=[0, 2] must emit exactly those two moment blocks
+    (non-legacy mode used to silently compute 0..max)."""
+    s = _ni_cell(6)
+    fz = Featurizer(["Ni"], rcut=4.5)
+
+    def build(moments):
+        g = GenericRadialAtomicPotential(
+            ["Ni"], algorithm="pexp",
+            parameters={"rl": [1.5, 2.5], "pl": [4.0, 2.0]},
+            moment_tensors=moments, backend=backend)
+        m = AtomicNN(fz, Counter(s.symbols), g, hidden_sizes=[4],
+                     minmax_scale=False)
+        p = m.init_params(jax.random.PRNGKey(0))
+        return m, p
+
+    m_gap, p_gap = build([0, 2])
+    m_full, p_full = build([0, 1, 2])
+    feats = _feats(fz, m_gap, s)
+    g_gap = np.asarray(m_gap.descriptors(feats, p_gap))
+    g_full = np.asarray(m_full.descriptors(feats, p_full))
+    k = 2  # filters
+    n_slots = fz.n_radial_slots
+    assert g_gap.shape[1] == n_slots * k * 2
+    assert g_full.shape[1] == n_slots * k * 3
+    sel = g_full.reshape(len(g_full), n_slots, k, 3)[..., [0, 2]]
+    np.testing.assert_allclose(
+        g_gap, sel.reshape(len(g_gap), -1), atol=1e-12)
+
+
+def test_atomic_l2_includes_descriptor_filters():
+    """L2 must cover the trainable GRAP NN-filter stack, not only the
+    per-element head MLPs."""
+    fz = Featurizer(["Ni"], rcut=4.5)
+    g = GenericRadialAtomicPotential(["Ni"], algorithm="nn",
+                                     moment_tensors=[0])
+    model = AtomicNN(fz, Counter({"Ni": 4}), g, hidden_sizes=[4],
+                     minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    full = float(model.l2_loss(params))
+    heads_only = float(sum(
+        jnp.sum(jnp.square(layer["w"]))
+        for layer in params["Ni"]["mlp"]["layers"]))
+    assert full > heads_only
