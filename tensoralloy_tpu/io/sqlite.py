@@ -64,6 +64,17 @@ class CoreDatabase:
         self._con = sqlite3.connect(self.filename)
         self._ensure_schema()
 
+    # sqlite3.Connection is unpicklable; drop it for process fan-out
+    # (Dataset.build(serial=False)) and reconnect lazily in the worker
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_con"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._con = sqlite3.connect(self.filename)
+
     # ------------------------------------------------------------------
     def _ensure_schema(self):
         cur = self._con.cursor()

@@ -26,6 +26,28 @@ class Hook:
         pass
 
 
+class _Boundary:
+    """Interval firing that tolerates sparse callbacks: with fused
+    scan_steps=k the trainer only invokes hooks at steps k-1, 2k-1, ...
+    so `step % every == 0` may NEVER be true — fire whenever an
+    `every_steps` boundary has been crossed since the last callback
+    (same logic as CheckpointHook)."""
+
+    def __init__(self, every_steps: int):
+        self.every = max(int(every_steps), 1)
+        self._boundary: Optional[int] = None
+
+    def crossed(self, step: int) -> bool:
+        if self._boundary is None:
+            self._boundary = step // self.every
+            return False
+        b = (step + 1) // self.every
+        if b > self._boundary:
+            self._boundary = b
+            return True
+        return False
+
+
 class ProfilerHook(Hook):
     """Captures a jax.profiler trace every `every_steps` steps into
     `{logdir}` (viewable in TensorBoard / Perfetto; the reference saves
@@ -34,15 +56,14 @@ class ProfilerHook(Hook):
     def __init__(self, logdir: str, every_steps: int = 1000,
                  trace_steps: int = 3):
         self.logdir = logdir
-        self.every_steps = max(every_steps, 1)
+        self._bound = _Boundary(every_steps)
         self.trace_steps = trace_steps
         self._tracing_until: Optional[int] = None
         os.makedirs(logdir, exist_ok=True)
 
     def after_step(self, step, state, metrics):
         import jax
-        if self._tracing_until is None and step > 0 and \
-                step % self.every_steps == 0:
+        if self._tracing_until is None and self._bound.crossed(step):
             jax.profiler.start_trace(self.logdir)
             self._tracing_until = step + self.trace_steps
         elif self._tracing_until is not None and \
@@ -61,11 +82,17 @@ class NanTensorHook(Hook):
     """Aborts training when the loss becomes NaN/Inf
     (reference `hooks.py:352-410`)."""
 
-    def __init__(self, fail_on_nan: bool = True, key: str = "loss/total"):
+    def __init__(self, fail_on_nan: bool = True, key: str = "loss/total",
+                 every_steps: int = 50):
         self.fail_on_nan = fail_on_nan
         self.key = key
+        # float(metrics) forces a host-device sync; checking every
+        # step would serialize host batch prep with device compute
+        self._bound = _Boundary(every_steps)
 
     def after_step(self, step, state, metrics):
+        if not self._bound.crossed(step):
+            return
         value = metrics.get(self.key)
         if value is None:
             return
@@ -82,13 +109,13 @@ class ExamplesPerSecondHook(Hook):
 
     def __init__(self, batch_size: int, every_steps: int = 100):
         self.batch_size = batch_size
-        self.every_steps = max(every_steps, 1)
+        self._bound = _Boundary(every_steps)
         self._t0 = time.time()
         self._t_last = self._t0
         self._step_last = 0
 
     def after_step(self, step, state, metrics):
-        if step > 0 and step % self.every_steps == 0:
+        if step > 0 and self._bound.crossed(step):
             now = time.time()
             avg = step * self.batch_size / max(now - self._t0, 1e-9)
             cur = ((step - self._step_last) * self.batch_size /
@@ -106,12 +133,12 @@ class LoggingTensorHook(Hook):
 
     def __init__(self, every_steps: int = 100,
                  jsonl_path: Optional[str] = None):
-        self.every_steps = max(every_steps, 1)
+        self._bound = _Boundary(every_steps)
         self.jsonl_path = jsonl_path
         self._fh = open(jsonl_path, "a") if jsonl_path else None
 
     def after_step(self, step, state, metrics):
-        if step % self.every_steps:
+        if not self._bound.crossed(step):
             return
         row = {k: float(v) for k, v in metrics.items()}
         row["step"] = step

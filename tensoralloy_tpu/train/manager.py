@@ -273,8 +273,8 @@ class TrainingManager:
         r = self.reader
         method = r["opt.method"]
         decay_fn = r.get("opt.decay_function")
-        if decay_fn in (False, "false", "natural_exp"):
-            decay_fn = "exponential" if decay_fn == "natural_exp" else None
+        if decay_fn in (False, "false"):
+            decay_fn = None
         return OptParameters(
             method=method,
             learning_rate=r["opt.learning_rate"],
@@ -286,7 +286,9 @@ class TrainingManager:
             beta2=r.get(f"opt.{method}.beta2", 0.999),
             weight_decay=r.get("opt.adamw.decay", 0.0) or 0.0,
             rho=r.get("opt.adadelta.rho", 0.95),
-            momentum=r.get(f"opt.{method}.momentum", 0.9))
+            momentum=r.get(f"opt.{method}.momentum", 0.9),
+            use_nesterov=r.get("opt.sgd.use_nesterov", True),
+            clip_norm=r.get("opt.clip_norm", 0.0) or 0.0)
 
     def _build_train_parameters(self) -> TrainParameters:
         r = self.reader

@@ -41,6 +41,7 @@ class OptParameters:
     weight_decay: float = 0.0
     rho: float = 0.95                         # adadelta
     momentum: float = 0.9                     # rmsprop / sgd
+    use_nesterov: bool = True                 # sgd
     clip_norm: float = 0.0
 
 
@@ -74,6 +75,12 @@ def make_lr_schedule(opt: OptParameters):
     if opt.decay_function == "exponential":
         return optax.exponential_decay(
             lr, opt.decay_steps, opt.decay_rate, staircase=opt.staircase)
+    if opt.decay_function == "natural_exp":
+        # reference tf natural_exp_decay: lr * exp(-rate * t / steps)
+        # == exponential decay with per-period factor exp(-rate)
+        return optax.exponential_decay(
+            lr, opt.decay_steps, float(np.exp(-opt.decay_rate)),
+            staircase=opt.staircase)
     if opt.decay_function == "inverse_time":
         return lambda step: lr / (1.0 + opt.decay_rate *
                                   jnp.asarray(step, jnp.float32) /
@@ -81,6 +88,23 @@ def make_lr_schedule(opt: OptParameters):
     if opt.decay_function == "cosine":
         return optax.cosine_decay_schedule(lr, opt.decay_steps)
     raise ValueError(f"unknown decay_function {opt.decay_function}")
+
+
+def _reset_opt_counts(tree):
+    """Zero every `count` field inside an optax state pytree (optax
+    states are NamedTuples; the schedule/bias-correction counters are
+    integer leaves named 'count')."""
+    if hasattr(tree, "_fields"):
+        vals = {f: _reset_opt_counts(getattr(tree, f))
+                for f in tree._fields}
+        if "count" in tree._fields:
+            vals["count"] = jnp.zeros_like(getattr(tree, "count"))
+        return type(tree)(**vals)
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_reset_opt_counts(x) for x in tree)
+    if isinstance(tree, dict):
+        return {k: _reset_opt_counts(v) for k, v in tree.items()}
+    return tree
 
 
 def make_optimizer(opt: OptParameters) -> optax.GradientTransformation:
@@ -98,7 +122,9 @@ def make_optimizer(opt: OptParameters) -> optax.GradientTransformation:
     elif method == "rmsprop":
         tx = optax.rmsprop(sched, momentum=opt.momentum)
     elif method in ("sgd", "nesterov"):
-        tx = optax.sgd(sched, momentum=opt.momentum, nesterov=True)
+        tx = optax.sgd(sched, momentum=opt.momentum,
+                       nesterov=(True if method == "nesterov"
+                                 else opt.use_nesterov))
     else:
         raise ValueError(f"unknown optimizer {opt.method}")
     if opt.clip_norm and opt.clip_norm > 0:
@@ -340,6 +366,8 @@ class Trainer:
             de = labels["energy"] - preds["energy"]
             ds = labels["stress"] - preds["stress_voigt"]
             s_norm = jnp.linalg.norm(labels["stress"], axis=1)
+            bsz = jnp.asarray(labels["energy"].shape[0], jnp.float32)
+            n_sl = jnp.maximum(jnp.sum(s_norm > 1e-8), 1)
             out = {
                 "energy/mae": jnp.mean(jnp.abs(de)),
                 "energy/mse": jnp.mean(jnp.square(de)),
@@ -354,19 +382,28 @@ class Trainer:
                 "stress/rel_rmse": jnp.sum(
                     jnp.where(s_norm > 1e-8,
                               jnp.linalg.norm(ds, axis=1) /
-                              jnp.maximum(s_norm, 1e-8), 0.0)) /
-                jnp.maximum(jnp.sum(s_norm > 1e-8), 1),
+                              jnp.maximum(s_norm, 1e-8), 0.0)) / n_sl,
             }
+            # denominator basis per metric, so evaluate() can combine
+            # per-batch means exactly (force metrics are per real
+            # force ENTRY — weighting them by structure count skews
+            # the MAE toward small structures when sizes vary)
+            wts = {k: (n_f if k.startswith("forces/") else
+                       n_sl.astype(jnp.float32)
+                       if k == "stress/rel_rmse" else bsz)
+                   for k in out}
             if hasattr(self.model, "energy_ops"):
                 dS = labels.get("eentropy")
                 if dS is not None and "eentropy" in preds:
                     out["eentropy/mae"] = jnp.mean(
                         jnp.abs(dS - preds["eentropy"]))
+                    wts["eentropy/mae"] = bsz
                 dF = labels.get("free_energy")
                 if dF is not None and "free_energy" in preds:
                     out["free_energy/mae/atom"] = jnp.mean(
                         jnp.abs(dF - preds["free_energy"]) / n_atoms)
-            return out
+                    wts["free_energy/mae/atom"] = bsz
+            return out, wts
         return jax.jit(eval_step)
 
     # ------------------------------------------------------------------
@@ -375,7 +412,9 @@ class Trainer:
             callback: Optional[Callable] = None,
             initial_state: Optional[dict] = None) -> dict:
         tp = self.train_parameters
-        if params is None:
+        if params is None and initial_state is None:
+            # (skipped on resume: initial_state already carries params,
+            # and the full-dataset norm sweep would be thrown away)
             params = self.model.init_params(
                 jax.random.PRNGKey(tp.seed))
             if getattr(self.model, "minmax_scale", False):
@@ -389,8 +428,6 @@ class Trainer:
                     params = self.model.update_norm_stats(params, sample)
 
         bs = tp.batch_size
-        self._feat_struct = {k: None for k in train_feats}
-        self._label_struct = {k: None for k in train_labels}
         if self._train_step is None:
             self._train_step = self._build_train_step()
             self._eval_step = self._build_eval_step()
@@ -479,21 +516,24 @@ class Trainer:
 
     def evaluate(self, params, feats, labels, batch_size: int = 0) -> dict:
         n = len(labels["energy"])
+        if n == 0:
+            return {}
         bs = batch_size or min(n, self.train_parameters.batch_size)
-        outs, counts = [], []
+        sums, wsums = {}, {}
         for lo in range(0, n, bs):
             sel = slice(lo, min(lo + bs, n))
             bf = {k: jnp.asarray(v[sel]) for k, v in feats.items()}
             bl = {k: jnp.asarray(v[sel]) for k, v in labels.items()}
-            outs.append({k: float(v)
-                         for k, v in self._eval_step(params, bf, bl).items()})
-            counts.append(min(lo + bs, n) - lo)
-        # weight per-batch means by batch size so a short final batch
-        # is not overweighted
-        w = np.asarray(counts, dtype=np.float64)
-        w = w / w.sum()
-        return {k: float(np.sum(w * [o[k] for o in outs]))
-                for k in outs[0]}
+            out, wts = self._eval_step(params, bf, bl)
+            for k, v in out.items():
+                # combine per-batch means weighted by each metric's
+                # own denominator (structures for energy, real force
+                # entries for forces, labeled rows for rel stress) so
+                # the result equals the dataset-level metric exactly
+                w = float(wts[k])
+                sums[k] = sums.get(k, 0.0) + float(v) * w
+                wsums[k] = wsums.get(k, 0.0) + w
+        return {k: sums[k] / max(wsums[k], 1e-12) for k in sums}
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -561,4 +601,10 @@ class Trainer:
                 pass   # optimizer changed shape/method: keep fresh
         if not reset_global_step:
             state["step"] = jnp.asarray(int(flat["step"]), jnp.int32)
+        elif restore_optimizer_variables:
+            # the LR schedule is driven by the optax counts inside
+            # opt_state, not by state['step'] — resetting the global
+            # step must restart the schedule (reference semantics)
+            # while keeping the restored moments
+            state["opt_state"] = _reset_opt_counts(state["opt_state"])
         return state

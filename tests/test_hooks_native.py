@@ -16,10 +16,29 @@ from tensoralloy_tpu.train import hooks as H
 
 
 def test_nan_hook():
-    hook = H.NanTensorHook()
-    hook.after_step(1, None, {"loss/total": 1.0})
+    hook = H.NanTensorHook(every_steps=1)
+    hook.after_step(1, None, {"loss/total": 1.0})   # aligns boundary
+    hook.after_step(2, None, {"loss/total": 1.0})
     with pytest.raises(FloatingPointError):
-        hook.after_step(2, None, {"loss/total": float("nan")})
+        hook.after_step(3, None, {"loss/total": float("nan")})
+
+
+def test_hooks_fire_with_fused_scan_steps():
+    """With scan_steps=k the trainer calls hooks only at steps k-1,
+    2k-1, ... — interval hooks must still fire via boundary crossing
+    (metrics.jsonl used to stay empty whenever k didn't divide
+    every_steps)."""
+    import json as _json
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        jsonl = d + "/m.jsonl"
+        log = H.LoggingTensorHook(every_steps=100, jsonl_path=jsonl)
+        for step in range(19, 1000, 20):   # fused k=20 callbacks
+            log.after_step(step, None, {"loss/total": 1.0})
+        log.end()
+        rows = [_json.loads(ln) for ln in open(jsonl)]
+        # one firing per crossed 100-step boundary
+        assert [r["step"] for r in rows] == list(range(99, 1000, 100))
 
 
 def test_logging_and_throughput_hooks(tmp_path, caplog):
@@ -32,7 +51,9 @@ def test_logging_and_throughput_hooks(tmp_path, caplog):
             cb(step, None, {"loss/total": 1.0 / (step + 1)})
     log.end()
     rows = [json.loads(ln) for ln in open(jsonl)]
-    assert [r["step"] for r in rows] == [0, 2, 4]
+    # boundary-crossing semantics: fires at the step that crosses each
+    # every_steps boundary after the aligning first callback
+    assert [r["step"] for r in rows] == [1, 3]
     assert any("examples/sec" in r.message for r in caplog.records)
 
 

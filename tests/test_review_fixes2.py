@@ -170,3 +170,82 @@ def test_atomic_l2_includes_descriptor_filters():
         jnp.sum(jnp.square(layer["w"]))
         for layer in params["Ni"]["mlp"]["layers"]))
     assert full > heads_only
+
+
+def test_natural_exp_decay_matches_tf_semantics():
+    """natural_exp_decay is lr*exp(-rate*t/steps); mapping it to plain
+    exponential_decay with the same rate was ~47x too slow."""
+    from tensoralloy_tpu.train.trainer import (OptParameters,
+                                               make_lr_schedule)
+    opt = OptParameters(learning_rate=0.01,
+                        decay_function="natural_exp",
+                        decay_rate=0.98, decay_steps=100)
+    sched = make_lr_schedule(opt)
+    assert float(sched(100)) == pytest.approx(0.01 * np.exp(-0.98),
+                                              rel=1e-6)
+    assert float(sched(0)) == pytest.approx(0.01, rel=1e-6)
+
+
+def test_dataset_is_picklable_for_process_fanout(tmp_path):
+    """build(serial=False) pickles the bound _featurize_one (and with
+    it the Dataset incl. CoreDatabase); the live sqlite3.Connection
+    used to make that impossible."""
+    import pickle
+    import shutil
+    from tensoralloy_tpu.io.sqlite import connect
+    from tensoralloy_tpu.train.dataset import Dataset
+    shutil.copy("/root/reference/test_files/datasets/ethanol/ethanol.db",
+                tmp_path / "ethanol.db")
+    db = connect(str(tmp_path / "ethanol.db"))
+    fz = Featurizer(db.elements, rcut=4.0)
+    ds = Dataset(db, fz, name="eth", test_size=2,
+                 cache_dir=str(tmp_path))
+    worker = pickle.loads(pickle.dumps(ds._featurize_one))
+    s = next(iter(db))
+    feats, labels = worker(s)
+    assert "positions" in feats and "energy" in labels
+
+
+def test_restore_reset_global_step_restarts_lr_schedule(tmp_path):
+    """reset_global_step=true must restart the LR schedule even when
+    the optimizer moments are restored: the optax counts inside
+    opt_state drive the schedule, not state['step']."""
+    import optax
+    from tensoralloy_tpu.nn import losses as L
+    from tensoralloy_tpu.train.trainer import (Trainer, OptParameters,
+                                               TrainParameters)
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = AtomicNN(fz, Counter({"Ni": 2}), SymmetryFunction(["Ni"]),
+                     hidden_sizes=[4], minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tr = Trainer(model, L.LossParameters(),
+                 OptParameters(learning_rate=1e-3,
+                               decay_function="exponential",
+                               decay_rate=0.5, decay_steps=10),
+                 TrainParameters(batch_size=2, train_steps=10),
+                 minimize_properties=("energy",), n_devices=1)
+    state = tr.init_state(params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for _ in range(5):
+        _, state["opt_state"] = tr.tx.update(
+            zeros, state["opt_state"], state["params"])
+    state["step"] = jnp.asarray(5, jnp.int32)
+    path = str(tmp_path / "ck.npz")
+    tr.save_checkpoint(path, jax.device_get(state))
+    restored = tr.restore_state(path, params,
+                                restore_optimizer_variables=True,
+                                reset_global_step=True)
+    counts = [np.asarray(x) for x in
+              jax.tree_util.tree_leaves(restored["opt_state"])
+              if np.asarray(x).dtype.kind in "iu"
+              and np.asarray(x).ndim == 0]
+    assert counts and all(int(c) == 0 for c in counts)
+    # without the reset the counts survive
+    kept = tr.restore_state(path, params,
+                            restore_optimizer_variables=True,
+                            reset_global_step=False)
+    counts2 = [int(np.asarray(x)) for x in
+               jax.tree_util.tree_leaves(kept["opt_state"])
+               if np.asarray(x).dtype.kind in "iu"
+               and np.asarray(x).ndim == 0]
+    assert any(c == 5 for c in counts2)
