@@ -132,6 +132,13 @@ class TensorAlloyCalculator:
         feats = fz.featurize(structure, vap,
                              pair_bucket=lambda n: _bucket(max(n, 1)),
                              trip_bucket=lambda n: _bucket(max(n, 1)),
+                             # per-atom neighbor/triple WIDTHS are far
+                             # smaller than flat counts: a 256-minimum
+                             # bucket would pad every dense row 2-8x
+                             nnl_bucket=lambda n: _bucket(max(n, 1),
+                                                          minimum=32),
+                             ntl_bucket=lambda n: _bucket(max(n, 1),
+                                                          minimum=64),
                              dtype=np.float64 if jax.config.jax_enable_x64
                              else np.float32,
                              layout=model_feature_layout(self.model))
@@ -175,6 +182,10 @@ class TensorAlloyCalculator:
             fp = self._fingerprint(structure)
             if fp != self._last:
                 self.calculate(structure)
+        if not self.results:
+            raise RuntimeError(
+                "no structure has been calculated yet — pass a "
+                "Structure to the getter or call calculate() first")
         return self.results
 
     # ------------------------------------------------------------------
@@ -200,7 +211,12 @@ class TensorAlloyCalculator:
 
     def get_electron_entropy(self, structure: Optional[Structure] = None
                              ) -> float:
-        return self._maybe_calculate(structure)["eentropy"]
+        results = self._maybe_calculate(structure)
+        if "eentropy" not in results:
+            raise ValueError(
+                "this model has no electron-entropy head (finite-"
+                "temperature pair styles td/* provide one)")
+        return results["eentropy"]
 
     def get_free_energy(self, structure: Optional[Structure] = None
                         ) -> float:

@@ -94,8 +94,10 @@ class VelocityVerlet:
         s = self.structure.copy()
         s.positions = positions_local
         pad = lambda n: max(256, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        wpad = lambda n: max(32, 1 << int(np.ceil(np.log2(max(n, 1)))))
         feats = self.fz.featurize(
             s, self.vap, pair_bucket=pad, trip_bucket=pad,
+            nnl_bucket=wpad, ntl_bucket=wpad,
             dtype=np.float64 if jax.config.jax_enable_x64
             else np.float32,
             layout=model_feature_layout(self.model))

@@ -18,6 +18,15 @@ import numpy as np
 from ..elements import atomic_masses, atomic_numbers
 
 _FCTYPE = {"cosine": 0, "polynomial": 1}
+
+
+def _fctype_of(name: str) -> int:
+    if name not in _FCTYPE:
+        raise ValueError(
+            f"cutoff_function {name!r} cannot be exported: the LAMMPS "
+            f"native plugin understands only {sorted(_FCTYPE)} "
+            f"(training/inference in-framework supports it fine)")
+    return _FCTYPE[name]
 _ACTFN = {"relu": 0, "softplus": 1, "tanh": 2, "squareplus": 3}
 _DESCRIPTOR_METHOD = {"pexp": 0, "morse": 1, "density": 2, "sf": 3}
 
@@ -67,7 +76,7 @@ def export_to_lammps_native(model, params, model_path: str,
         "nlayers": np.int32(len(layer_sizes)),
         "max_moment": np.int32(descriptor.max_moment),
         "actfn": np.int32(_ACTFN[model.activation]),
-        "fctype": np.int32(_FCTYPE[descriptor.cutoff_function]),
+        "fctype": np.int32(_fctype_of(descriptor.cutoff_function)),
         "layer_sizes": layer_sizes,
         "use_resnet_dt": np.int32(model.use_resnet_dt),
         "apply_output_bias": np.int32(bool(model.atomic_static_energy)),

@@ -147,7 +147,7 @@ class CoreDatabase:
         return list(self)
 
     # ------------------------------------------------------------------
-    def write(self, structure: Structure):
+    def write(self, structure: Structure, commit: bool = True):
         s = structure
         info = s.info
         pbc_int = int(s.pbc[0]) | (int(s.pbc[1]) << 1) | (int(s.pbc[2]) << 2)
@@ -182,11 +182,32 @@ class CoreDatabase:
         self._con.execute(
             f"insert into systems ({names}) values ({marks})",
             tuple(values.values()))
-        self._con.commit()
+        if commit:
+            self._con.commit()
+        # cached dataset metadata (max_occurs, padding bounds, static
+        # energies) describes the PREVIOUS contents — drop it so the
+        # next consumer recomputes instead of reading stale bounds
+        self._invalidate_derived_metadata()
 
     def write_many(self, structures: List[Structure]):
+        # one transaction for the whole batch: per-row commits are one
+        # journal fsync each and dominate bulk-ingestion wall time
         for s in structures:
-            self.write(s)
+            self.write(s, commit=False)
+        self._con.commit()
+
+    _DERIVED_KEYS = ("max_occurs", "forces", "stress", "periodic",
+                     "neighbors", "atomic_static_energy")
+
+    def _invalidate_derived_metadata(self):
+        if getattr(self, "_derived_stale", False):
+            return
+        md = self.metadata
+        kept = {k: v for k, v in md.items()
+                if k not in self._DERIVED_KEYS}
+        if len(kept) != len(md):
+            self.metadata = kept
+        self._derived_stale = True
 
     # ------------------------------------------------------------------
     @property
@@ -206,6 +227,9 @@ class CoreDatabase:
         md = self.metadata
         md.update(kwargs)
         self.metadata = md
+        # fresh derived values were just written; allow a later write()
+        # to invalidate them again
+        self._derived_stale = False
 
     # ------------------------------------------------------------------
     @property
@@ -242,13 +266,18 @@ class CoreDatabase:
 
     # ------------------------------------------------------------------
     def get_neighbor_sizes(self, rc: float, angular: bool = False,
-                           n_jobs: int = 0) -> NeighborSize:
-        """Cached padding bounds over the whole dataset for cutoff rc.
+                           n_jobs: int = 0,
+                           acut: float = None) -> NeighborSize:
+        """Cached padding bounds over the whole dataset for cutoff rc
+        (triples counted within `acut`, default rc — see
+        find_neighbor_size_of_atoms).
 
         The cache key mirrors the reference's layout
         (`metadata['neighbors'][k_max][str(int(rc*100))]`)."""
         k_max = "3" if angular else "2"
         key = str(int(round(rc * 100)))
+        if angular and acut is not None and abs(acut - rc) > 1e-9:
+            key += f"a{int(round(acut * 100))}"
         md = self.metadata
         cached = md.get("neighbors", {}).get(k_max, {}).get(key)
         # nnl_tot/ntl were added for the dense descriptor backends;
@@ -262,11 +291,13 @@ class CoreDatabase:
         structures = list(self)
         if n_jobs and n_jobs > 1:
             with ProcessPoolExecutor(max_workers=n_jobs) as ex:
-                sizes = list(ex.map(_nbr_size_worker,
-                                    [(s, rc, angular) for s in structures],
-                                    chunksize=16))
+                sizes = list(ex.map(
+                    _nbr_size_worker,
+                    [(s, rc, angular, acut) for s in structures],
+                    chunksize=16))
         else:
-            sizes = [find_neighbor_size_of_atoms(s, rc, angular)
+            sizes = [find_neighbor_size_of_atoms(s, rc, angular,
+                                                 acut=acut)
                      for s in structures]
         out = NeighborSize(nnl=max(x.nnl for x in sizes),
                            nij=max(x.nij for x in sizes),
@@ -312,8 +343,8 @@ class CoreDatabase:
 
 
 def _nbr_size_worker(args):
-    s, rc, angular = args
-    return find_neighbor_size_of_atoms(s, rc, angular)
+    s, rc, angular, acut = args
+    return find_neighbor_size_of_atoms(s, rc, angular, acut=acut)
 
 
 def connect(filename: str) -> CoreDatabase:
@@ -342,13 +373,21 @@ def read_file(path: str, db_path: Optional[str] = None,
         if s.volume < 1e-8:
             s = s.ensure_cell(vacuum)
         info = s.info
-        if "energy" in info and unit_energy != 1.0:
-            info["energy"] = info["energy"] * unit_energy
+        if unit_energy != 1.0:
+            # every energy-like label shares the energy unit:
+            # free_energy/eentropy (stored as eV, docstring atoms.py)
+            # and etemperature (kT in eV) must convert WITH energy or
+            # finite-temperature training sees mixed units
+            for key in ("energy", "free_energy", "eentropy",
+                        "etemperature"):
+                if key in info:
+                    info[key] = info[key] * unit_energy
         if "forces" in info and unit_forces != 1.0:
             info["forces"] = np.asarray(info["forces"]) * unit_forces
         if "stress" in info and unit_stress != 1.0:
             info["stress"] = np.asarray(info["stress"]) * unit_stress
-        db.write(s)
+        db.write(s, commit=False)
+    db._con.commit()
     db.max_occurs  # trigger metadata computation
     db._update_metadata(unit_conversion={"energy": unit_energy,
                                          "forces": unit_forces,

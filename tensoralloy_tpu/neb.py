@@ -86,6 +86,7 @@ class NEB:
         dtype = (np.float64 if jax.config.jax_enable_x64
                  else np.float32)
         pad = lambda n: max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        wpad = lambda n: max(32, 1 << int(np.ceil(np.log2(max(n, 1)))))
         old_rcut = self.fz.rcut
         per_image = []
         try:
@@ -95,6 +96,7 @@ class NEB:
                 s.positions = self.positions[m]
                 per_image.append(self.fz.featurize(
                     s, self.vap, pair_bucket=pad, trip_bucket=pad,
+                    nnl_bucket=wpad, ntl_bucket=wpad,
                     dtype=dtype, layout=layout))
             keys = per_image[0].keys()
             shapes = {k: tuple(np.maximum.reduce(

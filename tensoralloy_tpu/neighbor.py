@@ -56,7 +56,30 @@ def neighbor_list(structure: Structure, cutoff: float,
     pbc = structure.pbc.copy()
     n = len(structure)
     if abs(np.linalg.det(cell)) < 1e-12:
-        pbc = np.zeros(3, dtype=bool)
+        # singular cell: only legitimate when every near-zero lattice
+        # vector is non-periodic (slab/wire/cluster). Pad those axes
+        # with large orthogonal vectors so the in-plane periodicity is
+        # KEPT; refuse a periodic axis with a degenerate vector rather
+        # than silently dropping its periodic images.
+        cell = cell.copy()
+        span = pos.max(axis=0) - pos.min(axis=0) if n else np.zeros(3)
+        for ax in range(3):
+            if np.linalg.norm(cell[ax]) < 1e-8:
+                if pbc[ax]:
+                    raise ValueError(
+                        f"cell vector {ax} is zero but pbc[{ax}] is "
+                        f"True — a periodic axis needs a real lattice "
+                        f"vector")
+                normal = np.cross(cell[(ax + 1) % 3],
+                                  cell[(ax + 2) % 3])
+                if np.linalg.norm(normal) > 1e-8:
+                    unit = normal / np.linalg.norm(normal)
+                else:
+                    unit = np.zeros(3)
+                    unit[ax] = 1.0
+                cell[ax] = unit * (2.0 * cutoff + span[ax] + 1.0)
+        if abs(np.linalg.det(cell)) < 1e-12:
+            pbc = np.zeros(3, dtype=bool)
 
     if use_native and not os.environ.get("TENSORALLOY_TPU_NO_NATIVE"):
         from .native import native_neighbor_list
@@ -129,17 +152,24 @@ class NeighborSize:
 
 
 def find_neighbor_size_of_atoms(structure: Structure, rc: float,
-                                angular: bool = False) -> NeighborSize:
+                                angular: bool = False,
+                                acut: float = None) -> NeighborSize:
     """Compute (nij, nnl, nijk) padding bounds.
 
     * ``nij``  — number of directed pairs within ``rc``.
     * ``nnl``  — max neighbor count over (center atom, neighbor element).
-    * ``nijk`` — sum_i n_i (n_i - 1) / 2 over symmetric j<k triples
-      (only when ``angular``).
+    * ``nijk`` — sum_i n_i (n_i - 1) / 2 over symmetric j<k triples of
+      pairs within ``acut`` (default ``rc``; only when ``angular``).
+      Counting triples at ``rc`` when the angular cutoff is smaller
+      would overshoot the dominant nijk-scale padding ~(rc/acut)^6.
     * ``ij2k`` — kept for schema parity with the reference; the flat
       triple layout used here never needs it, so it is always 0.
     """
-    ilist, jlist, _, _, _ = neighbor_list(structure, rc)
+    acut = rc if acut is None else float(acut)
+    ilist_all, jlist_all, _, dist_all, _ = neighbor_list(
+        structure, max(rc, acut) if angular else rc)
+    within = dist_all < rc
+    ilist, jlist = ilist_all[within], jlist_all[within]
     nij = len(ilist)
     numbers = structure.numbers
     nnl = 0
@@ -151,10 +181,12 @@ def find_neighbor_size_of_atoms(structure: Structure, rc: float,
         nnl_tot = int(np.bincount(ilist, minlength=len(structure)).max())
     nijk = 0
     ntl = 0
-    if angular and nij:
-        counts = np.bincount(ilist, minlength=len(structure))
-        trip_counts = counts * (counts - 1) // 2
-        nijk = int(np.sum(trip_counts))
-        ntl = int(trip_counts.max())
+    if angular:
+        i_ang = ilist_all[dist_all < acut]
+        if len(i_ang):
+            counts = np.bincount(i_ang, minlength=len(structure))
+            trip_counts = counts * (counts - 1) // 2
+            nijk = int(np.sum(trip_counts))
+            ntl = int(trip_counts.max())
     return NeighborSize(nnl=nnl, nij=nij, nijk=nijk, ij2k=0,
                         nnl_tot=nnl_tot, ntl=ntl)

@@ -125,6 +125,12 @@ def _grap_filter_all(desc, r, rcut):
                       for k in range(desc.n_filters)], axis=-1)
 
 
+# NOTE: the filter-bank / G4 formulas in the kernel bodies below
+# intentionally duplicate `GenericRadialAtomicPotential._filter_values`
+# and `SymmetryFunction.angular_values`: a pallas kernel works on
+# [block, N] tiles and cannot call the flat-[nij] class methods. Any
+# change to the canonical math MUST be mirrored here — the
+# backend-parity tests (tests/test_backends.py) are the tripwire.
 def _moment_columns(max_moment: int):
     from ..nn.grap import _AB, _ABC
     cols = [()]

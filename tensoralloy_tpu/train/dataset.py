@@ -44,7 +44,8 @@ class Dataset:
         self.layout = layout
         self.max_occurs = database.max_occurs
         self.sizes: NeighborSize = database.get_neighbor_sizes(
-            featurizer.max_cutoff, angular=featurizer.angular)
+            featurizer.rcut, angular=featurizer.angular,
+            acut=featurizer.acut if featurizer.angular else None)
         # modest headroom so slightly larger eval structures still fit
         self.nij_max = int(self.sizes.nij)
         self.nijk_max = int(self.sizes.nijk)

@@ -125,7 +125,8 @@ class Featurizer:
     # ------------------------------------------------------------------
     def neighbor_size(self, structure: Structure) -> NeighborSize:
         return find_neighbor_size_of_atoms(
-            structure, self.rcut, angular=self.angular)
+            structure, self.rcut, angular=self.angular,
+            acut=self.acut if self.angular else None)
 
     def make_vap(self, structure: Structure,
                  max_occurs: Optional[Counter] = None) -> VirtualAtomMap:
@@ -142,7 +143,8 @@ class Featurizer:
                   pair_bucket=None, trip_bucket=None,
                   nnl_max: Optional[int] = None,
                   ntl_max: Optional[int] = None,
-                  layout: str = "both") -> Features:
+                  layout: str = "both",
+                  nnl_bucket=None, ntl_bucket=None) -> Features:
         """Build the fixed-shape feature arrays for one structure.
 
         `pair_bucket`/`trip_bucket` round the exact pair/triple counts
@@ -222,8 +224,12 @@ class Featurizer:
                     raise ValueError(
                         f"nnl={nnl} exceeds nnl_max={nnl_max}")
                 nnl = int(nnl_max)
-            elif pair_bucket is not None:
-                nnl = int(pair_bucket(nnl))  # bounded recompiles (MD)
+            elif nnl_bucket is not None or pair_bucket is not None:
+                # bounded recompiles (MD); nnl is a per-atom WIDTH
+                # (typically 30-100), so callers should pass a
+                # smaller-minimum nnl_bucket rather than reuse the
+                # flat-nij bucket
+                nnl = int((nnl_bucket or pair_bucket)(nnl))
             nnl = max(nnl, 1)
             n_vap = vap.n_atoms_vap
             rows = vap.local_to_vap[ilist]
@@ -245,12 +251,14 @@ class Featurizer:
                 ilist, jlist, shift, dists)
             self._build_triples(feats, structure, vap, a_i, a_j, a_s,
                                 a_d, elem_idx_local, nijk_max, dtype,
-                                trip_bucket, ntl_max, layout)
+                                trip_bucket, ntl_max, layout,
+                                ntl_bucket)
         return feats
 
     def _build_triples(self, feats, structure, vap, ilist, jlist, shift,
                        dists, elem_idx_local, nijk_max, dtype,
-                       trip_bucket=None, ntl_max=None, layout="both"):
+                       trip_bucket=None, ntl_max=None, layout="both",
+                       ntl_bucket=None):
         within = dists < self.acut
         ii, jj, ss = ilist[within], jlist[within], shift[within]
         # group pairs by center atom; emit j<k combinations
@@ -322,8 +330,8 @@ class Featurizer:
             if ntl > ntl_max:
                 raise ValueError(f"ntl={ntl} exceeds ntl_max={ntl_max}")
             ntl = int(ntl_max)
-        elif trip_bucket is not None:
-            ntl = int(trip_bucket(ntl))
+        elif ntl_bucket is not None or trip_bucket is not None:
+            ntl = int((ntl_bucket or trip_bucket)(ntl))
         ntl = max(ntl, 1)
         n_vap = vap.n_atoms_vap
         rows = vap.local_to_vap[t_i]

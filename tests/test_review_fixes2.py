@@ -249,3 +249,101 @@ def test_restore_reset_global_step_restarts_lr_schedule(tmp_path):
                if np.asarray(x).dtype.kind in "iu"
                and np.asarray(x).ndim == 0]
     assert any(c == 5 for c in counts2)
+
+
+def test_pallas_backend_high_moments_fall_back_to_dense():
+    """The fused kernel's compressed basis tops out at moment 3; for
+    moments 4-5 the pallas backend must produce the same (correct)
+    invariants as the dense path instead of misaligned/zero columns."""
+    s = _ni_cell(6)
+    fz = Featurizer(["Ni"], rcut=4.5)
+
+    def compute(backend):
+        g = GenericRadialAtomicPotential(
+            ["Ni"], algorithm="pexp",
+            parameters={"rl": [1.5, 2.5], "pl": [4.0, 2.0]},
+            moment_tensors=[0, 1, 2, 3, 4, 5], backend=backend)
+        m = AtomicNN(fz, Counter(s.symbols), g, hidden_sizes=[4],
+                     minmax_scale=False)
+        p = m.init_params(jax.random.PRNGKey(0))
+        return np.asarray(m.descriptors(_feats(fz, m, s), p))
+
+    np.testing.assert_allclose(compute("pallas"), compute("dense"),
+                               atol=1e-10)
+
+
+def test_slab_with_zero_lattice_vector_keeps_inplane_periodicity():
+    """A 2D slab (zero third lattice vector, pbc=[T,T,F]) must keep
+    its in-plane periodic images; a periodic axis with a degenerate
+    vector is a clear error."""
+    from tensoralloy_tpu.neighbor import neighbor_list
+    cell = np.array([[4.0, 0, 0], [0, 4.0, 0], [0, 0, 0.0]])
+    pos = np.array([[0.5, 0.5, 0.0], [2.5, 2.5, 0.0]])
+    slab = Structure.from_symbols(["Ni", "Ni"], pos, cell,
+                                  pbc=[True, True, False])
+    ii, jj, shift, d, _ = neighbor_list(slab, 4.5)
+    # with images: each atom sees the other + its own periodic copies
+    assert len(ii) > 2
+    assert np.abs(shift[:, :2]).max() >= 1       # in-plane images used
+    assert np.abs(shift[:, 2]).max() == 0        # none along z
+    bad = Structure.from_symbols(["Ni"], [[0, 0, 0]], cell,
+                                 pbc=[True, True, True])
+    with pytest.raises(ValueError):
+        neighbor_list(bad, 4.5)
+
+
+def test_triple_bounds_use_angular_cutoff():
+    """nijk/ntl padding must be counted within acut, not rcut — at the
+    default rcut=6/acut=4 the old bound overshot ~(6/4)^6 ~ 11x."""
+    from tensoralloy_tpu.neighbor import find_neighbor_size_of_atoms
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(2)
+                           for j in range(2) for k in range(2)]) / 2
+    s = Structure.from_symbols(["Ni"] * 32, frac @ (np.eye(3) * 2 * a0),
+                               np.eye(3) * 2 * a0, pbc=[True] * 3)
+    wide = find_neighbor_size_of_atoms(s, 6.0, angular=True)
+    tight = find_neighbor_size_of_atoms(s, 6.0, angular=True, acut=4.0)
+    assert tight.nij == wide.nij                 # pairs unchanged
+    assert tight.nijk < wide.nijk / 4            # triples much tighter
+    exact = find_neighbor_size_of_atoms(s, 4.0, angular=True)
+    assert tight.nijk == exact.nijk
+    # acut > rcut: pairs counted at rcut, triples at acut
+    big = find_neighbor_size_of_atoms(s, 4.0, angular=True, acut=6.0)
+    assert big.nij == exact.nij
+    assert big.nijk == wide.nijk
+
+
+def test_db_write_invalidates_cached_metadata(tmp_path):
+    """Appending to a database must drop the cached max_occurs /
+    neighbor bounds / static energies so consumers recompute."""
+    from tensoralloy_tpu.io.sqlite import connect
+    db = connect(str(tmp_path / "t.db"))
+    s1 = _ni_cell(4)
+    s1.info["energy"] = -17.0
+    db.write(s1)
+    assert db.max_occurs["Ni"] == 4
+    _ = db.get_neighbor_sizes(4.5)
+    s2 = Structure.from_symbols(["Ni"] * 6,
+                                np.random.RandomState(0).uniform(
+                                    0.5, 5.0, (6, 3)),
+                                np.eye(3) * 6.0, pbc=[True] * 3)
+    s2.info["energy"] = -25.0
+    db.write(s2)
+    assert db.max_occurs["Ni"] == 6              # recomputed, not stale
+    assert "neighbors" not in db.metadata or \
+        not db.metadata["neighbors"]
+
+
+def test_calculator_accessor_errors():
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter({"Ni": 2}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    calc = TensorAlloyCalculator(model, params)
+    with pytest.raises(RuntimeError, match="no structure"):
+        calc.get_forces()
+    s = _ni_cell(2)
+    with pytest.raises(ValueError, match="electron-entropy"):
+        calc.get_electron_entropy(s)
