@@ -103,7 +103,13 @@ def detect_lattice(structure: Structure, tol: float = 1e-3) -> str:
     if eq(a, b) and right[0] and right[1] and eq(ga, 120.0):
         return "hexagonal"
     if eq(a, b) and eq(b, c) and eq(al, be) and eq(be, ga):
-        return "trigonal"
+        # rhombohedral-metric cell: the 3-fold axis lies along [111],
+        # NOT along z as the trigonal (3bar-m, hexagonal-setting)
+        # equation matrix assumes — and fcc/bcc primitive cells land
+        # here too. The orientation-independent triclinic fit is the
+        # only correct choice; pass lattice='trigonal' explicitly for
+        # a hexagonal-setting trigonal crystal.
+        return "triclinic"
     if right[0] and right[1] and not right[2]:
         # unique axis c (gamma oblique) — matches the monoclinic
         # C16/C26/C36/C45 coupling pattern of _eq_matrix

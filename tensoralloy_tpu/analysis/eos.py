@@ -45,7 +45,7 @@ def rose(v, e0, b0, beta, v0):
 
 
 _FORMS = {"birchmurnaghan": birchmurnaghan, "murnaghan": murnaghan,
-          "vinet": vinet, "rose": rose}
+          "vinet": vinet, "rose": rose, "sj": None}
 
 
 class EquationOfState:
@@ -62,8 +62,27 @@ class EquationOfState:
                              f"(choose from {sorted(_FORMS)})")
         self.params = None
 
+    def _fit_sj(self) -> Tuple[float, float, float]:
+        """Stabilized-jellium EOS (ASE 'sj'): exact cubic polynomial
+        fit in t = V^(-1/3); the minimum and B follow analytically."""
+        t = self.volumes ** (-1.0 / 3.0)
+        poly = np.poly1d(np.polyfit(t, self.energies, 3))
+        d1, d2 = np.polyder(poly, 1), np.polyder(poly, 2)
+        self.params = poly
+        self.residual = float(np.sqrt(np.mean(
+            (poly(t) - self.energies) ** 2)))
+        for root in np.roots(d1):
+            if abs(root.imag) < 1e-12 and root.real > 0 and \
+                    d2(root.real) > 0:
+                t0 = float(root.real)
+                return (t0 ** -3, float(poly(t0)),
+                        float(t0 ** 5 * d2(t0) / 9.0))
+        raise RuntimeError("sj fit found no physical E(V) minimum")
+
     def fit(self) -> Tuple[float, float, float]:
         """-> (v0, e0, B) with B in eV/A^3."""
+        if self.eos == "sj":
+            return self._fit_sj()
         v = self.volumes
         e = self.energies
         i0 = int(np.argmin(e))
@@ -91,5 +110,7 @@ class EquationOfState:
     def evaluate(self, v) -> np.ndarray:
         if self.params is None:
             self.fit()
-        return _FORMS[self.eos](np.asarray(v, dtype=np.float64),
-                                *self.params)
+        v = np.asarray(v, dtype=np.float64)
+        if self.eos == "sj":
+            return self.params(v ** (-1.0 / 3.0))
+        return _FORMS[self.eos](v, *self.params)

@@ -266,8 +266,9 @@ def get_motifs(structure: Structure, rcut: float = 20.0
     here distances are minimum-image for periodic cells)."""
     from ..atoms import minimum_image
     pos = structure.positions
+    cell = structure.cell
     d = minimum_image(pos[None, :, :] - pos[:, None, :],
-                      structure.cell, structure.pbc)
+                      cell, structure.pbc)
     dist = np.linalg.norm(d, axis=-1)
     out = []
     for i in range(len(structure)):

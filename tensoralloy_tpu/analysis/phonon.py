@@ -70,10 +70,28 @@ class PhononCalculator:
         ref_rows = [np.where((self.cell_index == 0) &
                              (self.atom_index == k))[0][0]
                     for k in range(n)]
+        # minimum-image supercell translations: a raw [0, N) cell
+        # vector biases phases at non-commensurate q (e^{iq.A} vs the
+        # equivalent image e^{iq.(A-L)}); ties at exactly half a
+        # supercell are averaged over the degenerate images, which is
+        # what makes the interpolation exact at commensurate q and
+        # smooth in between
+        sc_cell = np.asarray(self.sc.cell)
+        offsets = np.array([[i, j, k] for i in (-1, 0, 1)
+                            for j in (-1, 0, 1) for k in (-1, 0, 1)],
+                           dtype=np.float64)
+        images = {}
+        for ci in np.unique(self.cell_index):
+            lvec = self.lattice_vectors[ci]
+            cands = lvec + offsets @ sc_cell
+            # restrict to true lattice translations near the minimum
+            norms = np.linalg.norm(cands, axis=1)
+            keep = cands[norms < norms.min() + 1e-8]
+            images[int(ci)] = keep
         for col in range(self.fc.shape[1]):
             kp = self.atom_index[col]
-            lvec = self.lattice_vectors[self.cell_index[col]]
-            phase = np.exp(1j * q_cart @ lvec)
+            imgs = images[int(self.cell_index[col])]
+            phase = np.mean(np.exp(1j * imgs @ q_cart))
             for k in range(n):
                 d[k, kp] += self.fc[ref_rows[k], col] * phase
         # mass weighting

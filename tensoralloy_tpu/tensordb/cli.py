@@ -133,21 +133,26 @@ class TensorDB:
             trajectory = [db.get(i + 1) for i in range(len(db))]
         else:
             trajectory = read_extxyz(str(filename))
+        # per-structure rows padded with NaN so the scatter plots
+        # stay INDEX-ALIGNED when some structures lack a label (a
+        # conditional append would pair volume i with energy i+1)
         volumes, energies, fnorms, pressures, temps = [], [], [], [], []
         rdf = {}
         k_b = 8.617333262e-5
         for s in trajectory:
             n = len(s)
             volumes.append(s.volume / n)
-            if s.energy is not None:
-                energies.append(s.energy / n)
-            if s.forces is not None:
-                fnorms.append(float(np.sqrt(np.sum(s.forces ** 2) / n)))
-            if s.stress is not None:
-                pressures.append(float(-np.mean(s.stress[:3]) * 160.2176))
-            if self.config.get("finite_temperature", False) and \
-                    s.info.get("etemperature") is not None:
-                temps.append(float(s.info["etemperature"]) / k_b)
+            energies.append(s.energy / n
+                            if s.energy is not None else np.nan)
+            fnorms.append(float(np.sqrt(np.sum(s.forces ** 2) / n))
+                          if s.forces is not None else np.nan)
+            pressures.append(
+                float(-np.mean(s.stress[:3]) * 160.2176)
+                if s.stress is not None else np.nan)
+            if self.config.get("finite_temperature", False):
+                et = s.info.get("etemperature")
+                temps.append(float(et) / k_b
+                             if et is not None else np.nan)
             syms = np.asarray(s.symbols)
             ii, jj, _, d, _ = neighbor_list(s, rcut)
             for a, b, dd in zip(syms[ii], syms[jj], d):
@@ -163,30 +168,25 @@ class TensorDB:
             ax.set_ylabel("Scaled Density")
 
         _, axes = plt.subplots(2, 3, figsize=(12, 7))
-        m = min(len(volumes), len(energies))
-        axes[0, 0].plot(volumes[:m], energies[:m], "o", markersize=2)
+        axes[0, 0].plot(volumes, energies, "o", markersize=2)
         axes[0, 0].set_xlabel(r"Volume ($\AA^3$)")
         axes[0, 0].set_ylabel("Energy (eV/atom)")
-        m = min(len(volumes), len(fnorms))
-        axes[0, 1].plot(volumes[:m], fnorms[:m], "o", markersize=2)
+        axes[0, 1].plot(volumes, fnorms, "o", markersize=2)
         axes[0, 1].set_xlabel(r"Volume ($\AA^3$)")
         axes[0, 1].set_ylabel(r"Force norm (eV/$\AA$)")
         density_plot(axes[0, 2], volumes, "Volume", r"Volume ($\AA^3$)")
+        have_p = bool(np.isfinite(pressures).any()) \
+            if pressures else False
         if temps:
-            m = min(len(volumes), len(temps))
-            axes[1, 0].plot(volumes[:m], temps[:m], "o", markersize=2)
+            axes[1, 0].plot(volumes, temps, "o", markersize=2)
             axes[1, 0].set_xlabel(r"Volume ($\AA^3$)")
             axes[1, 0].set_ylabel("Temperature (K)")
-        elif pressures:
-            m = min(len(pressures), len(energies))
-            axes[1, 0].plot(pressures[:m], energies[:m], "o",
-                            markersize=2)
+        elif have_p:
+            axes[1, 0].plot(pressures, energies, "o", markersize=2)
             axes[1, 0].set_xlabel("Pressure (GPa)")
             axes[1, 0].set_ylabel("Energy (eV/atom)")
-        if pressures and fnorms:
-            m = min(len(pressures), len(fnorms))
-            axes[1, 1].plot(pressures[:m], fnorms[:m], "o",
-                            markersize=2)
+        if have_p:
+            axes[1, 1].plot(pressures, fnorms, "o", markersize=2)
             axes[1, 1].set_xlabel("Pressure (GPa)")
             axes[1, 1].set_ylabel(r"Force norm (eV/$\AA$)")
         ax = axes[1, 2]
@@ -214,6 +214,9 @@ def main(argv=None):
     parser.add_argument("-i", "--input", default="config.toml")
     sub = parser.add_subparsers(dest="command", required=True)
     p = sub.add_parser("sampling")
+    p.add_argument("--override", action="store_true",
+                   help="reset existing task status/inputs (DANGER: "
+                        "rewrites submitted/running tasks)")
     p.add_argument("type", choices=["aimd"])
     p = sub.add_parser("create")
     p.add_argument("task", choices=["calc", "porosity", "neq", "aging"])
@@ -232,7 +235,7 @@ def main(argv=None):
 
     db = TensorDB(args.input)
     if args.command == "sampling":
-        db.create_sampling_tasks(override=True)
+        db.create_sampling_tasks(override=args.override)
     elif args.command == "create":
         db.create_accurate_dft_tasks(args.task)
     elif args.command == "status":

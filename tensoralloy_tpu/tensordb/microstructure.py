@@ -8,7 +8,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ..atoms import Structure
+from ..atoms import Structure, minimum_image
 from ..elements import atomic_numbers
 
 
@@ -42,7 +42,10 @@ def insert_interstitials(structure: Structure, element: str,
             break
         frac = rng.uniform(0, 1, 3)
         cand = frac @ out.cell
-        d = np.linalg.norm(all_pos - cand, axis=1)
+        # minimum-image: a candidate near a cell face must also clear
+        # the periodic images of atoms at the opposite face
+        d = np.linalg.norm(
+            minimum_image(all_pos - cand, out.cell, out.pbc), axis=1)
         if np.all(d > min_distance):
             all_pos = np.vstack([all_pos, cand])
             positions.append(cand[None])
@@ -85,7 +88,9 @@ def make_vacancy_cluster(structure: Structure, count: int,
     count = min(count, n - 1)
     if center is None:
         center = structure.positions[rng.randint(n)]
-    d = np.linalg.norm(structure.positions - np.asarray(center), axis=1)
+    d = np.linalg.norm(
+        minimum_image(structure.positions - np.asarray(center),
+                      structure.cell, structure.pbc), axis=1)
     remove = set(np.argsort(d)[:count].tolist())
     keep = [i for i in range(n) if i not in remove]
     return Structure(structure.numbers[keep],

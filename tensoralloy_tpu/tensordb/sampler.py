@@ -123,9 +123,16 @@ class BaseSampler:
     def get_base_structure(self, phase: str) -> Structure:
         cfg = self.config.get(phase, {})
         element = self.species[0]
-        a = cfg.get("a", 2.0 * 1.2 *
-                    float(atomic_masses[atomic_numbers[element]]) ** 0.0
-                    + 3.5)
+        a = cfg.get("a")
+        if a is None:
+            # element-aware default from the covalent radius (nearest-
+            # neighbor contact): fcc a = 2*sqrt(2) r, bcc a = 4r/sqrt(3)
+            from ..elements import covalent_radii
+            r = float(covalent_radii[atomic_numbers[element]])
+            a = {"fcc": 2.0 * np.sqrt(2.0) * r,
+                 "bcc": 4.0 * r / np.sqrt(3.0),
+                 "hcp": 2.0 * r,
+                 "sc": 2.0 * r}.get(phase, 2.5 * r)
         return make_phase_structure(element, phase, float(a))
 
     def get_supercells_at_volume(self, phase: str,
@@ -434,6 +441,12 @@ class RecomputeCalculator:
                 continue
             xml = taskdir / "vasprun.xml"
             if not xml.exists():
+                continue
+            # an unconverged SCF (hit NELM) still writes vasprun.xml;
+            # its energies/forces are garbage and must not enter the
+            # training database (same gate as VaspCalculator.harvest)
+            from .vaspkit import VaspJob
+            if not VaspJob(taskdir).check_vasp_job_scf_convergence():
                 continue
             s = read_vasp_xml(str(xml), index=-1,
                               finite_temperature=finite_temperature)

@@ -98,10 +98,19 @@ class VaspJob:
                     total += float(m.group(1))
         return total
 
-    def get_vasp_job_service_unit(self) -> ServiceUnit:
+    def get_vasp_job_service_unit(self):
+        """-> ServiceUnit, or None when the job has not produced an
+        OUTCAR with timing yet (callers use None as the 'job never
+        ran' gate — returning a zero-hour unit would make every
+        unstarted task count as completed)."""
+        if not (self.jobdir / "OUTCAR").exists():
+            return None
+        elapsed = self.get_vasp_elapsed_time()
+        if elapsed <= 0.0:
+            return None
         ranks = self.get_vasp_mpi_omp_ranks()
         ncores = max(ranks["mpi"] * max(ranks["threads"], 1), 1)
-        return ServiceUnit(ncores, self.get_vasp_elapsed_time())
+        return ServiceUnit(ncores, elapsed)
 
     # -------------------------- convergence ------------------------
     def check_vasp_job_scf_convergence(self) -> bool:

@@ -347,3 +347,66 @@ def test_calculator_accessor_errors():
     s = _ni_cell(2)
     with pytest.raises(ValueError, match="electron-entropy"):
         calc.get_electron_entropy(s)
+
+
+def test_get_motifs_runs():
+    """Regression: the minimum-image consolidation left an undefined
+    `cell` reference — every call raised NameError."""
+    from tensoralloy_tpu.analysis.fingerprints import get_motifs
+    s = _ni_cell(5)
+    motifs = get_motifs(s, 3.0)
+    assert len(motifs) == 5
+    assert all(len(m) >= 1 for m in motifs)
+
+
+def test_eos_sj_form():
+    """'sj' is documented — it must fit (exact cubic in V^(-1/3))."""
+    from tensoralloy_tpu.analysis.eos import (EquationOfState,
+                                              birchmurnaghan)
+    v = np.linspace(9.0, 13.0, 15)
+    e = birchmurnaghan(v, -4.45, 1.1, 4.5, 10.9)
+    eos = EquationOfState(v, e, eos="sj")
+    v0, e0, b = eos.fit()
+    assert v0 == pytest.approx(10.9, rel=0.01)
+    assert e0 == pytest.approx(-4.45, abs=0.005)
+    assert b == pytest.approx(1.1, rel=0.05)
+    assert np.allclose(eos.evaluate(v), e, atol=5e-3)
+
+
+def test_rhombohedral_metric_falls_back_to_triclinic():
+    """fcc primitive cells (and any rhombohedral metric) have their
+    3-fold axis along [111], not z — the reduced trigonal pattern
+    would fit wrong constants, so detection must fall back."""
+    from tensoralloy_tpu.analysis import elastic as EL
+    a = 3.52
+    cell = np.array([[0, .5, .5], [.5, 0, .5], [.5, .5, 0]]) * a
+    s = Structure.from_symbols(["Ni"], [[0, 0, 0]], cell,
+                               pbc=[True] * 3)
+    assert EL.detect_lattice(s) == "triclinic"
+
+
+def test_vasp_service_unit_none_before_job_ran(tmp_path):
+    """A task with no OUTCAR/timing must yield None (the 'job never
+    ran' gate) — a zero-hour unit made every unstarted task count as
+    completed in the status scan."""
+    from tensoralloy_tpu.tensordb.vaspkit import VaspJob
+    job = VaspJob(tmp_path)
+    assert job.get_vasp_job_service_unit() is None
+
+
+def test_insert_interstitials_minimum_image(tmp_path):
+    """Candidates near a cell face must clear the periodic images of
+    atoms at the opposite face."""
+    from tensoralloy_tpu.tensordb.microstructure import (
+        insert_interstitials)
+    from tensoralloy_tpu.atoms import minimum_image
+    s = Structure.from_symbols(["Ni"], [[0.05, 0.05, 0.05]],
+                               np.eye(3) * 4.0, pbc=[True] * 3)
+    out = insert_interstitials(s, "He", count=3, min_distance=1.8,
+                               seed=1, max_trials=5000)
+    pos = out.positions
+    for i in range(len(out)):
+        for j in range(i + 1, len(out)):
+            d = np.linalg.norm(minimum_image(pos[j] - pos[i],
+                                             out.cell, out.pbc))
+            assert d > 1.8 - 1e-9
