@@ -97,9 +97,38 @@ class Structure:
     # ------------------------------------------------------------------
     def ensure_cell(self, vacuum: float = 20.0) -> "Structure":
         """Give cell-less molecules a padded orthorhombic box (the reference
-        defaults molecules to a >=20 A vacuum cell, `io/read.py:43-187`)."""
+        defaults molecules to a >=20 A vacuum cell, `io/read.py:43-187`).
+
+        Partially periodic structures (slabs/wires: some pbc True with a
+        degenerate lattice vector on a NON-periodic axis) keep their real
+        in-plane lattice vectors and periodicity — only the degenerate
+        non-periodic axes get vacuum padding. A degenerate PERIODIC axis
+        is an input error."""
         if self.volume > 1e-8:
             return self
+        if self.pbc.any():
+            out = self.copy()
+            span = (self.positions.max(axis=0) -
+                    self.positions.min(axis=0)) if len(self) else \
+                np.zeros(3)
+            for ax in range(3):
+                if np.linalg.norm(out.cell[ax]) < 1e-8:
+                    if self.pbc[ax]:
+                        raise ValueError(
+                            f"cell vector {ax} is degenerate but "
+                            f"pbc[{ax}] is True")
+                    normal = np.cross(out.cell[(ax + 1) % 3],
+                                      out.cell[(ax + 2) % 3])
+                    if np.linalg.norm(normal) > 1e-8:
+                        unit = normal / np.linalg.norm(normal)
+                    else:
+                        unit = np.zeros(3)
+                        unit[ax] = 1.0
+                    out.cell[ax] = unit * (span[ax] + 2.0 * vacuum)
+            if abs(np.linalg.det(out.cell)) < 1e-8:
+                raise ValueError("cell is degenerate beyond padded "
+                                 "non-periodic axes")
+            return out
         lo = self.positions.min(axis=0)
         hi = self.positions.max(axis=0)
         span = hi - lo + 2.0 * vacuum
@@ -178,8 +207,11 @@ def minimum_image(d: np.ndarray, cell: np.ndarray,
     """Minimum-image displacement vector(s) `d` under `cell`.
 
     `pbc` (default: fully periodic) masks the wrap per axis; a
-    singular/zero cell returns `d` unchanged. Shared by NEB band
-    tangents, tensordb cluster geometry and fingerprint motifs."""
+    singular/zero cell returns `d` unchanged. Fractional rounding
+    alone is NOT minimal for skewed (hexagonal/triclinic) cells, so
+    the rounded image is refined over its 26 neighboring lattice
+    offsets. Shared by NEB band tangents, tensordb cluster geometry
+    and fingerprint motifs."""
     d = np.asarray(d, dtype=float)
     if cell is None or abs(np.linalg.det(cell)) < 1e-12:
         return d
@@ -187,5 +219,17 @@ def minimum_image(d: np.ndarray, cell: np.ndarray,
     if not mask.any():
         return d
     frac = d @ np.linalg.inv(cell)
-    frac -= np.round(frac * mask)
-    return frac @ cell
+    base = (frac - np.round(frac * mask)) @ cell
+    # refine: for skewed cells the rounded image can be off by one
+    # lattice offset along each periodic axis
+    steps = [(-1.0, 0.0, 1.0) if mask[ax] else (0.0,)
+             for ax in range(3)]
+    offsets = np.array([(i, j, k) for i in steps[0] for j in steps[1]
+                        for k in steps[2]])
+    if len(offsets) == 1:
+        return base
+    cands = base[..., None, :] + (offsets @ cell)      # [..., no, 3]
+    norms = np.sum(np.square(cands), axis=-1)
+    best = np.argmin(norms, axis=-1)
+    return np.take_along_axis(
+        cands, best[..., None, None], axis=-2)[..., 0, :]

@@ -84,6 +84,10 @@ def read_eam_alloy_setfl(path: str, is_adp: bool = False,
     def take(n):
         nonlocal pos
         out = tokens[pos:pos + n]
+        if len(out) < n:
+            raise ValueError(
+                f"truncated setfl file: expected {n} more values at "
+                f"token {pos}, found {len(out)} (file ends early)")
         pos += n
         return out
 
@@ -277,9 +281,14 @@ class Spline:
     bc_end: float
 
     def __call__(self, r):
-        from scipy.interpolate import CubicSpline
-        cs = CubicSpline(self.x, self.y,
-                         bc_type=((1, self.bc_start), (1, self.bc_end)))
+        cs = self.__dict__.get("_cs")
+        if cs is None:
+            # build the tridiagonal factorization ONCE, not per call
+            from scipy.interpolate import CubicSpline
+            cs = CubicSpline(
+                self.x, self.y,
+                bc_type=((1, self.bc_start), (1, self.bc_end)))
+            self.__dict__["_cs"] = cs
         return cs(r)
 
 
@@ -394,6 +403,11 @@ def read_funcfl(path: str) -> FuncflData:
     tokens: List[str] = []
     for line in lines[3:]:
         tokens.extend(line.split())
+    need = nrho + 2 * nr
+    if len(tokens) < need:
+        raise ValueError(
+            f"truncated funcfl file {path!r}: expected {need} table "
+            f"values, found {len(tokens)}")
     frho = np.asarray(tokens[:nrho], dtype=np.float64)
     zr = np.asarray(tokens[nrho:nrho + nr], dtype=np.float64)
     rho = np.asarray(tokens[nrho + nr:nrho + 2 * nr], dtype=np.float64)

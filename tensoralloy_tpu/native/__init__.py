@@ -22,19 +22,29 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # compile to a private temp file and os.replace (atomic) into
+    # place: concurrent worker processes (Dataset.build(serial=False))
+    # may race this build, and a CDLL of a half-written .so segfaults
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", _SRC, "-o", _LIB_PATH]
+           "-std=c++17", _SRC, "-o", tmp]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        try:  # -march=native may be unsupported in some sandboxes
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
+        except Exception:
+            # -march=native may be unsupported in some sandboxes
             cmd.remove("-march=native")
             subprocess.run(cmd, check=True, capture_output=True,
                            timeout=120)
-            return True
-        except Exception:
-            return False
+        os.replace(tmp, _LIB_PATH)
+        return True
+    except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -52,8 +62,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
-            _build_failed = True
-            return None
+            # a stale .so from another machine/compiler can fail to
+            # load — rebuild once before giving up on native
+            if _build():
+                try:
+                    lib = ctypes.CDLL(_LIB_PATH)
+                except OSError:
+                    _build_failed = True
+                    return None
+            else:
+                _build_failed = True
+                return None
         lib.ta_neighbor_list.restype = ctypes.c_longlong
         lib.ta_neighbor_list.argtypes = [
             ctypes.c_longlong,

@@ -81,11 +81,32 @@ def neighbor_list(structure: Structure, cutoff: float,
         if abs(np.linalg.det(cell)) < 1e-12:
             pbc = np.zeros(3, dtype=bool)
 
+    # The image-shift enumeration below assumes positions lie (near)
+    # the home cell; unwrapped MD-trajectory coordinates would silently
+    # lose pairs. Wrap along periodic axes and fold the per-atom wrap
+    # offsets back into the returned shifts so callers can keep using
+    # the RAW positions:  R_j + S@cell - R_i  stays exact.
+    wrap_off = np.zeros((n, 3), dtype=np.float64)
+    if pbc.any() and n:
+        frac = pos @ np.linalg.inv(cell)
+        wrap_off[:, pbc] = np.floor(frac[:, pbc])
+        if np.abs(wrap_off).max() > 0:
+            pos = pos - wrap_off @ cell
+        else:
+            wrap_off = None
+    else:
+        wrap_off = None
+
+    def _unwrap(ii, jj, shift, d, vec):
+        if wrap_off is not None:
+            shift = shift + wrap_off[ii] - wrap_off[jj]
+        return ii, jj, shift, d, vec
+
     if use_native and not os.environ.get("TENSORALLOY_TPU_NO_NATIVE"):
         from .native import native_neighbor_list
         got = native_neighbor_list(pos, cell, pbc, cutoff)
         if got is not None:
-            ii, jj, shift, d, vec = got
+            ii, jj, shift, d, vec = _unwrap(*got)
             order = np.lexsort((shift[:, 2], shift[:, 1], shift[:, 0],
                                 jj, ii))
             return (ii[order], jj[order], shift[order], d[order],
@@ -116,6 +137,7 @@ def neighbor_list(structure: Structure, cutoff: float,
     ii, jj, s_idx, d = ii[keep], jj[keep], s_idx[keep], d[keep]
     shift = shifts[s_idx]
     vec = pos[jj] + shift @ cell - pos[ii]
+    ii, jj, shift, d, vec = _unwrap(ii, jj, shift, d, vec)
 
     order = np.lexsort((s_idx, jj, ii))
     return (ii[order].astype(np.int32), jj[order].astype(np.int32),

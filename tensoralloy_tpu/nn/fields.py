@@ -54,7 +54,7 @@ def make_efs_fn(energy_fn: Callable,
             e_of, argnums=(0, 1))(pos, cell)
         forces = -gpos
         virial = gpos.T @ pos + gcell.T @ cell
-        volume = jnp.abs(jnp.linalg.det(cell))
+        volume = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
         stress = virial / volume
         voigt = full_to_voigt(stress)
         pressure = -jnp.trace(stress) / 3.0 * EV_ANGSTROM3_TO_GPA

@@ -83,4 +83,4 @@ class VirtualAtomMap:
         h = np.asarray(hessian)[idx][:, :, idx, :]   # [N, 3, N, 3]
         if phonopy_format:
             return np.transpose(h, (0, 2, 1, 3))
-        return h.transpose(0, 1, 2, 3).reshape(3 * n, 3 * n)
+        return h.reshape(3 * n, 3 * n)

@@ -410,3 +410,67 @@ def test_insert_interstitials_minimum_image(tmp_path):
             d = np.linalg.norm(minimum_image(pos[j] - pos[i],
                                              out.cell, out.pbc))
             assert d > 1.8 - 1e-9
+
+
+def test_ensure_cell_preserves_slab_periodicity():
+    """featurize() calls ensure_cell on volume~0 structures; a slab
+    must keep its real in-plane lattice vectors and pbc (it used to be
+    silently converted to an isolated cluster)."""
+    cell = np.array([[4.0, 0, 0], [0, 4.0, 0], [0, 0, 0.0]])
+    slab = Structure.from_symbols(
+        ["Ni", "Ni"], [[0.5, 0.5, 0.0], [2.5, 2.5, 0.0]], cell,
+        pbc=[True, True, False])
+    out = slab.ensure_cell()
+    np.testing.assert_allclose(out.cell[:2], cell[:2])
+    assert list(out.pbc) == [True, True, False]
+    assert abs(np.linalg.det(out.cell)) > 1.0
+    # featurization end-to-end: in-plane periodic pairs must exist
+    fz = Featurizer(["Ni"], rcut=4.5)
+    feats = fz.featurize(slab)
+    assert int(np.sum(feats["pair_mask"])) > 2
+    with pytest.raises(ValueError):
+        Structure.from_symbols(["Ni"], [[0, 0, 0]], cell,
+                               pbc=[True] * 3).ensure_cell()
+
+
+def test_neighbor_list_handles_unwrapped_positions():
+    """Unwrapped (MD-trajectory) coordinates must give the same pair
+    list as wrapped ones, with shifts adjusted so R_j + S@cell - R_i
+    stays exact for the RAW positions."""
+    from tensoralloy_tpu.neighbor import neighbor_list
+    rng = np.random.RandomState(0)
+    cell = np.eye(3) * 5.0
+    pos = rng.uniform(0, 5.0, (6, 3))
+    s_wrapped = Structure.from_symbols(["Ni"] * 6, pos, cell,
+                                       pbc=[True] * 3)
+    # push atoms several cells away (unwrapped trajectory frame)
+    drift = rng.randint(-3, 4, (6, 3)).astype(float) @ cell
+    s_raw = Structure.from_symbols(["Ni"] * 6, pos + drift, cell,
+                                   pbc=[True] * 3)
+    iw, jw, _, dw, _ = neighbor_list(s_wrapped, 4.0)
+    ir, jr, sr, dr, vr = neighbor_list(s_raw, 4.0)
+    assert len(ir) == len(iw)
+    np.testing.assert_allclose(np.sort(dr), np.sort(dw), atol=1e-10)
+    # the shift contract holds for the raw coordinates
+    recon = s_raw.positions[jr] + sr @ cell - s_raw.positions[ir]
+    np.testing.assert_allclose(np.linalg.norm(recon, axis=1), dr,
+                               atol=1e-10)
+
+
+def test_minimum_image_skewed_cell():
+    """Fractional rounding alone is not minimal for skewed cells; the
+    refined search must find the true shortest image."""
+    from tensoralloy_tpu.atoms import minimum_image
+    cell = np.array([[10.0, 0, 0], [5.0, 8.66, 0], [0, 0, 10.0]])
+    d = 0.5 * cell[0] + 0.5 * cell[1]          # (7.5, 4.33, 0)
+    m = minimum_image(d, cell)
+    assert np.linalg.norm(m) == pytest.approx(5.0, abs=0.01)
+
+
+def test_truncated_setfl_raises(tmp_path):
+    from tensoralloy_tpu.io.lammps import read_eam_alloy_setfl
+    p = tmp_path / "bad.eam.alloy"
+    p.write_text("c1\nc2\nc3\n1 Ni\n5 0.1 5 0.1 5.0\n"
+                 "28 58.69 3.52 fcc\n1.0 2.0 3.0\n")   # far too short
+    with pytest.raises(ValueError, match="truncated"):
+        read_eam_alloy_setfl(str(p))
