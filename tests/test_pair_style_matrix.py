@@ -1,0 +1,75 @@
+"""End-to-end pair_style dispatch matrix: every style the reference's
+choices.toml allows must train a couple of steps, checkpoint, and
+export through TrainingManager (`choices.toml:4-8`; ref
+`train/training.py:282-299` dispatch)."""
+import os
+
+import numpy as np
+import pytest
+
+from tensoralloy_tpu.train.manager import TrainingManager
+
+
+def _db(tmp_path):
+    from tensoralloy_tpu.io.sqlite import read_file
+    return read_file("/root/reference/test_files/datasets/Ni/Ni.extxyz",
+                     db_path=str(tmp_path / "Ni.db"))
+
+
+_EAM_SECTIONS = """
+[nn.eam.rho]
+NiNi = "nn"
+[nn.eam.embed]
+Ni = "nn"
+[nn.eam.phi]
+NiNi = "nn"
+"""
+
+_STYLES = {
+    "atomic/sf": "",
+    "atomic/sf/angular": "acut = 4.0\n",
+    "atomic/grap": "[nn.atomic.grap]\nmoment_tensors = [0, 1]\n",
+    "td/sf": "",
+    "td/grap": "[nn.atomic.grap]\nmoment_tensors = [0]\n",
+    "eam/alloy": "",
+    "eam/fs": _EAM_SECTIONS,
+    "eam/adp": "",
+}
+
+
+@pytest.mark.parametrize("style", sorted(_STYLES))
+def test_pair_style_trains_and_exports(style, tmp_path, monkeypatch):
+    _db(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    tag = style.replace("/", "_")
+    toml = tmp_path / f"{tag}.toml"
+    toml.write_text(f"""
+precision = "medium"
+pair_style = "{style}"
+rcut = 4.5
+[dataset]
+sqlite3 = "Ni.db"
+name = "ni_{tag}"
+test_size = 1
+tfrecords_dir = "."
+[nn]
+minimize = ['energy', 'forces']
+[train]
+model_dir = "m_{tag}"
+train_steps = 3
+batch_size = 2
+eval_steps = 3
+{_STYLES[style]}
+""")
+    mgr = TrainingManager(str(toml))
+    mgr.train_and_evaluate(verbose=False)
+    assert os.path.exists(os.path.join(mgr.model_dir,
+                                       "checkpoint.npz"))
+    path = mgr.export()
+    assert os.path.exists(path)
+    # exported model must evaluate through the calculator
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    calc = TensorAlloyCalculator(path)
+    s = next(iter(mgr.dataset.db))
+    e = calc.get_potential_energy(s)
+    assert np.isfinite(e)
