@@ -9,6 +9,14 @@ TPU executable.
 Prints one JSON line per size. Not the driver headline (see bench.py);
 run manually: `python bench_inference.py [natoms_per_axis]`.
 
+Measured honestly (backward pass kept live — see the carry note
+below), one v5e chip handles n=24 (55,296 atoms, 4.4M pairs):
+~0.7 s device EFS, ~7 s end-to-end vs ~31 s for the reference scaled
+to the same size. n=32 (131k atoms) exceeds single-chip HBM with the
+full force/stress backward resident (24.5 vs 15.75 GB) — that regime
+is what the pair-axis spatial sharding in parallel/spatial.py is for
+(shard the pair arrays over a mesh), or gradient rematerialization.
+
 Note: this host's vCPU is heavily throttled and bursty — host-side
 featurization timings fluctuate by up to 10x between runs; the device
 execution time is stable.
