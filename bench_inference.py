@@ -9,13 +9,13 @@ TPU executable.
 Prints one JSON line per size. Not the driver headline (see bench.py);
 run manually: `python bench_inference.py [natoms_per_axis]`.
 
-Measured honestly (backward pass kept live — see the carry note
-below), one v5e chip handles n=24 (55,296 atoms, 4.4M pairs):
-~0.7 s device EFS, ~7 s end-to-end vs ~31 s for the reference scaled
-to the same size. n=32 (131k atoms) exceeds single-chip HBM with the
-full force/stress backward resident (24.5 vs 15.75 GB) — that regime
-is what the pair-axis spatial sharding in parallel/spatial.py is for
-(shard the pair arrays over a mesh), or gradient rematerialization.
+Above ~60k atoms the monolithic backward no longer fits one chip
+(24.5 GB needed at 131k atoms vs 15.75 GB HBM), so large cells switch
+to the rematerialized pair-chunk scan (`EamNN.energy_chunked`): pairs
+are processed in `lax.scan` blocks with `jax.checkpoint`, per-atom
+accumulators (rho/phi) carried across blocks, and the backward pass
+recomputes one block at a time — peak memory O(natoms + chunk) instead
+of O(npairs). Bit-identical to the monolithic path (tests/test_eam.py).
 
 Note: this host's vCPU is heavily throttled and bursty — host-side
 featurization timings fluctuate by up to 10x between runs; the device
@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 
-def main(n: int = 20):
+def main(n: int = 20, pair_chunk: int = 0):
     import jax
     import jax.numpy as jnp
     from collections import Counter
@@ -85,7 +85,12 @@ def main(n: int = 20):
             return acc
         return jax.jit(f)
 
-    efs_raw = make_efs_fn(model.variational_energy)
+    if pair_chunk == 0 and len(s) > 60000:
+        # monolithic backward exceeds single-chip HBM: remat pair-chunks
+        pair_chunk = 1 << 21
+    energy_fn = (model.make_chunked_energy_fn(pair_chunk)
+                 if pair_chunk else model.variational_energy)
+    efs_raw = make_efs_fn(energy_fn)
     efs = jax.jit(efs_raw)
     g1, g9 = run_k(1), run_k(9)
     float(g1(params, dfeats)), float(g9(params, dfeats))  # compile
@@ -108,9 +113,11 @@ def main(n: int = 20):
         "featurize_s": round(t_feat, 3),
         "h2d_s": round(t_h2d, 3),
         "device_exec_s": round(t_exec, 4),
+        "pair_chunk": pair_chunk,
         "vs_baseline": round(baseline_total / total, 2),
     }))
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 0)

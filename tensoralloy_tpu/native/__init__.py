@@ -26,7 +26,7 @@ def _build() -> bool:
     # place: concurrent worker processes (Dataset.build(serial=False))
     # may race this build, and a CDLL of a half-written .so segfaults
     tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
            "-std=c++17", _SRC, "-o", tmp]
     try:
         try:

@@ -15,11 +15,13 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 #include <algorithm>
 #include <cstdio>
 #include <chrono>
+#include <thread>
 
 namespace {
 
@@ -175,44 +177,115 @@ long long ta_neighbor_list(
 
     auto t_sort = std::chrono::steady_clock::now();
     const double cut2 = cutoff * cutoff;
-    long long found = 0;
 
-    for (long long i = 0; i < natoms; ++i) {
-        const double xi = positions[3 * i], yi = positions[3 * i + 1],
-                     zi = positions[3 * i + 2];
-        const long long bx = (long long)((xi - lo[0]) / bin);
-        const long long by = (long long)((yi - lo[1]) / bin);
-        const long long bz = (long long)((zi - lo[2]) / bin);
-        for (long long dx = bx - 1; dx <= bx + 1; ++dx) {
-            if (dx < 0 || dx >= nb[0]) continue;
-            for (long long dy = by - 1; dy <= by + 1; ++dy) {
-                if (dy < 0 || dy >= nb[1]) continue;
-                for (long long dz = bz - 1; dz <= bz + 1; ++dz) {
-                    if (dz < 0 || dz >= nb[2]) continue;
-                    const long long b = (dx * nb[1] + dy) * nb[2] + dz;
-                    for (long long k = counts[b]; k < counts[b + 1]; ++k) {
-                        const double rx = sx_[k] - xi;
-                        const double ry = sy_[k] - yi;
-                        const double rz = sz_[k] - zi;
-                        const double d2 = rx * rx + ry * ry + rz * rz;
-                        if (d2 >= cut2 || d2 < 1e-20) continue;
-                        if (found < cap) {
-                            out_i[found] = static_cast<int32_t>(i);
-                            out_j[found] = satom[k];
-                            out_shift[3 * found] = sshift[3 * k];
-                            out_shift[3 * found + 1] = sshift[3 * k + 1];
-                            out_shift[3 * found + 2] = sshift[3 * k + 2];
-                            out_dist[found] = std::sqrt(d2);
-                            out_vec[3 * found] = rx;
-                            out_vec[3 * found + 1] = ry;
-                            out_vec[3 * found + 2] = rz;
+    // Parallel pair scan: home atoms are partitioned into contiguous
+    // ranges; pass 1 counts each atom's pairs, an exclusive prefix sum
+    // assigns offsets, pass 2 writes — output is bit-identical to the
+    // serial scan (ordered by center atom) for any thread count.
+    // Thread count: TA_NEIGH_THREADS or hardware_concurrency (on a
+    // single-core host this collapses to the serial loop).
+    long long nthreads = 1;
+    if (const char *env = std::getenv("TA_NEIGH_THREADS")) {
+        nthreads = std::max(1LL, std::min(256LL, atoll(env)));
+    } else {
+        nthreads = std::max(1u, std::thread::hardware_concurrency());
+    }
+    nthreads = std::max(1LL, std::min(nthreads, natoms / 512));
+
+    std::vector<long long> atom_count(natoms + 1, 0);
+
+    auto count_range = [&](long long a0, long long a1) {
+        for (long long i = a0; i < a1; ++i) {
+            const double xi = positions[3 * i], yi = positions[3 * i + 1],
+                         zi = positions[3 * i + 2];
+            const long long bx = (long long)((xi - lo[0]) / bin);
+            const long long by = (long long)((yi - lo[1]) / bin);
+            const long long bz = (long long)((zi - lo[2]) / bin);
+            long long c = 0;
+            for (long long dx = bx - 1; dx <= bx + 1; ++dx) {
+                if (dx < 0 || dx >= nb[0]) continue;
+                for (long long dy = by - 1; dy <= by + 1; ++dy) {
+                    if (dy < 0 || dy >= nb[1]) continue;
+                    for (long long dz = bz - 1; dz <= bz + 1; ++dz) {
+                        if (dz < 0 || dz >= nb[2]) continue;
+                        const long long b = (dx * nb[1] + dy) * nb[2] + dz;
+                        for (long long k = counts[b]; k < counts[b + 1];
+                             ++k) {
+                            const double rx = sx_[k] - xi;
+                            const double ry = sy_[k] - yi;
+                            const double rz = sz_[k] - zi;
+                            const double d2 = rx * rx + ry * ry + rz * rz;
+                            if (d2 >= cut2 || d2 < 1e-20) continue;
+                            ++c;
                         }
-                        ++found;
+                    }
+                }
+            }
+            atom_count[i + 1] = c;
+        }
+    };
+
+    auto write_range = [&](long long a0, long long a1) {
+        for (long long i = a0; i < a1; ++i) {
+            const double xi = positions[3 * i], yi = positions[3 * i + 1],
+                         zi = positions[3 * i + 2];
+            const long long bx = (long long)((xi - lo[0]) / bin);
+            const long long by = (long long)((yi - lo[1]) / bin);
+            const long long bz = (long long)((zi - lo[2]) / bin);
+            long long w = atom_count[i];
+            for (long long dx = bx - 1; dx <= bx + 1; ++dx) {
+                if (dx < 0 || dx >= nb[0]) continue;
+                for (long long dy = by - 1; dy <= by + 1; ++dy) {
+                    if (dy < 0 || dy >= nb[1]) continue;
+                    for (long long dz = bz - 1; dz <= bz + 1; ++dz) {
+                        if (dz < 0 || dz >= nb[2]) continue;
+                        const long long b = (dx * nb[1] + dy) * nb[2] + dz;
+                        for (long long k = counts[b]; k < counts[b + 1];
+                             ++k) {
+                            const double rx = sx_[k] - xi;
+                            const double ry = sy_[k] - yi;
+                            const double rz = sz_[k] - zi;
+                            const double d2 = rx * rx + ry * ry + rz * rz;
+                            if (d2 >= cut2 || d2 < 1e-20) continue;
+                            out_i[w] = static_cast<int32_t>(i);
+                            out_j[w] = satom[k];
+                            out_shift[3 * w] = sshift[3 * k];
+                            out_shift[3 * w + 1] = sshift[3 * k + 1];
+                            out_shift[3 * w + 2] = sshift[3 * k + 2];
+                            out_dist[w] = std::sqrt(d2);
+                            out_vec[3 * w] = rx;
+                            out_vec[3 * w + 1] = ry;
+                            out_vec[3 * w + 2] = rz;
+                            ++w;
+                        }
                     }
                 }
             }
         }
-    }
+    };
+
+    auto run_parallel = [&](auto &&fn) {
+        if (nthreads <= 1) {
+            fn(0, natoms);
+            return;
+        }
+        std::vector<std::thread> pool;
+        pool.reserve(nthreads);
+        const long long per = (natoms + nthreads - 1) / nthreads;
+        for (long long t = 0; t < nthreads; ++t) {
+            const long long a0 = t * per;
+            const long long a1 = std::min(natoms, a0 + per);
+            if (a0 >= a1) break;
+            pool.emplace_back(fn, a0, a1);
+        }
+        for (auto &th : pool) th.join();
+    };
+
+    run_parallel(count_range);
+    for (long long i = 0; i < natoms; ++i)
+        atom_count[i + 1] += atom_count[i];
+    const long long found = atom_count[natoms];
+    if (found <= cap) run_parallel(write_range);
     auto t_scan = std::chrono::steady_clock::now();
     if (getenv("TA_NEIGH_DEBUG")) {
         fprintf(stderr, "[ta] images=%lld sort=%.3f scan=%.3f\n",

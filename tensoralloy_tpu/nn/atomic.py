@@ -156,6 +156,29 @@ class AtomicNN:
         return total
 
     # ------------------------------------------------------------------
+    def norm_sweep_bytes_per_structure(self, feats) -> int:
+        """Working-set estimate (bytes) for ONE structure inside the
+        vmapped descriptor compute — used by the trainer to chunk the
+        whole-set min/max sweep so it cannot OOM at large padding."""
+        if "pair_j_d" in feats:
+            sh = feats["pair_j_d"].shape
+            pairs = int(sh[-2]) * int(sh[-1])
+        elif "pair_i" in feats:
+            pairs = int(feats["pair_i"].shape[-1])
+        else:
+            return 0
+        per_pair = getattr(self.descriptor, "sweep_bytes_per_pair", None)
+        total = (pairs * per_pair(self.featurizer.n_radial_slots)
+                 if per_pair is not None else pairs * 512)
+        if "trip_j_d" in feats:
+            sh = feats["trip_j_d"].shape
+            triples = int(sh[-2]) * int(sh[-1])
+            per_trip = getattr(self.descriptor, "sweep_bytes_per_triple",
+                               None)
+            total += (triples * per_trip(self.featurizer.n_angular_slots)
+                      if per_trip is not None else triples * 256)
+        return total
+
     def update_norm_stats(self, params: dict, features_batch) -> dict:
         """Running min/max of descriptors over a batch (host-called;
         reference keeps xlo/xhi as running non-trainable variables)."""

@@ -242,6 +242,69 @@ class EamNN:
     def energy(self, params, features) -> jnp.ndarray:
         return jnp.sum(self.atomic_energies(params, features))
 
+    # -- chunked-pair evaluation (large-cell single-chip inference) ----
+    # The EAM family is a finalize(sum-over-pairs) computation: every
+    # pair contributes linearly to per-atom accumulators (rho, phi and,
+    # for ADP, the pre-square mu/lambda moments) and only the FINALIZE
+    # step is nonlinear.  Scanning rematerialized pair blocks therefore
+    # reproduces the monolithic energy bit-for-math while the backward
+    # pass holds one block + the per-atom accumulator cotangents
+    # instead of every per-pair intermediate (the monolithic backward
+    # needs ~24.5 GB at 131k atoms / 11M pairs; reference computed 128k
+    # atoms on an 11 GB GPU, `cpc_speed.py:36-74`).
+
+    def _pair_term_accumulators(self, params, features) -> dict:
+        """One flat-pair block -> linear per-atom accumulators."""
+        _, r, mask, ei, ej = self._pair_geometry(features)
+        return {"rho": self._rho_sum(params, features, r, mask, ei, ej),
+                "phi": self._phi_energy(params, features, r, mask, ei, ej)}
+
+    def _finalize_accumulators(self, params, acc: dict,
+                               features) -> jnp.ndarray:
+        embed = self._embed_energy(params, acc["rho"])
+        return (embed + acc["phi"]) * features["atom_masks"]
+
+    def energy_chunked(self, params, features,
+                       pair_chunk: int = 1 << 20) -> jnp.ndarray:
+        """Total energy with the pair axis processed in rematerialized
+        `lax.scan` blocks of `pair_chunk` pairs.  Equal to `energy` up
+        to float summation order; peak memory is O(natoms + chunk)."""
+        # flat-layout pair arrays only (leading axis nij); the dense
+        # per-atom layout ("pair_*_d", [A, N]) is not chunked here
+        pair_keys = [k for k in features
+                     if (k.startswith("pair_") and not k.endswith("_d"))
+                     or k == "rij"]
+        nij = int(features["pair_i"].shape[0])
+        chunk = int(min(pair_chunk, nij))
+        n_chunks = -(-nij // chunk)
+        pad = n_chunks * chunk - nij
+        base = {k: v for k, v in features.items() if k not in pair_keys}
+
+        def blocked(v):
+            if pad:
+                width = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+                v = jnp.pad(v, width)   # index-0 pairs with mask 0
+            return v.reshape((n_chunks, chunk) + v.shape[1:])
+
+        chunks = {k: blocked(features[k]) for k in pair_keys}
+        probe = {**base, **{k: v[0] for k, v in chunks.items()}}
+        shapes = jax.eval_shape(
+            lambda p, f: self._pair_term_accumulators(p, f),
+            params, probe)
+        init = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        @jax.checkpoint
+        def body(carry, ch):
+            acc = self._pair_term_accumulators(params, {**base, **ch})
+            return jax.tree_util.tree_map(jnp.add, carry, acc), None
+
+        acc, _ = jax.lax.scan(body, init, chunks)
+        return jnp.sum(self._finalize_accumulators(params, acc, features))
+
+    def make_chunked_energy_fn(self, pair_chunk: int = 1 << 20):
+        return lambda p, f: self.energy_chunked(p, f, pair_chunk)
+
     variational_energy = energy
 
     def l2_loss(self, params) -> jnp.ndarray:
@@ -401,8 +464,10 @@ class AdpNN(EamAlloyNN):
             sections[term] = ["phi", "dipole", "quadrupole"]
         return sections
 
-    def _adp_energy(self, params, features, vec, r, mask, ei, ej
-                    ) -> jnp.ndarray:
+    def _adp_moments(self, params, features, vec, r, mask, ei, ej):
+        """Linear dipole/quadrupole moments (mu [nseg, 3],
+        lam [nseg, 3, 3]) — accumulated BEFORE squaring so chunked
+        evaluation stays exact."""
         n_vap = features["positions"].shape[0]
         n_ut = len(self.unique_kbody_terms)
         ut = jnp.asarray(self._uterm_table)[ei, ej]
@@ -428,15 +493,15 @@ class AdpNN(EamAlloyNN):
         u_tot = u_tot * mask
         w_tot = w_tot * mask
 
-        # mu [nseg, 3]
         mu = jax.ops.segment_sum(u_tot[:, None] * vec, seg,
                                  num_segments=nseg)
-        e_mu = 0.5 * jnp.sum(jnp.square(mu), axis=-1)
-
-        # lambda [nseg, 3, 3] (symmetric)
         dd = vec[:, :, None] * vec[:, None, :]
         lam = jax.ops.segment_sum(w_tot[:, None, None] * dd, seg,
                                   num_segments=nseg)
+        return mu, lam
+
+    def _adp_quadratic(self, mu, lam, n_vap) -> jnp.ndarray:
+        e_mu = 0.5 * jnp.sum(jnp.square(mu), axis=-1)
         sq = jnp.square(lam)
         # 1/2 [sum_aa + 2 sum_{a<b}] = 1/2 sum over the full 3x3 with
         # off-diagonals counted twice = matches c_ab = 2 for a != b
@@ -445,8 +510,27 @@ class AdpNN(EamAlloyNN):
         e_trace = jnp.square(nu) / 6.0
         e = e_mu + e_lam - e_trace
         if self.adp_per_term:
-            e = e.reshape(n_vap, n_ut).sum(axis=1)
+            e = e.reshape(n_vap, len(self.unique_kbody_terms)).sum(axis=1)
         return e
+
+    def _adp_energy(self, params, features, vec, r, mask, ei, ej
+                    ) -> jnp.ndarray:
+        mu, lam = self._adp_moments(params, features, vec, r, mask, ei, ej)
+        return self._adp_quadratic(mu, lam, features["positions"].shape[0])
+
+    def _pair_term_accumulators(self, params, features) -> dict:
+        vec, r, mask, ei, ej = self._pair_geometry(features)
+        mu, lam = self._adp_moments(params, features, vec, r, mask, ei, ej)
+        return {"rho": self._rho_sum(params, features, r, mask, ei, ej),
+                "phi": self._phi_energy(params, features, r, mask, ei, ej),
+                "mu": mu, "lam": lam}
+
+    def _finalize_accumulators(self, params, acc: dict,
+                               features) -> jnp.ndarray:
+        embed = self._embed_energy(params, acc["rho"])
+        adp = self._adp_quadratic(acc["mu"], acc["lam"],
+                                  features["positions"].shape[0])
+        return (embed + acc["phi"] + adp) * features["atom_masks"]
 
     def atomic_energies(self, params, features) -> jnp.ndarray:
         vec, r, mask, ei, ej = self._pair_geometry(features)

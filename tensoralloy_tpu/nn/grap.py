@@ -182,6 +182,15 @@ class GenericRadialAtomicPotential:
             self.n_filters = len(self._grid)
 
     # ------------------------------------------------------------------
+    def sweep_bytes_per_pair(self, n_slots: int, itemsize: int = 4) -> int:
+        """Per-pair working bytes of one descriptor evaluation: the
+        moment basis [pairs, D], the slot-expanded filters
+        [pairs, S*K], and a 2x allowance for XLA temporaries.  Used to
+        chunk the training-set min/max sweep."""
+        d = multiplicity_tensor(self.max_moment, self.symmetric).shape[0]
+        k = self.n_filters
+        return itemsize * 2 * (d + k * (n_slots + 1))
+
     def feature_dim(self, n_radial_slots: int, n_angular_slots: int,
                     angular: bool) -> int:
         if self.legacy_mode:

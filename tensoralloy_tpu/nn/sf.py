@@ -71,6 +71,14 @@ class SymmetryFunction:
             dim += n_angular_slots * self.n_angular_params
         return dim
 
+    # working-set estimates for the trainer's chunked min/max sweep
+    def sweep_bytes_per_pair(self, n_slots: int, itemsize: int = 4) -> int:
+        return itemsize * 2 * self.n_radial_params * (n_slots + 1)
+
+    def sweep_bytes_per_triple(self, n_slots: int,
+                               itemsize: int = 4) -> int:
+        return itemsize * 2 * self.n_angular_params * (n_slots + 1)
+
     # ------------------------------------------------------------------
     def radial(self, features, rcut: float, n_slots: int) -> jnp.ndarray:
         """-> [n_vap, n_slots * n_radial_params]."""

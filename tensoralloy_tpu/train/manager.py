@@ -301,6 +301,9 @@ class TrainingManager:
             max_checkpoints_to_keep=r["train.max_checkpoints_to_keep"],
             ema_decay=r.get("train.ema_decay", 0.999),
             scan_steps=int(r.get("train.scan_steps", 1) or 1),
+            device_dataset=bool(r.get("train.device_dataset", True)),
+            device_dataset_max_gb=float(
+                r.get("train.device_dataset_max_gb", 6.0)),
             seed=r["seed"],
             model_dir=r["train.model_dir"])
 

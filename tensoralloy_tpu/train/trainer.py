@@ -66,6 +66,31 @@ class TrainParameters:
     # Used when the mesh is a single device; multi-device data-parallel
     # runs shard per-step batches instead.
     device_dataset: bool = True
+    # Upper bound (GiB) on the padded feature+label arrays eligible for
+    # the device-resident path; larger datasets automatically fall back
+    # to host streaming instead of OOMing HBM at upload time.
+    device_dataset_max_gb: float = 6.0
+
+
+def _norm_sweep_chunk(model, feats, budget_bytes: int = 2 * 1024 ** 3,
+                      cap: int = 512) -> int:
+    """Chunk size for the whole-set min/max descriptor sweep.
+
+    The vmapped descriptor compute materializes working arrays far
+    larger than the raw padded features (the GRAP moment basis alone is
+    [pairs, 364] floats at moment 5), so a fixed 512-structure chunk
+    OOMs a 16 GiB chip at binary-alloy padding.  Models may expose
+    ``norm_sweep_bytes_per_structure(feats)`` for a working-set
+    estimate; otherwise a conservative per-pair default is used.
+    """
+    per = 0
+    est = getattr(model, "norm_sweep_bytes_per_structure", None)
+    if est is not None:
+        per = int(est(feats))
+    if per <= 0:
+        per = 64 * sum(int(np.asarray(v[0:1]).nbytes)
+                       for v in feats.values())
+    return max(1, min(cap, int(budget_bytes // max(per, 1))))
 
 
 def make_lr_schedule(opt: OptParameters):
@@ -422,8 +447,9 @@ class Trainer:
                 # reference keeps xlo/xhi as running variables — a
                 # file-order prefix biases heterogeneous databases)
                 n_all = len(train_labels["energy"])
-                for lo in range(0, n_all, 512):
-                    sample = {k: jnp.asarray(v[lo:lo + 512])
+                chunk = _norm_sweep_chunk(self.model, train_feats)
+                for lo in range(0, n_all, chunk):
+                    sample = {k: jnp.asarray(v[lo:lo + chunk])
                               for k, v in train_feats.items()}
                     params = self.model.update_norm_stats(params, sample)
 
@@ -448,6 +474,18 @@ class Trainer:
         # gather batches on device inside the fused scan. Order is
         # identical to the host path (shared batch_index_stream).
         use_dev = bool(tp.device_dataset) and self.mesh.size == 1
+        if use_dev:
+            dev_bytes = sum(np.asarray(v).nbytes
+                            for d in (train_feats, train_labels)
+                            for v in d.values())
+            cap = float(tp.device_dataset_max_gb) * 1024 ** 3
+            if dev_bytes > cap:
+                print(f"device_dataset: padded set is "
+                      f"{dev_bytes / 1024**3:.2f} GiB > "
+                      f"{tp.device_dataset_max_gb:g} GiB cap "
+                      f"(train.device_dataset_max_gb) — streaming batches "
+                      f"from host instead")
+                use_dev = False
         if use_dev:
             from .dataset import batch_index_stream
             dev_feats = {key: jnp.asarray(v)
