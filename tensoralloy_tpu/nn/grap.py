@@ -258,11 +258,6 @@ class GenericRadialAtomicPotential:
         backend = self.backend
         if backend == "pallas" and self.algorithm == "nn":
             backend = "dense"   # learned filter MLP stays in XLA
-        if backend == "pallas" and self.max_moment > 3:
-            # the fused kernel's compressed monomial basis tops out at
-            # moment 3; the full 121/364-dim outer-product basis of
-            # moments 4-5 runs on the dense XLA path
-            backend = "dense"
         if backend == "pallas":
             from ..ops.fused import fused_grap
             return fused_grap(self, features, rcut, n_radial_slots)

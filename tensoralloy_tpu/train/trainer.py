@@ -448,10 +448,13 @@ class Trainer:
                 # file-order prefix biases heterogeneous databases)
                 n_all = len(train_labels["energy"])
                 chunk = _norm_sweep_chunk(self.model, train_feats)
+                print(f"minmax sweep: {n_all} structures in chunks of "
+                      f"{chunk}", flush=True)
                 for lo in range(0, n_all, chunk):
                     sample = {k: jnp.asarray(v[lo:lo + chunk])
                               for k, v in train_feats.items()}
                     params = self.model.update_norm_stats(params, sample)
+                print("minmax sweep done", flush=True)
 
         bs = tp.batch_size
         if self._train_step is None:

@@ -60,8 +60,15 @@ def test_g4_backends_match(backend):
 
 
 @pytest.mark.parametrize("backend", ["dense", "pallas"])
-@pytest.mark.parametrize("algorithm", ["pexp", "sf", "morse", "density"])
-def test_grap_backends_match(backend, algorithm):
+@pytest.mark.parametrize("algorithm,moments", [
+    ("pexp", [0, 1, 2, 3]),
+    ("pexp", [0, 1, 2, 3, 4, 5]),   # full-basis regime (kernel uses
+    ("pexp", [0, 2, 5]),            # compressed multiplicities) + gaps
+    ("sf", [0, 1, 2, 3]),
+    ("morse", [0, 1, 2, 3]),
+    ("density", [0, 1, 2, 3]),
+])
+def test_grap_backends_match(backend, algorithm, moments):
     s, fz, feats = _feats(angular=False)
     params = {
         "pexp": {"rl": [1.0, 2.0, 3.0], "pl": [4.0, 3.0, 2.0]},
@@ -70,7 +77,7 @@ def test_grap_backends_match(backend, algorithm):
         "density": {"A": [1.0, 1.0], "beta": [2.0, 4.0], "re": [3.0, 3.0]},
     }[algorithm]
     kw = dict(algorithm=algorithm, parameters=params,
-              moment_tensors=[0, 1, 2, 3])
+              moment_tensors=moments)
     ref = GenericRadialAtomicPotential(fz.elements, **kw)
     alt = GenericRadialAtomicPotential(fz.elements, **kw, backend=backend)
     args = (feats, fz.rcut, fz.acut, fz.n_radial_slots,

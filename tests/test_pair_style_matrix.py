@@ -30,6 +30,7 @@ _STYLES = {
     "atomic/sf/angular": "acut = 4.0\n",
     "atomic/grap": "[nn.atomic.grap]\nmoment_tensors = [0, 1]\n",
     "td/sf": "",
+    "td/sf/angular": "acut = 4.0\n",   # finite-T + triple machinery
     "td/grap": "[nn.atomic.grap]\nmoment_tensors = [0]\n",
     "eam/alloy": "",
     "eam/fs": _EAM_SECTIONS,
