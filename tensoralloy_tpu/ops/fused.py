@@ -132,48 +132,16 @@ def _grap_filter_all(desc, r, rcut):
 # change to the canonical math MUST be mirrored here — the
 # backend-parity tests (tests/test_backends.py) are the tripwire.
 def _moment_columns(max_moment: int):
-    """Unique (sorted) monomial index tuples per degree 0..max_moment.
-
-    For degrees 4-5 the dense XLA path uses the full 3^m outer-product
-    basis with indicator weights (`full_multiplicity_tensor`); here the
-    kernel uses the compressed unique-monomial set instead — the
-    rotational invariants are identical once each squared monomial sum
-    is weighted by its multinomial multiplicity (see
-    `_kernel_multiplicity`), and the kernel does 56 instead of 364
-    column reductions at moment 5."""
-    from itertools import combinations_with_replacement
-    cols = [()]
-    for m in range(1, max_moment + 1):
-        cols += [tuple(c)
-                 for c in combinations_with_replacement(range(3), m)]
-    return cols
+    """Unique monomial tuples — shared with the XLA paths
+    (`nn.grap.moment_monomials`): every backend now runs the same
+    compressed basis with multinomial multiplicities."""
+    from ..nn.grap import moment_monomials
+    return moment_monomials(max_moment)
 
 
 def _kernel_multiplicity(max_moment: int, symmetric: bool) -> np.ndarray:
-    """T[d, m] over `_moment_columns`: multinomial multiplicities.
-
-    Matches `multiplicity_tensor` (incl. the symmetric trace
-    corrections) for degrees <= 3 and extends the same compression to
-    4-5 (where the XLA paths switch to the full basis with indicator
-    weights — numerically the same invariants)."""
-    from math import factorial
-    cols = _moment_columns(max_moment)
-    t = np.zeros((len(cols), max_moment + 1))
-    for d, mono in enumerate(cols):
-        m = len(mono)
-        counts = [mono.count(ax) for ax in range(3)]
-        mult = factorial(m)
-        for c in counts:
-            mult //= factorial(c)
-        t[d, m] = float(mult)
-    if symmetric:
-        # trace-removal corrections (reference grap.py:470-495); only
-        # defined for moments 2 and 3, exactly like multiplicity_tensor
-        if max_moment >= 2:
-            t[0, 2] = -1.0 / 3.0
-        if max_moment >= 3:
-            t[1:4, 3] = -3.0 / 5.0
-    return t
+    from ..nn.grap import multiplicity_tensor
+    return np.asarray(multiplicity_tensor(max_moment, symmetric))
 
 
 # ----------------------------------------------------------------------

@@ -156,10 +156,11 @@ def test_grap_nn_filters_forces(pd3o2):
 
 @pytest.mark.parametrize("moments", [[0, 1, 2, 3, 4], [0, 1, 2, 3, 4, 5]])
 def test_grap_high_moments_rotation_invariance(moments):
-    """Moments 4-5 go through the full outer-product basis
-    (`full_multiplicity_tensor`); the contracted descriptors must be
-    exactly rotation-invariant and forces must co-rotate — this is the
-    path the SNAP accuracy runs with moment_tensors=[0..5] rely on."""
+    """Moments 4-5 run the compressed unique-monomial basis with
+    multinomial multiplicities (`moment_monomials`); the contracted
+    descriptors must be exactly rotation-invariant and forces must
+    co-rotate — the path the SNAP accuracy runs with
+    moment_tensors=[0..5] rely on."""
     from scipy.spatial.transform import Rotation
     from tensoralloy_tpu.atoms import Structure
 
