@@ -129,9 +129,10 @@ def test_norm_sweep_chunk_adapts():
     feats = {"pair_j_d": np.zeros((10, 285, 91), np.int32),
              "pair_i": np.zeros((10, 25935), np.int32)}
     chunk = _norm_sweep_chunk(model, feats)
-    # moment-5 basis (364 cols) at this padding must chunk well below
-    # the old fixed 512 (which needed ~19 GB)
-    assert 1 <= chunk < 64
+    # the moment-5 working set at this padding must chunk below the
+    # old fixed 512 (which OOMed a 16 GiB chip on the full basis; the
+    # compressed 56-column basis still needs chunking, ~2 GiB/chunk)
+    assert 1 <= chunk < 256
     # tiny descriptors / tiny padding keep the fast large chunk
     small = {"pair_j_d": np.zeros((10, 12, 8), np.int32)}
     assert _norm_sweep_chunk(model, small) == 512
