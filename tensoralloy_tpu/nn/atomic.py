@@ -141,6 +141,77 @@ class AtomicNN:
         """Total potential energy (scalar)."""
         return jnp.sum(self.atomic_energies(params, features))
 
+    # -- atom-chunked evaluation (large-cell single-chip inference) ----
+    def energy_chunked(self, params: dict, features,
+                       atom_chunk: int = 4096) -> jnp.ndarray:
+        """Total energy with the dense per-atom layout processed in
+        rematerialized `lax.scan` row blocks: descriptors + per-element
+        MLPs for `atom_chunk` atoms at a time, `jax.checkpoint` per
+        block, so the force/stress backward holds one block instead of
+        the full [A, N, D] descriptor intermediates.  Equal to `energy`
+        up to float summation order; requires the dense featurizer
+        layout.  (The 128k-atom regime: reference `cpc_speed.py:36-74`
+        ran its NN model at this size on an 11 GB GPU.)"""
+        if getattr(self.descriptor, "algorithm", None) == "nn":
+            raise NotImplementedError(
+                "chunked evaluation with learned ('nn') GRAP filters "
+                "is not supported — the rcov channel indexes the full "
+                "VAP layout")
+        if getattr(self.descriptor, "backend", "segment") == "segment":
+            raise ValueError(
+                "energy_chunked requires a dense-layout descriptor "
+                "backend ('dense' or 'pallas'); the flat segment "
+                "layout cannot be row-chunked")
+        d_keys = [k for k in features if k.endswith("_d")]
+        if "pair_j_d" not in features:
+            raise KeyError("energy_chunked needs the dense layout "
+                           "('pair_j_d' ...)")
+        a_tot = features["pair_j_d"].shape[0]
+        chunk = int(min(atom_chunk, a_tot))
+        n_blocks = -(-a_tot // chunk)
+        pad = n_blocks * chunk - a_tot
+        base = {k: v for k, v in features.items() if k not in d_keys}
+
+        def blocked(v):
+            if pad:
+                width = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+                v = jnp.pad(v, width)
+            return v.reshape((n_blocks, chunk) + v.shape[1:])
+
+        blocks = {k: blocked(features[k]) for k in d_keys}
+        blocks["positions_rows"] = blocked(features["positions"])
+        blocks["atom_masks_rows"] = blocked(features["atom_masks"])
+        eidx = jnp.asarray(self.vap_element_idx, jnp.int32)
+        blocks["eidx_rows"] = blocked(eidx)
+
+        @jax.checkpoint
+        def body(carry, blk):
+            f = dict(base)
+            f.update({k: blk[k] for k in d_keys})
+            f["positions_rows"] = blk["positions_rows"]
+            g = self.descriptors(f, params)          # [chunk, D]
+            y_rows = jnp.zeros((chunk,), g.dtype)
+            for t, e in enumerate(self.elements):
+                if self.max_occurs.get(e, 0) == 0:
+                    continue
+                x = g
+                if self.minmax_scale:
+                    x = minmax_normalize_apply(params[e]["norm"], x)
+                mlp = params[e]["mlp"]
+                if self.fixed_static_energy:
+                    mlp = freeze_output_bias(mlp)
+                y = apply_dense_stack(mlp, x, self.activation)[:, 0]
+                y_rows = jnp.where(blk["eidx_rows"] == t, y, y_rows)
+            e_blk = jnp.sum(y_rows * blk["atom_masks_rows"])
+            return carry + e_blk, None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), dtype=jnp.asarray(
+            features["positions"]).dtype), blocks)
+        return total
+
+    def make_chunked_energy_fn(self, atom_chunk: int = 4096):
+        return lambda p, f: self.energy_chunked(p, f, atom_chunk)
+
     # `variational_energy` is what forces/stress differentiate; for the
     # plain AtomicNN it IS the energy (reference `basic.py:190-202`).
     variational_energy = energy

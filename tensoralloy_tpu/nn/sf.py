@@ -98,7 +98,10 @@ class SymmetryFunction:
             v = jnp.exp(-eta * z) * fc[..., None]           # [A, N, T2]
             sel = slot_onehot_dense(islotf, mask, n_slots)
             g = contract_slots(sel, v)              # [A, S, T2] on MXU
-            return g.reshape(n_vap, n_slots * self.n_radial_params)
+            # rij.shape[0] (not n_vap): row-chunked evaluation passes
+            # a block of rows with full positions for the gathers
+            return g.reshape(rij.shape[0],
+                             n_slots * self.n_radial_params)
         _, rij = pair_distances(features)
         mask = features["pair_mask"]
         fc = apply_cutoff(self.cutoff_function, rij, rcut) * mask
@@ -142,7 +145,8 @@ class SymmetryFunction:
             v = self.angular_values(rij, rik, rjk, mask, acut)
             sel = slot_onehot_dense(aslotf, mask, n_slots)
             g = contract_slots(sel, v)
-            return g.reshape(n_vap, n_slots * self.n_angular_params)
+            return g.reshape(rij.shape[0],
+                             n_slots * self.n_angular_params)
         rij, rik, rjk = triple_distances(features)
         mask = features["trip_mask"]
         v = self.angular_values(rij, rik, rjk, mask, acut)  # [nijk, T4]

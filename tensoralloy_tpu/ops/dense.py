@@ -37,8 +37,11 @@ def dense_pair_geometry(features):
     pos = features["positions"]
     cell = features["cell"]
     mask = features["pair_mask_d"]
+    # row-chunked evaluation (AtomicNN.energy_chunked) passes the
+    # block's center rows separately; gathers always use full positions
+    centers = features.get("positions_rows", pos)
     vec = (pos[features["pair_j_d"]] + features["pair_shift_d"] @ cell
-           - pos[:, None, :])
+           - centers[:, None, :])
     rij = safe_norm(vec)
     rij = jnp.where(mask > 0, rij, 1.0)
     unit = vec / rij[..., None]
@@ -55,7 +58,7 @@ def dense_triple_geometry(features):
     pos = features["positions"]
     cell = features["cell"]
     mask = features["trip_mask_d"]
-    ri = pos[:, None, :]
+    ri = features.get("positions_rows", pos)[:, None, :]
     rj = pos[features["trip_j_d"]] + features["trip_shift_j_d"] @ cell
     rk = pos[features["trip_k_d"]] + features["trip_shift_k_d"] @ cell
 

@@ -158,3 +158,40 @@ def test_native_neighbor_thread_determinism():
         pytest.skip("native library unavailable")
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+@pytest.mark.parametrize("angular", [False, True])
+def test_atomic_nn_chunked_matches_monolithic(angular):
+    """Atom-chunked descriptor-NN evaluation (AtomicNN.energy_chunked)
+    is exact vs the monolithic dense path for E/F/stress — the
+    large-cell mechanism for the NN model family."""
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+    from tensoralloy_tpu.nn.sf import SymmetryFunction
+    from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+
+    s = _moni_structure()
+    fz = Featurizer(["Mo", "Ni"], rcut=5.0, acut=4.0, angular=angular)
+    vap = fz.make_vap(s)
+    feats = {k: jnp.asarray(v)
+             for k, v in fz.featurize(s, vap, dtype=np.float64).items()}
+    if angular:
+        desc = SymmetryFunction(["Mo", "Ni"], backend="dense")
+    else:
+        desc = GenericRadialAtomicPotential(
+            ["Mo", "Ni"], algorithm="pexp",
+            parameters={"rl": [1.5, 2.5], "pl": [4.0, 2.0]},
+            moment_tensors=[0, 1, 2, 3, 4, 5], backend="dense")
+    model = AtomicNN(fz, Counter({"Mo": 11, "Ni": 21}), desc,
+                     hidden_sizes=[16], minmax_scale=True)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ref = jax.jit(make_efs_fn(model.energy))(params, feats)
+    n_rows = feats["pair_j_d"].shape[0]
+    for chunk in (7, n_rows, 4 * n_rows):   # non-dividing chunk too
+        out = jax.jit(make_efs_fn(
+            model.make_chunked_energy_fn(chunk)))(params, feats)
+        np.testing.assert_allclose(out["energy"], ref["energy"],
+                                   rtol=0, atol=1e-9)
+        np.testing.assert_allclose(out["forces"], ref["forces"],
+                                   rtol=0, atol=1e-9)
+        np.testing.assert_allclose(out["stress"], ref["stress"],
+                                   rtol=0, atol=1e-11)
