@@ -9,6 +9,14 @@ TPU executable.
 Prints one JSON line per size. Not the driver headline (see bench.py);
 run manually: `python bench_inference.py [natoms_per_axis]`.
 
+Measured on the v5e chip (round 3): n=32 -> 131,072 atoms, 11.3M
+pairs, device EFS 2.63 s with the full force/stress backward live,
+h2d 3.98 s, host featurize 76 s (this VM exposes ONE throttled vCPU —
+the threaded cell list cannot help here; on a real multi-core host
+featurization is the TA_NEIGH_THREADS-parallel part). The reference
+needed ~97 s end-to-end (26.6 s neighbor + 70.6 s feed + ~1.0 s GPU
+graph) for 128k atoms on a 36-core workstation + 1080Ti.
+
 Above ~60k atoms the monolithic backward no longer fits one chip
 (24.5 GB needed at 131k atoms vs 15.75 GB HBM), so large cells switch
 to the rematerialized pair-chunk scan (`EamNN.energy_chunked`): pairs
