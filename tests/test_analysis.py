@@ -351,3 +351,32 @@ def test_fit_elastic_non_canonical_orientations_fall_back_safely():
     sc = Structure.from_symbols(["Ni"], [[0, 0, 0]], cell_c,
                                 pbc=[True] * 3)
     assert EL.detect_lattice(sc) == "monoclinic"
+
+
+def test_lammps_neb_deck_and_log_parsing(tmp_path):
+    """NEB execution wrapper: final-coords file format and master-log
+    barrier parsing (the binary-gated `calculate` uses exactly these;
+    execution itself is exercised when $LAMMPS_COMMAND exists)."""
+    import numpy as np
+    from tensoralloy_tpu.analysis.lammps import NudgedElasticBand
+    from tensoralloy_tpu.atoms import Structure
+
+    s = Structure.from_symbols(["Ni"] * 2,
+                               [[0, 0, 0], [1.76, 1.76, 0.0]],
+                               np.eye(3) * 3.52, pbc=[True] * 3)
+    drv = NudgedElasticBand("eam/alloy", "* * pot.eam.alloy Ni",
+                            workdir=str(tmp_path))
+    path = drv.write_final_coords(s)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "2" and len(lines) == 3
+    assert [float(x) for x in lines[2].split()[1:]] == [1.76, 1.76, 0.0]
+
+    log = """Setting up regular NEB ...
+Step MaxReplicaForce MaxAtomForce GradV0 GradV1 GradVc EBF EBR RDT RD1 PE1 RD2 PE2
+0 1.2 0.5 0.1 0.1 0.2 0.99 0.88 2.5 0 -8.8 0.5 -8.2
+100 0.001 0.0005 0.0 0.0 0.0 0.8612 0.8612 2.48 0 -8.86 0.5 -8.0
+Climbing replica = 4
+"""
+    parsed = drv.parse_neb_log(log)
+    assert parsed["EBF"] == 0.8612 and parsed["EBR"] == 0.8612
+    assert parsed["RDT"] == 2.48
