@@ -305,10 +305,12 @@ def measure_descriptor(desc, fz, feats, batch_size, k_lo=2, k_hi=12):
     return max(t, 1e-9), float(in_bytes + out_bytes)
 
 
-def measure_backend_matrix(fz, feats, labels, batch_size=32):
+def measure_backend_matrix(fz, feats, labels, batch_size=32,
+                           deadline=None):
     """SNAP-padding pallas-vs-dense ms/step for the GRAP flagship at
     moments 0-3 and the accuracy config 0-5 (VERDICT r2 weak #2: no
-    number anywhere showed which backend wins)."""
+    number anywhere showed which backend wins). Entries past a slow
+    remote-compile deadline are skipped and marked."""
     from collections import Counter
     from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
     from tensoralloy_tpu.nn.atomic import AtomicNN
@@ -320,6 +322,9 @@ def measure_backend_matrix(fz, feats, labels, batch_size=32):
     out = {}
     for moments in ([0, 1, 2, 3], [0, 1, 2, 3, 4, 5]):
         for backend in ("dense", "pallas"):
+            if deadline is not None and time.perf_counter() > deadline:
+                out[f"m0-{max(moments)}_{backend}_desc_ms"] = -1.0
+                continue
             desc = GenericRadialAtomicPotential(
                 ["Ni"], algorithm="pexp", parameters=pexp,
                 moment_tensors=moments, backend=backend)
@@ -333,12 +338,15 @@ def measure_backend_matrix(fz, feats, labels, batch_size=32):
 
 
 def measure_bs_scaling(fz, feats, labels, model_fn,
-                       sizes=(32, 128, 512)):
+                       sizes=(32, 128, 512), deadline=None):
     """structures/s vs batch size for the full SNAP train step — where
     does one chip saturate? (VERDICT r2 weak #1: bs=32 of 108-atom
     cells is tiny)."""
     out = {}
     for bs in sizes:
+        if deadline is not None and time.perf_counter() > deadline:
+            out[f"bs{bs}_structs_per_s"] = -1.0
+            continue
         model = model_fn()
         step, fps, _, _ = measure_train(model, feats, labels,
                                         batch_size=bs, k_hi=6)
@@ -419,14 +427,16 @@ def main():
     md_atoms, md_sps, md_aps = measure_md(10)
 
     # backend matrix + descriptor roofline bracket + bs scaling
+    # (soft deadline: a slow remote-compile day must not kill the
+    # whole bench — skipped entries report -1)
+    deadline = time.perf_counter() + 1500
     backend_ms = measure_backend_matrix(fzs, sfeats, slabels,
-                                        batch_size=32)
-    dense_best = min(backend_ms["m0-3_dense_desc_ms"],
-                     backend_ms["m0-5_dense_desc_ms"])
-    pallas_best = min(backend_ms["m0-3_pallas_desc_ms"],
-                      backend_ms["m0-5_pallas_desc_ms"])
-    winner = ("pallas" if backend_ms["m0-5_pallas_desc_ms"] <
-              backend_ms["m0-5_dense_desc_ms"] else "dense")
+                                        batch_size=32,
+                                        deadline=deadline)
+    p5 = backend_ms.get("m0-5_pallas_desc_ms", -1.0)
+    d5 = backend_ms.get("m0-5_dense_desc_ms", -1.0)
+    winner = ("unmeasured" if p5 <= 0 or d5 <= 0
+              else ("pallas" if p5 < d5 else "dense"))
 
     def snap_model():
         g = GenericRadialAtomicPotential(
@@ -440,7 +450,8 @@ def main():
         return AtomicNN(fzs, mo, g, hidden_sizes=[128, 128],
                         minmax_scale=False)
 
-    bs_scaling = measure_bs_scaling(fzs, sfeats, slabels, snap_model)
+    bs_scaling = measure_bs_scaling(fzs, sfeats, slabels, snap_model,
+                                    deadline=deadline + 600)
     print(json.dumps({
         "metric": "qm7_train_throughput_angular_sf_bs50",
         "value": round(qm7_throughput, 1),
