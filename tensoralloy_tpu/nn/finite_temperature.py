@@ -53,6 +53,12 @@ class TemperatureDependentAtomicNN(AtomicNN):
                           fixed_static_energy=self.fixed_static_energy,
                           kernel_initializer=self.kernel_initializer)
 
+    def energy_chunked(self, params, features, atom_chunk: int = 4096):
+        raise NotImplementedError(
+            "chunked evaluation is not implemented for the "
+            "temperature-dependent head structure (trunk + U/S heads); "
+            "use the monolithic path")
+
     def init_params(self, key) -> dict:
         params = {}
         key, sub = jax.random.split(key)
