@@ -142,16 +142,12 @@ class AtomicNN:
         return jnp.sum(self.atomic_energies(params, features))
 
     # -- atom-chunked evaluation (large-cell single-chip inference) ----
-    def energy_chunked(self, params: dict, features,
-                       atom_chunk: int = 4096) -> jnp.ndarray:
-        """Total energy with the dense per-atom layout processed in
-        rematerialized `lax.scan` row blocks: descriptors + per-element
-        MLPs for `atom_chunk` atoms at a time, `jax.checkpoint` per
-        block, so the force/stress backward holds one block instead of
-        the full [A, N, D] descriptor intermediates.  Equal to `energy`
-        up to float summation order; requires the dense featurizer
-        layout.  (The 128k-atom regime: reference `cpc_speed.py:36-74`
-        ran its NN model at this size on an 11 GB GPU.)"""
+    def _chunk_blocks(self, features, atom_chunk: int):
+        """Shared guards + dense per-atom row blocking for the chunked
+        evaluators: returns `(base, blocks, chunk, d_keys)` where
+        `blocks` stacks every row-indexed array into
+        `[n_blocks, chunk, ...]` (zero-padded final block) plus the
+        per-row positions/masks/element-index companions."""
         if getattr(self.descriptor, "algorithm", None) == "nn":
             raise NotImplementedError(
                 "chunked evaluation with learned ('nn') GRAP filters "
@@ -183,6 +179,20 @@ class AtomicNN:
         blocks["atom_masks_rows"] = blocked(features["atom_masks"])
         eidx = jnp.asarray(self.vap_element_idx, jnp.int32)
         blocks["eidx_rows"] = blocked(eidx)
+        return base, blocks, chunk, d_keys
+
+    def energy_chunked(self, params: dict, features,
+                       atom_chunk: int = 4096) -> jnp.ndarray:
+        """Total energy with the dense per-atom layout processed in
+        rematerialized `lax.scan` row blocks: descriptors + per-element
+        MLPs for `atom_chunk` atoms at a time, `jax.checkpoint` per
+        block, so the force/stress backward holds one block instead of
+        the full [A, N, D] descriptor intermediates.  Equal to `energy`
+        up to float summation order; requires the dense featurizer
+        layout.  (The 128k-atom regime: reference `cpc_speed.py:36-74`
+        ran its NN model at this size on an 11 GB GPU.)"""
+        base, blocks, chunk, d_keys = self._chunk_blocks(
+            features, atom_chunk)
 
         @jax.checkpoint
         def body(carry, blk):

@@ -53,11 +53,66 @@ class TemperatureDependentAtomicNN(AtomicNN):
                           fixed_static_energy=self.fixed_static_energy,
                           kernel_initializer=self.kernel_initializer)
 
-    def energy_chunked(self, params, features, atom_chunk: int = 4096):
-        raise NotImplementedError(
-            "chunked evaluation is not implemented for the "
-            "temperature-dependent head structure (trunk + U/S heads); "
-            "use the monolithic path")
+    # -- atom-chunked evaluation (large-cell single-chip inference) ----
+    def heads_chunked(self, params: dict, features,
+                      atom_chunk: int = 4096) -> Dict[str, jnp.ndarray]:
+        """Totals {'energy': U, 'eentropy': S, 'free_energy': U - T*S}
+        with the dense per-atom layout processed in rematerialized
+        `lax.scan` row blocks (trunk + U/S heads per block; equal to
+        `energy_ops` up to float summation order).  Mirrors
+        `AtomicNN.energy_chunked` for the finite-temperature head
+        structure (reference `finite_temperature.py:211-357`)."""
+        base, blocks, chunk, d_keys = self._chunk_blocks(
+            features, atom_chunk)
+        t = features["etemperature"]
+
+        @jax.checkpoint
+        def body(carry, blk):
+            f = dict(base)
+            f.update({k: blk[k] for k in d_keys})
+            f["positions_rows"] = blk["positions_rows"]
+            g = self.descriptors(f, params)          # [chunk, D]
+            u_rows = jnp.zeros((chunk,), g.dtype)
+            s_rows = jnp.zeros((chunk,), g.dtype)
+            for ti, e in enumerate(self.elements):
+                if self.max_occurs.get(e, 0) == 0:
+                    continue
+                x = g
+                if self.minmax_scale:
+                    x = minmax_normalize_apply(params[e]["norm"], x)
+                h = apply_dense_stack(params[e]["trunk"], x,
+                                      self.ft_activation)
+                ht = jnp.concatenate(
+                    [h, jnp.full((chunk, 1), t, h.dtype)], axis=1)
+                head_u = params[e]["head_u"]
+                if self.fixed_static_energy:
+                    head_u = freeze_output_bias(head_u)
+                u = apply_dense_stack(head_u, ht, self.activation)[:, 0]
+                s = self._entropy_from_head(
+                    apply_dense_stack(params[e]["head_s"], ht,
+                                      self.activation)[:, 0], t)
+                u_rows = jnp.where(blk["eidx_rows"] == ti, u, u_rows)
+                s_rows = jnp.where(blk["eidx_rows"] == ti, s, s_rows)
+            m = blk["atom_masks_rows"]
+            return (carry[0] + jnp.sum(u_rows * m),
+                    carry[1] + jnp.sum(s_rows * m)), None
+
+        zero = jnp.zeros((), jnp.asarray(features["positions"]).dtype)
+        (u_tot, s_tot), _ = jax.lax.scan(body, (zero, zero), blocks)
+        return {"energy": u_tot, "eentropy": s_tot,
+                "free_energy": u_tot - t * s_tot}
+
+    def energy_chunked(self, params, features,
+                       atom_chunk: int = 4096) -> jnp.ndarray:
+        """Internal energy U via the chunked path."""
+        return self.heads_chunked(params, features, atom_chunk)["energy"]
+
+    def make_chunked_energy_fn(self, atom_chunk: int = 4096):
+        """Chunked *variational* energy (free energy F = U - T S) —
+        what large-cell forces/stress must differentiate for the
+        finite-temperature family (reference `basic.py:190-202`)."""
+        return lambda p, f: self.heads_chunked(
+            p, f, atom_chunk)["free_energy"]
 
     def init_params(self, key) -> dict:
         params = {}

@@ -160,6 +160,48 @@ def test_native_neighbor_thread_determinism():
         np.testing.assert_array_equal(x, y)
 
 
+@pytest.mark.parametrize("algo", ["default", "sommerfeld"])
+def test_td_chunked_matches_monolithic(algo):
+    """Finite-temperature chunked evaluation (trunk + U/S heads) is
+    exact vs the monolithic path for U/S/F totals and for the
+    free-energy-differentiated forces/stress."""
+    from tensoralloy_tpu.nn.finite_temperature import (
+        TemperatureDependentAtomicNN)
+    from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+
+    s = _moni_structure()
+    s.info["etemperature"] = 0.35
+    fz = Featurizer(["Mo", "Ni"], rcut=5.0)
+    vap = fz.make_vap(s)
+    feats = {k: jnp.asarray(v)
+             for k, v in fz.featurize(s, vap, dtype=np.float64).items()}
+    desc = GenericRadialAtomicPotential(
+        ["Mo", "Ni"], algorithm="pexp",
+        parameters={"rl": [1.5, 2.5], "pl": [4.0, 2.0]},
+        moment_tensors=[0, 1, 2], backend="dense")
+    model = TemperatureDependentAtomicNN(
+        fz, Counter({"Mo": 11, "Ni": 21}), desc, layers=[16, 8],
+        eentropy_algo=algo, hidden_sizes=[16], minmax_scale=True)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ops = jax.jit(model.energy_ops)(params, feats)
+    ref = jax.jit(make_efs_fn(model.variational_energy))(params, feats)
+    n_rows = feats["pair_j_d"].shape[0]
+    for chunk in (7, n_rows, 4 * n_rows):   # non-dividing chunk too
+        heads = jax.jit(lambda p, f: model.heads_chunked(p, f, chunk))(
+            params, feats)
+        for k in ("energy", "eentropy", "free_energy"):
+            np.testing.assert_allclose(heads[k], ops[k],
+                                       rtol=0, atol=1e-9)
+        out = jax.jit(make_efs_fn(
+            model.make_chunked_energy_fn(chunk)))(params, feats)
+        np.testing.assert_allclose(out["energy"], ref["energy"],
+                                   rtol=0, atol=1e-9)
+        np.testing.assert_allclose(out["forces"], ref["forces"],
+                                   rtol=0, atol=1e-9)
+        np.testing.assert_allclose(out["stress"], ref["stress"],
+                                   rtol=0, atol=1e-11)
+
+
 @pytest.mark.parametrize("angular", [False, True])
 def test_atomic_nn_chunked_matches_monolithic(angular):
     """Atom-chunked descriptor-NN evaluation (AtomicNN.energy_chunked)
