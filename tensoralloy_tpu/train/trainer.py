@@ -559,6 +559,8 @@ class Trainer:
         n = len(labels["energy"])
         if n == 0:
             return {}
+        if self._eval_step is None:     # standalone use (no fit() yet)
+            self._eval_step = self._build_eval_step()
         bs = batch_size or min(n, self.train_parameters.batch_size)
         sums, wsums = {}, {}
         for lo in range(0, n, bs):
