@@ -49,7 +49,17 @@ class TensorAlloyCalculator:
     implemented_properties = ("energy", "free_energy", "forces", "stress",
                               "pressure", "hessian", "atomic_energies")
 
-    def __init__(self, model_or_path, params: Optional[dict] = None):
+    def __init__(self, model_or_path, params: Optional[dict] = None,
+                 chunked: "bool | str" = "auto", chunk_size: int = 0,
+                 chunk_auto_pairs: int = 3_000_000):
+        """`chunked`: large-cell evaluation via the rematerialized
+        chunk scan (`EamNN.energy_chunked` pair blocks /
+        `AtomicNN.energy_chunked` atom-row blocks) — "auto" switches
+        when the padded pair count exceeds `chunk_auto_pairs` (the
+        monolithic backward at 11.3M pairs needs ~24.5 GB HBM;
+        4.4M pairs fits 16 GB — bench_inference.py), True forces it,
+        False disables.  `chunk_size`: pairs (EAM family) or atom rows
+        (descriptor NNs) per block, 0 = default."""
         if isinstance(model_or_path, str):
             from .io.model import load_model
             self.model, self.params, self.config = load_model(model_or_path)
@@ -57,6 +67,9 @@ class TensorAlloyCalculator:
             self.model = model_or_path
             self.params = params
             self.config = {}
+        self.chunked = chunked
+        self.chunk_size = int(chunk_size)
+        self.chunk_auto_pairs = int(chunk_auto_pairs)
         self.featurizer = self.model.featurizer
         # per-layout caches: the model's VAP row layout is static under
         # jit, so each (bucketed) stoichiometry gets its own re-laid-out
@@ -112,9 +125,44 @@ class TensorAlloyCalculator:
 
             efs = jax.jit(make_efs_fn(model.variational_energy, extras))
             hess = jax.jit(make_hessian_fn(model.variational_energy))
-            hit = (model, efs, hess)
+            efs_chunked = None
+            layout = model_feature_layout(model)
+            desc = getattr(model, "descriptor", None)
+            if desc is None:    # EAM family: flat pair-block chunks
+                can_chunk = hasattr(model, "make_chunked_energy_fn")
+            else:               # descriptor NNs: dense row blocks only
+                can_chunk = (layout == "dense" and
+                             getattr(desc, "algorithm", None) != "nn")
+            if self.chunked and can_chunk:   # "auto" or True
+                chunk = self.chunk_size or (1 << 20 if layout ==
+                                            "segment" else 4096)
+                e_fn = model.make_chunked_energy_fn(chunk)
+                # finite-T heads ride along (one extra scan; the
+                # full atomic-energy vector is monolithic-only)
+                extras_c = None
+                if hasattr(model, "heads_chunked"):
+                    def extras_c(params, feats, model=model,
+                                 chunk=chunk):
+                        ops = model.heads_chunked(params, feats, chunk)
+                        return {"energy_U": ops["energy"],
+                                "eentropy": ops["eentropy"],
+                                "free_energy_F": ops["free_energy"]}
+                efs_chunked = jax.jit(make_efs_fn(e_fn, extras_c))
+            hit = (model, efs, hess, efs_chunked)
             self._variant_cache[key] = hit
         return hit
+
+    @staticmethod
+    def _padded_pairs(feats) -> int:
+        if "pair_j_d" in feats:
+            a, n = feats["pair_j_d"].shape
+            t = (feats["trip_j_d"].shape[0] * feats["trip_j_d"].shape[1]
+                 if "trip_j_d" in feats else 0)
+            return a * n + t
+        if "pair_i" in feats:
+            t = feats["trip_i"].shape[0] if "trip_i" in feats else 0
+            return int(feats["pair_i"].shape[0]) + t
+        return 0
 
     def _get_vap(self, structure: Structure) -> VirtualAtomMap:
         # keyed by the exact symbol sequence: the local->VAP index map
@@ -147,9 +195,13 @@ class TensorAlloyCalculator:
     # ------------------------------------------------------------------
     def calculate(self, structure: Structure) -> Dict[str, np.ndarray]:
         vap = self._get_vap(structure)
-        model, efs, _ = self._get_variant(structure)
+        model, efs, _, efs_chunked = self._get_variant(structure)
         feats = self._features(structure, vap)
-        out = jax.device_get(efs(self.params, feats))
+        use_chunked = efs_chunked is not None and (
+            self.chunked is True or
+            self._padded_pairs(feats) > self.chunk_auto_pairs)
+        out = jax.device_get((efs_chunked if use_chunked else efs)(
+            self.params, feats))
         forces = vap.reverse_map(out["forces"])
         self.results = {
             "energy": float(out["energy"]),
@@ -157,8 +209,10 @@ class TensorAlloyCalculator:
             "forces": forces,
             "stress": np.asarray(out["stress_voigt"]),
             "pressure": float(out["total_pressure"]),
-            "atomic_energies": vap.reverse_map(out["atomic_energies"]),
         }
+        if "atomic_energies" in out:    # monolithic path only
+            self.results["atomic_energies"] = vap.reverse_map(
+                out["atomic_energies"])
         if "energy_U" in out:        # finite-temperature heads
             self.results["energy"] = float(out["energy_U"])
             self.results["eentropy"] = float(out["eentropy"])
@@ -207,7 +261,13 @@ class TensorAlloyCalculator:
 
     def get_atomic_energies(self, structure: Optional[Structure] = None
                             ) -> np.ndarray:
-        return self._maybe_calculate(structure)["atomic_energies"]
+        results = self._maybe_calculate(structure)
+        if "atomic_energies" not in results:
+            raise ValueError(
+                "per-atom energies are not computed on the chunked "
+                "large-cell path; construct the calculator with "
+                "chunked=False (needs the monolithic working set)")
+        return results["atomic_energies"]
 
     def get_electron_entropy(self, structure: Optional[Structure] = None
                              ) -> float:
@@ -225,7 +285,7 @@ class TensorAlloyCalculator:
     def get_hessian(self, structure: Structure,
                     phonopy_format: bool = False) -> np.ndarray:
         vap = self._get_vap(structure)
-        _, _, hess = self._get_variant(structure)
+        _, _, hess, _ = self._get_variant(structure)
         feats = self._features(structure, vap)
         h = np.asarray(hess(self.params, feats))
         return vap.reverse_map_hessian(h, phonopy_format=phonopy_format)

@@ -237,3 +237,47 @@ def test_atomic_nn_chunked_matches_monolithic(angular):
                                    rtol=0, atol=1e-9)
         np.testing.assert_allclose(out["stress"], ref["stress"],
                                    rtol=0, atol=1e-11)
+
+
+def test_calculator_chunked_path_matches():
+    """The calculator's large-cell path (chunked=True) returns the same
+    E/F/S as the monolithic default, for both the EAM family and the
+    dense descriptor-NN family, and auto mode stays monolithic for
+    small cells (atomic_energies present)."""
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+
+    s = _moni_structure()
+    fz = Featurizer(["Mo", "Ni"], rcut=5.0)
+    occ = Counter({"Mo": 11, "Ni": 21})
+    for make in (
+        lambda: EamAlloyNN(fz, occ),
+        lambda: AtomicNN(
+            fz, occ, GenericRadialAtomicPotential(
+                ["Mo", "Ni"], algorithm="pexp",
+                parameters={"rl": [1.5, 2.5], "pl": [4.0, 2.0]},
+                moment_tensors=[0, 1, 2], backend="dense"),
+            hidden_sizes=[16]),
+    ):
+        model = make()
+        params = model.init_params(jax.random.PRNGKey(0))
+        mono = TensorAlloyCalculator(model, params, chunked=False)
+        auto = TensorAlloyCalculator(model, params)  # small => mono
+        chun = TensorAlloyCalculator(model, params, chunked=True,
+                                     chunk_size=13)
+        r0 = mono.calculate(s)
+        ra = auto.calculate(s)
+        rc = chun.calculate(s)
+        assert "atomic_energies" in ra          # auto took monolithic
+        assert "atomic_energies" not in rc      # forced chunked
+        np.testing.assert_allclose(rc["energy"], r0["energy"],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(rc["forces"], r0["forces"],
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(rc["stress"], r0["stress"],
+                                   rtol=0, atol=1e-7)
+        np.testing.assert_allclose(ra["energy"], r0["energy"])
+        with pytest.raises(ValueError):
+            chun.get_atomic_energies(s)
