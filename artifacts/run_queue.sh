@@ -8,8 +8,8 @@
 set -u
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 END_TS=1786997342           # round-3 start + 12 h
-LAUNCH_CUTOFF=$((END_TS - 2400))
-KILL_TS=$((END_TS - 1200))
+LAUNCH_CUTOFF=$((END_TS - 3600))
+KILL_TS=$((END_TS - 2700))
 QUEUE="td_be moni_zhou04 snap_moni_v2 snap_mo_v3"
 
 # wait for the in-flight radial-SF Ni run
