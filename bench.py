@@ -257,6 +257,81 @@ def measure_md(n_axis=10):
     return len(s), 1.0 / per_step, len(s) / per_step
 
 
+def _fcc_ni(n_axis):
+    from tensoralloy_tpu.atoms import Structure
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(n_axis)
+                           for j in range(n_axis) for k in range(n_axis)])
+    return Structure.from_symbols(["Ni"] * len(frac), frac * a0,
+                                  np.eye(3) * a0 * n_axis, pbc=[True] * 3)
+
+
+def measure_md_device_nl(n_axis=10):
+    """Fully on-device MD: the neighbor rebuild runs INSIDE the jitted
+    chunk (`transform/device_nl.py`), so this number includes
+    re-neighboring every 32 steps — unlike `measure_md`, which times
+    the integration scan only and leaves the (much slower) host
+    rebuild out. Returns (natoms, md_steps_per_s, atom_steps_per_s)."""
+    from collections import Counter
+    import jax
+    import jax.numpy as jnp
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+
+    s = _fcc_ni(n_axis)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    md = VelocityVerlet(model, params, s, timestep=1.0, skin=1.0,
+                        chunk_size=32, temperature=600.0,
+                        device_nl=True)
+    dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    pos = jnp.asarray(md.vap.map_positions(s.positions).astype(dtype))
+    vel = jnp.asarray(md.velocities_vap.astype(dtype))
+    scan = md._make_scan_device()
+
+    def run(n):
+        _, _, _, pe, _, _ = scan(pos, vel, md._key, n)
+        return float(pe)   # forced host fetch
+
+    run(64), run(32)       # compile both
+    per_step = max((_best_of(lambda: run(64)) -
+                    _best_of(lambda: run(32))) / 32, 1e-9)
+    return len(s), 1.0 / per_step, len(s) / per_step
+
+
+def measure_device_nl_build(n_axis=16):
+    """Neighbor-list construction alone, device vs host, same system
+    (4*n_axis^3 fcc Ni atoms, rc 6.0): the device build replaces the
+    dominant host cost of large-cell inference. Returns
+    (natoms, device_build_ms, host_featurize_ms)."""
+    import jax
+    import jax.numpy as jnp
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.transform.device_nl import DeviceNeighborList
+
+    s = _fcc_ni(n_axis)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    vap = fz.make_vap(s)
+    t0 = time.perf_counter()
+    feats_host = fz.featurize(s, vap, layout="dense")
+    host_ms = (time.perf_counter() - t0) * 1e3
+    b = DeviceNeighborList(fz, vap, s, layout="dense")
+    pos = jnp.asarray(vap.map_positions(s.positions))
+
+    def run():
+        feats, diag = b.build(pos)
+        jax.block_until_ready(feats["pair_j_d"])
+
+    run()                   # compile
+    dev_ms = _best_of(run) * 1e3
+    del feats_host
+    return len(s), dev_ms, host_ms
+
+
 def _best_of(fn, reps=3):
     b = 1e9
     for _ in range(reps):
@@ -425,6 +500,14 @@ def main():
     peak = measure_peak_tflops()
     peak_bw = measure_peak_bandwidth()
     md_atoms, md_sps, md_aps = measure_md(10)
+    try:
+        _, mdn_sps, mdn_aps = measure_md_device_nl(10)
+    except Exception:
+        mdn_sps, mdn_aps = -1.0, -1.0
+    try:
+        nl_atoms, nl_dev_ms, nl_host_ms = measure_device_nl_build(16)
+    except Exception:
+        nl_atoms, nl_dev_ms, nl_host_ms = -1, -1.0, -1.0
 
     # backend matrix + descriptor roofline bracket + bs scaling
     # (soft deadline: a slow remote-compile day must not kill the
@@ -482,6 +565,13 @@ def main():
             "md_nve_eam_atoms": md_atoms,
             "md_nve_eam_steps_per_s": round(md_sps, 1),
             "md_nve_eam_atom_steps_per_s": round(md_aps, 0),
+            # fully on-device MD: neighbor rebuild INSIDE the jitted
+            # chunk (every 32 steps) — end-to-end honest, no host work
+            "md_device_nl_steps_per_s": round(mdn_sps, 1),
+            "md_device_nl_atom_steps_per_s": round(mdn_aps, 0),
+            "device_nl_atoms": nl_atoms,
+            "device_nl_build_ms": round(nl_dev_ms, 2),
+            "host_featurize_ms_same_system": round(nl_host_ms, 1),
             # per-workload descriptor backends actually measured here;
             # `backend_matrix` carries pallas-vs-dense ms + the
             # compulsory-traffic (post-fusion lower-bound) GB/s. A

@@ -1,0 +1,253 @@
+"""On-device neighbor list (`transform/device_nl.py`): pair-set parity
+with the host `neighbor_list` oracle across cell shapes (including
+multi-image small cells, triclinic skew, slabs, unwrapped coordinates),
+exact model-energy/force parity through GRAP (dense), EAM (segment) and
+angular SF (dense triples), overflow diagnostics, and skin invariance.
+"""
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensoralloy_tpu.atoms import Structure
+from tensoralloy_tpu.neighbor import neighbor_list
+from tensoralloy_tpu.transform import Featurizer
+from tensoralloy_tpu.transform.device_nl import DeviceNeighborList
+from tensoralloy_tpu.nn.atomic import AtomicNN
+from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+from tensoralloy_tpu.nn.sf import SymmetryFunction
+from tensoralloy_tpu.nn.fields import make_efs_fn
+
+
+def _cases():
+    rng = np.random.RandomState(7)
+    cubic = Structure.from_symbols(
+        ["Ni"] * 20 + ["Mo"] * 12, rng.uniform(0, 12.0, (32, 3)),
+        np.eye(3) * 12.0, pbc=[True] * 3)
+    tiny = Structure.from_symbols(          # cell thinner than cutoff:
+        ["Ni"] * 4, rng.uniform(0, 3.2, (4, 3)),  # multi-image stencil
+        np.eye(3) * 3.2, pbc=[True] * 3)
+    tric_cell = np.array([[9.0, 0.0, 0.0],
+                          [4.5, 7.794, 0.0],      # 60-degree skew
+                          [1.0, 2.0, 8.5]])
+    frac = rng.uniform(0, 1, (24, 3))
+    tric = Structure.from_symbols(
+        ["Mo"] * 24, frac @ tric_cell, tric_cell, pbc=[True] * 3)
+    slab_cell = np.diag([8.0, 8.0, 30.0])
+    slab_pos = rng.uniform(0, 8.0, (18, 3))
+    slab_pos[:, 2] = rng.uniform(10.0, 16.0, 18)
+    slab = Structure.from_symbols(
+        ["Ni"] * 18, slab_pos, slab_cell, pbc=[True, True, False])
+    return {"cubic": cubic, "tiny": tiny, "triclinic": tric,
+            "slab": slab}
+
+
+def _pair_set_from_dense(builder, feats):
+    v2l = builder.vap.vap_to_local
+    pjd = np.asarray(feats["pair_j_d"])
+    psd = np.asarray(feats["pair_shift_d"])
+    pmd = np.asarray(feats["pair_mask_d"])
+    out = set()
+    for a in range(builder.n_vap):
+        i = v2l[a]
+        if i < 0:
+            continue
+        for col in np.nonzero(pmd[a] > 0)[0]:
+            j = v2l[pjd[a, col]]
+            s = tuple(int(round(x)) for x in psd[a, col])
+            out.add((int(i), int(j)) + s)
+    return out
+
+
+def _pair_set_from_host(structure, cutoff):
+    ii, jj, ss, _, _ = neighbor_list(structure, cutoff)
+    return {(int(i), int(j)) + tuple(int(round(x)) for x in s)
+            for i, j, s in zip(ii, jj, ss)}
+
+
+@pytest.mark.parametrize("name", ["cubic", "tiny", "triclinic", "slab"])
+def test_pair_set_matches_host_oracle(name):
+    s = _cases()[name]
+    fz = Featurizer(sorted(set(s.symbols)), rcut=4.5)
+    vap = fz.make_vap(s)
+    b = DeviceNeighborList(fz, vap, s, layout="dense")
+    feats, diag = b.build(jnp.asarray(vap.map_positions(s.positions)))
+    b.check(diag)
+    got = _pair_set_from_dense(b, feats)
+    want = _pair_set_from_host(s, 4.5)
+    assert got == want
+
+
+def test_unwrapped_positions_fold_back():
+    """Raw MD coordinates several cells outside the box must give the
+    same pair set (with shifts satisfying R_j + S@cell - R_i)."""
+    s = _cases()["cubic"]
+    rng = np.random.RandomState(3)
+    off = rng.randint(-2, 3, size=(len(s), 3)).astype(float)
+    s_raw = s.copy()
+    s_raw.positions = s.positions + off @ s.cell
+    fz = Featurizer(sorted(set(s.symbols)), rcut=4.5)
+    vap = fz.make_vap(s_raw)
+    b = DeviceNeighborList(fz, vap, s_raw, layout="dense")
+    pos_vap = jnp.asarray(vap.map_positions(s_raw.positions))
+    feats, diag = b.build(pos_vap)
+    b.check(diag)
+    # verify the shift contract against the RAW positions directly
+    pjd = np.asarray(feats["pair_j_d"])
+    psd = np.asarray(feats["pair_shift_d"])
+    pmd = np.asarray(feats["pair_mask_d"])
+    pos = np.asarray(pos_vap)
+    rows, cols = np.nonzero(pmd > 0)
+    vec = (pos[pjd[rows, cols]] + psd[rows, cols] @ s.cell - pos[rows])
+    d = np.linalg.norm(vec, axis=1)
+    assert d.max() < 4.5 and d.min() > 1e-8
+    assert _pair_set_from_dense(b, feats) == _pair_set_from_host(
+        s_raw, 4.5)
+
+
+def _grap_model(fz, s):
+    desc = GenericRadialAtomicPotential(
+        fz.elements, algorithm="pexp",
+        parameters={"rl": [1.0, 2.0, 3.0], "pl": [4.0, 3.0, 2.0]},
+        moment_tensors=[0, 1, 2, 3], backend="dense")
+    model = AtomicNN(fz, Counter(s.symbols), desc, hidden_sizes=[8],
+                     minmax_scale=False)
+    return model, model.init_params(jax.random.PRNGKey(0))
+
+
+def test_grap_efs_parity_host_vs_device():
+    s = _cases()["triclinic"]
+    fz = Featurizer(["Mo"], rcut=4.5)
+    vap = fz.make_vap(s)
+    model, params = _grap_model(fz, s)
+    host = {k: jnp.asarray(v)
+            for k, v in fz.featurize(s, vap, layout="dense").items()}
+    b = DeviceNeighborList(fz, vap, s, layout="dense")
+    dev, diag = b.build(jnp.asarray(vap.map_positions(s.positions)))
+    b.check(diag)
+    efs = make_efs_fn(model.energy)
+    out_h = efs(params, host)
+    out_d = efs(params, dev)
+    np.testing.assert_allclose(float(out_d["energy"]),
+                               float(out_h["energy"]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out_d["forces"]),
+                               np.asarray(out_h["forces"]),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out_d["stress_voigt"]),
+                               np.asarray(out_h["stress_voigt"]),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_eam_segment_parity_host_vs_device():
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    s = _cases()["cubic"]
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    vap = fz.make_vap(s)
+    model = EamAlloyNN(fz, Counter(s.symbols), custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    host = {k: jnp.asarray(v)
+            for k, v in fz.featurize(s, vap, layout="segment").items()}
+    b = DeviceNeighborList(fz, vap, s, layout="segment")
+    dev, diag = b.build(jnp.asarray(vap.map_positions(s.positions)))
+    b.check(diag)
+    efs = make_efs_fn(model.energy)
+    out_h = efs(params, host)
+    out_d = efs(params, dev)
+    np.testing.assert_allclose(float(out_d["energy"]),
+                               float(out_h["energy"]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out_d["forces"]),
+                               np.asarray(out_h["forces"]),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_sf_angular_parity_host_vs_device():
+    s = _cases()["cubic"]
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5, acut=3.5, angular=True)
+    vap = fz.make_vap(s)
+    desc = SymmetryFunction(fz.elements, backend="dense")
+    model = AtomicNN(fz, Counter(s.symbols), desc, hidden_sizes=[8],
+                     minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(1))
+    host = {k: jnp.asarray(v)
+            for k, v in fz.featurize(s, vap, layout="dense").items()}
+    b = DeviceNeighborList(fz, vap, s, layout="dense")
+    dev, diag = b.build(jnp.asarray(vap.map_positions(s.positions)))
+    b.check(diag)
+    efs = make_efs_fn(model.energy)
+    out_h = efs(params, host)
+    out_d = efs(params, dev)
+    np.testing.assert_allclose(float(out_d["energy"]),
+                               float(out_h["energy"]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out_d["forces"]),
+                               np.asarray(out_h["forces"]),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_skin_invariance_device_list():
+    """A skinned (rcut + 1 A) device list must give the same energy:
+    every family masks r >= rcut on device / in the cutoff function."""
+    s = _cases()["cubic"]
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    vap = fz.make_vap(s)
+    model, params = _grap_model(fz, s)
+    b0 = DeviceNeighborList(fz, vap, s, layout="dense")
+    b1 = DeviceNeighborList(fz, vap, s, cutoff=5.5, layout="dense")
+    pos = jnp.asarray(vap.map_positions(s.positions))
+    f0, d0 = b0.build(pos)
+    f1, d1 = b1.build(pos)
+    b0.check(d0), b1.check(d1)
+    e0 = float(model.energy(params, f0))
+    e1 = float(model.energy(params, f1))
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
+
+
+def test_md_device_nl_matches_host_nl():
+    """NVE trajectories with the on-device rebuild must match the
+    host-rebuild path (identical physics, different plumbing)."""
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    s = _cases()["cubic"]
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    model, params = _grap_model(fz, s)
+
+    def traj(device_nl):
+        md = VelocityVerlet(model, params, s, timestep=0.5, skin=1.0,
+                            chunk_size=5, temperature=300.0, seed=11,
+                            device_nl=device_nl)
+        h = md.run(15)
+        return np.asarray(md.structure.positions), h
+
+    p_host, h_host = traj(False)
+    p_dev, h_dev = traj(True)
+    np.testing.assert_allclose(p_dev, p_host, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(h_dev["total"], h_host["total"],
+                               rtol=1e-9)
+    # energy conservation sanity on the device path
+    drift = abs(h_dev["total"][-1] - h_dev["total"][0])
+    assert drift < 5e-3 * len(s)
+
+
+def test_overflow_diag_and_grow():
+    s = _cases()["cubic"]
+    fz = Featurizer(sorted(set(s.symbols)), rcut=4.5)
+    vap = fz.make_vap(s)
+    small = DeviceNeighborList(fz, vap, s, layout="dense",
+                               nnl_cap=2, cell_cap=2)
+    feats, diag = small.build(jnp.asarray(vap.map_positions(s.positions)))
+    with pytest.raises(RuntimeError, match="overflow"):
+        small.check(diag)
+    # a truncated build under-reports needed widths: grow iteratively
+    grown = small
+    for _ in range(6):
+        grown = grown.grow(diag)
+        feats, diag = grown.build(
+            jnp.asarray(vap.map_positions(s.positions)))
+        try:
+            grown.check(diag)
+            break
+        except RuntimeError:
+            continue
+    grown.check(diag)
+    assert _pair_set_from_dense(grown, feats) == _pair_set_from_host(
+        s, 4.5)
