@@ -51,7 +51,8 @@ class TensorAlloyCalculator:
 
     def __init__(self, model_or_path, params: Optional[dict] = None,
                  chunked: "bool | str" = "auto", chunk_size: int = 0,
-                 chunk_auto_pairs: int = 3_000_000):
+                 chunk_auto_pairs: int = 3_000_000,
+                 device_nl: bool = False):
         """`chunked`: large-cell evaluation via the rematerialized
         chunk scan (`EamNN.energy_chunked` pair blocks /
         `AtomicNN.energy_chunked` atom-row blocks) — "auto" switches
@@ -59,7 +60,16 @@ class TensorAlloyCalculator:
         monolithic backward at 11.3M pairs needs ~24.5 GB HBM;
         4.4M pairs fits 16 GB — bench_inference.py), True forces it,
         False disables.  `chunk_size`: pairs (EAM family) or atom rows
-        (descriptor NNs) per block, 0 = default."""
+        (descriptor NNs) per block, 0 = default.
+
+        `device_nl=True`: build the neighbor list ON DEVICE
+        (`transform/device_nl.py`) instead of host featurization —
+        the right mode for trajectory/scan workloads where the same
+        (cell, composition) repeats: the first call pays a host census
+        to size the capacities, every later call is pure device (bin,
+        compact, evaluate — no host work). Builders are cached per
+        (cell, symbol-sequence); capacity overflows self-heal by
+        growing and rebuilding."""
         if isinstance(model_or_path, str):
             from .io.model import load_model
             self.model, self.params, self.config = load_model(model_or_path)
@@ -70,6 +80,8 @@ class TensorAlloyCalculator:
         self.chunked = chunked
         self.chunk_size = int(chunk_size)
         self.chunk_auto_pairs = int(chunk_auto_pairs)
+        self.device_nl = bool(device_nl)
+        self._nl_cache: Dict[tuple, object] = {}
         self.featurizer = self.model.featurizer
         # per-layout caches: the model's VAP row layout is static under
         # jit, so each (bucketed) stoichiometry gets its own re-laid-out
@@ -192,11 +204,43 @@ class TensorAlloyCalculator:
                              layout=model_feature_layout(self.model))
         return {k: jnp.asarray(v) for k, v in feats.items()}
 
+    def _features_device(self, structure: Structure,
+                         vap: VirtualAtomMap):
+        """On-device neighbor list path (`device_nl=True`): cached
+        builder per (symbols, cell, pbc); overflow self-heals."""
+        from .transform.device_nl import DeviceNeighborList
+        key = (tuple(structure.symbols),
+               np.asarray(structure.cell).tobytes(),
+               np.asarray(structure.pbc).tobytes())
+        b = self._nl_cache.get(key)
+        if b is None:
+            b = DeviceNeighborList(
+                self.featurizer, vap, structure,
+                layout=model_feature_layout(self.model))
+            self._nl_cache[key] = b
+        dtype = (np.float64 if jax.config.jax_enable_x64
+                 else np.float32)
+        pos = jnp.asarray(vap.map_positions(
+            structure.positions).astype(dtype))
+        etemp = float(structure.info.get("etemperature", 0.0) or 0.0)
+        for _ in range(8):
+            feats, diag = b.build(pos, etemperature=etemp)
+            diag = jax.device_get(diag)
+            try:
+                b.check(diag)
+                return feats
+            except RuntimeError:
+                b = b.grow(diag)
+                self._nl_cache[key] = b
+        b.check(diag)
+        return feats
+
     # ------------------------------------------------------------------
     def calculate(self, structure: Structure) -> Dict[str, np.ndarray]:
         vap = self._get_vap(structure)
         model, efs, _, efs_chunked = self._get_variant(structure)
-        feats = self._features(structure, vap)
+        feats = (self._features_device(structure, vap) if self.device_nl
+                 else self._features(structure, vap))
         use_chunked = efs_chunked is not None and (
             self.chunked is True or
             self._padded_pairs(feats) > self.chunk_auto_pairs)

@@ -228,6 +228,36 @@ def test_md_device_nl_matches_host_nl():
     assert drift < 5e-3 * len(s)
 
 
+def test_calculator_device_nl_matches_host_path():
+    """`TensorAlloyCalculator(device_nl=True)` must reproduce the host
+    featurization path bit-for-bit-close over a same-cell trajectory,
+    including the bucketed-VAP padding rows (odd atom count)."""
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    rng = np.random.RandomState(5)
+    n = 21                                  # buckets to 16+16 VAP rows
+    cell = np.eye(3) * 9.0
+    frames = []
+    base = rng.uniform(0, 9.0, (n, 3))
+    for k in range(3):
+        frames.append(Structure.from_symbols(
+            ["Ni"] * 11 + ["Mo"] * 10,
+            base + 0.05 * rng.normal(size=(n, 3)), cell,
+            pbc=[True] * 3))
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    model, params = _grap_model(fz, frames[0])
+    calc_h = TensorAlloyCalculator(model, params)
+    calc_d = TensorAlloyCalculator(model, params, device_nl=True)
+    for s in frames:
+        eh, fh = calc_h.get_potential_energy(s), calc_h.get_forces(s)
+        ed, fd = calc_d.get_potential_energy(s), calc_d.get_forces(s)
+        np.testing.assert_allclose(ed, eh, rtol=1e-10)
+        np.testing.assert_allclose(fd, fh, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(calc_d.get_stress(s),
+                                   calc_h.get_stress(s),
+                                   rtol=1e-8, atol=1e-10)
+    assert len(calc_d._nl_cache) == 1       # one builder reused
+
+
 def test_overflow_diag_and_grow():
     s = _cases()["cubic"]
     fz = Featurizer(sorted(set(s.symbols)), rcut=4.5)
