@@ -36,7 +36,66 @@ import time
 import numpy as np
 
 
-def main(n: int = 20, pair_chunk: int = 0):
+def _main_device_nl(s, fz, vap, model, params, efs_raw, pair_chunk):
+    """Steady-state trajectory regime: neighbor list built ON DEVICE
+    (`transform/device_nl.py`), so each frame is ONE device call from
+    raw positions to E+F+S — no host featurization, no h2d beyond the
+    positions. The one-time census (host sizing pass) is reported
+    separately; the reference pays its full ~97 s host pipeline EVERY
+    frame."""
+    import jax
+    import jax.numpy as jnp
+    from tensoralloy_tpu.transform.device_nl import DeviceNeighborList
+
+    t0 = time.perf_counter()
+    builder = DeviceNeighborList(fz, vap, s, layout="segment")
+    t_census = time.perf_counter() - t0
+    pos0 = jnp.asarray(vap.map_positions(s.positions).astype(np.float32))
+    cell = jnp.asarray(builder.cell0, pos0.dtype)
+
+    def run_k(k):
+        def f(p, pos):
+            def body(carry, _):
+                feats, diag = builder._build(pos + carry * 1e-12, cell,
+                                             jnp.zeros((), pos.dtype))
+                o = efs_raw(p, feats)
+                acc = (o["energy"] +
+                       1e-30 * jnp.sum(o["forces"]) +
+                       1e-30 * jnp.sum(o["stress"]) +
+                       1e-30 * diag["nnl_needed"].astype(pos.dtype))
+                return acc, None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), pos.dtype), None,
+                                  length=k)
+            return acc
+        return jax.jit(f)
+
+    g1, g5 = run_k(1), run_k(5)
+    float(g1(params, pos0)), float(g5(params, pos0))   # compile
+    # overflow sanity once (outside the timed loop)
+    feats, diag = builder.build(pos0)
+    builder.check(jax.device_get(diag))
+
+    def best(g):
+        b = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(g(params, pos0))
+            b = min(b, time.perf_counter() - t0)
+        return b
+    t_frame = (best(g5) - best(g1)) / 4
+    baseline_total = 71.6 * len(s) / 128000.0
+    print(json.dumps({
+        "metric": f"efs_device_nl_{len(s)}_atoms",
+        "value": round(t_frame, 4),
+        "unit": "s/frame (positions -> E+F+stress, one device call)",
+        "census_s_one_time": round(t_census, 3),
+        "nnl_cap": builder.nnl_cap,
+        "pair_chunk": pair_chunk,
+        "vs_baseline": round(baseline_total / max(t_frame, 1e-9), 2),
+    }))
+
+
+def main(n: int = 20, pair_chunk: int = 0, device_nl: bool = False):
     import jax
     import jax.numpy as jnp
     from collections import Counter
@@ -58,6 +117,16 @@ def main(n: int = 20, pair_chunk: int = 0):
     model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
                        custom_potentials="zjw04")
     params = model.init_params(jax.random.PRNGKey(0))
+
+    if pair_chunk == 0 and len(s) > 60000:
+        # monolithic backward exceeds single-chip HBM: remat pair-chunks
+        pair_chunk = 1 << 21
+    energy_fn = (model.make_chunked_energy_fn(pair_chunk)
+                 if pair_chunk else model.variational_energy)
+    efs_raw = make_efs_fn(energy_fn)
+    if device_nl:
+        return _main_device_nl(s, fz, fz.make_vap(s), model, params,
+                               efs_raw, pair_chunk)
 
     t0 = time.perf_counter()
     vap = fz.make_vap(s)
@@ -93,12 +162,6 @@ def main(n: int = 20, pair_chunk: int = 0):
             return acc
         return jax.jit(f)
 
-    if pair_chunk == 0 and len(s) > 60000:
-        # monolithic backward exceeds single-chip HBM: remat pair-chunks
-        pair_chunk = 1 << 21
-    energy_fn = (model.make_chunked_energy_fn(pair_chunk)
-                 if pair_chunk else model.variational_energy)
-    efs_raw = make_efs_fn(energy_fn)
     efs = jax.jit(efs_raw)
     g1, g9 = run_k(1), run_k(9)
     float(g1(params, dfeats)), float(g9(params, dfeats))  # compile
@@ -127,5 +190,7 @@ def main(n: int = 20, pair_chunk: int = 0):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(int(args[0]) if args else 20,
+         int(args[1]) if len(args) > 1 else 0,
+         device_nl="--device-nl" in sys.argv)
