@@ -95,6 +95,13 @@ class TensorAlloyCalculator:
     def elements(self):
         return self.featurizer.elements
 
+    @staticmethod
+    def _jit_efs(fn):
+        """Hook: how (params, feats) property functions are compiled.
+        `EnsembleCalculator` overrides this with a vmap over the
+        stacked parameter axis."""
+        return jax.jit(fn)
+
     # ------------------------------------------------------------------
     def _bucketed_occurs(self, structure: Structure) -> Counter:
         """Round per-element counts up to powers of two: bounds the
@@ -135,8 +142,9 @@ class TensorAlloyCalculator:
                     out["free_energy_F"] = ops["free_energy"]
                 return out
 
-            efs = jax.jit(make_efs_fn(model.variational_energy, extras))
-            hess = jax.jit(make_hessian_fn(model.variational_energy))
+            efs = self._jit_efs(make_efs_fn(model.variational_energy,
+                                            extras))
+            hess = self._jit_efs(make_hessian_fn(model.variational_energy))
             efs_chunked = None
             layout = model_feature_layout(model)
             desc = getattr(model, "descriptor", None)
@@ -159,7 +167,7 @@ class TensorAlloyCalculator:
                         return {"energy_U": ops["energy"],
                                 "eentropy": ops["eentropy"],
                                 "free_energy_F": ops["free_energy"]}
-                efs_chunked = jax.jit(make_efs_fn(e_fn, extras_c))
+                efs_chunked = self._jit_efs(make_efs_fn(e_fn, extras_c))
             hit = (model, efs, hess, efs_chunked)
             self._variant_cache[key] = hit
         return hit
@@ -246,23 +254,26 @@ class TensorAlloyCalculator:
             self._padded_pairs(feats) > self.chunk_auto_pairs)
         out = jax.device_get((efs_chunked if use_chunked else efs)(
             self.params, feats))
-        forces = vap.reverse_map(out["forces"])
-        self.results = {
+        self.results = self._assemble(out, vap)
+        self._last = self._fingerprint(structure)
+        return self.results
+
+    def _assemble(self, out, vap) -> Dict[str, np.ndarray]:
+        results = {
             "energy": float(out["energy"]),
             "free_energy": float(out["energy"]),
-            "forces": forces,
+            "forces": vap.reverse_map(out["forces"]),
             "stress": np.asarray(out["stress_voigt"]),
             "pressure": float(out["total_pressure"]),
         }
         if "atomic_energies" in out:    # monolithic path only
-            self.results["atomic_energies"] = vap.reverse_map(
+            results["atomic_energies"] = vap.reverse_map(
                 out["atomic_energies"])
         if "energy_U" in out:        # finite-temperature heads
-            self.results["energy"] = float(out["energy_U"])
-            self.results["eentropy"] = float(out["eentropy"])
-            self.results["free_energy"] = float(out["free_energy_F"])
-        self._last = self._fingerprint(structure)
-        return self.results
+            results["energy"] = float(out["energy_U"])
+            results["eentropy"] = float(out["eentropy"])
+            results["free_energy"] = float(out["free_energy_F"])
+        return results
 
     @staticmethod
     def _fingerprint(structure: Structure):

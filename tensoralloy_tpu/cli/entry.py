@@ -144,6 +144,19 @@ def main(argv=None):
                        help="atom index removed from the supercell")
     c_def.add_argument("--fmax", type=float, default=0.02)
 
+    c_unc = comp_sub.add_parser(
+        "uncertainty",
+        help="rank frames by deep-ensemble committee disagreement "
+             "(max per-atom force std) for active-learning selection")
+    c_unc.add_argument("frames", help="extxyz or ase.db of candidates")
+    c_unc.add_argument("models", nargs="+",
+                       help=">= 2 saved model .npz files of ONE "
+                            "architecture (different training seeds)")
+    c_unc.add_argument("--top", type=int, default=0,
+                       help="print only the top-N frames (0 = all)")
+    c_unc.add_argument("--threshold", type=float, default=0.0,
+                       help="only frames with score >= threshold eV/A")
+
     c_ph = comp_sub.add_parser(
         "phonon", help="phonon band structure from the model Hessian")
     c_ph.add_argument("model")
@@ -322,6 +335,8 @@ def _cmd_vasp2lammps(args):
 
 
 def _cmd_compute(args):
+    if args.task == "uncertainty":
+        return _compute_uncertainty(args)
     if args.task == "dbnum":
         from ..io.sqlite import connect
         from collections import Counter
@@ -398,6 +413,32 @@ def _cmd_compute(args):
     if args.task == "defect":
         return _compute_defect(args)
     raise ValueError(args.task)
+
+
+def _compute_uncertainty(args):
+    """Committee ranking (`ensemble.select_by_uncertainty`): one line
+    per selected frame, highest disagreement first."""
+    from ..ensemble import EnsembleCalculator, select_by_uncertainty
+    if len(args.models) < 2:
+        print("error: an ensemble needs at least 2 saved models")
+        return 1
+    if args.frames.endswith(".db"):
+        from ..io.sqlite import connect
+        frames = list(connect(args.frames))
+    else:
+        from ..io.extxyz import read_extxyz
+        frames = read_extxyz(args.frames)
+    calc = EnsembleCalculator(list(args.models))
+    picked = select_by_uncertainty(calc, frames, n_select=args.top,
+                                   threshold=args.threshold)
+    print(f"# {len(frames)} frames, {calc.n_members} members; "
+          f"score = max per-atom force std (eV/A)")
+    print("# rank  frame  natoms  formula            score")
+    for rank, idx in enumerate(picked):
+        s = frames[idx]
+        print(f"{rank + 1:6d} {idx:6d} {len(s):7d}  {s.formula:<16s} "
+              f"{calc.get_max_force_std(s):10.6f}")
+    return 0
 
 
 def _compute_defect(args):
