@@ -25,6 +25,8 @@ from .atoms import Structure
 FORCE_TO_ACC = 9.648533290731905e-3
 # Boltzmann constant in eV/K
 KB = 8.617330337217213e-05
+# eV/A^3 -> GPa
+EV_A3_TO_GPA = 160.21766208
 
 
 def maxwell_boltzmann_velocities(masses: np.ndarray, temperature: float,
@@ -51,7 +53,10 @@ class VelocityVerlet:
                  temperature: Optional[float] = None, seed: int = 0,
                  target_temperature: Optional[float] = None,
                  friction: Optional[float] = None,
-                 device_nl: bool = False):
+                 device_nl: bool = False,
+                 target_pressure: Optional[float] = None,
+                 pressure_tau: float = 1000.0,
+                 compressibility: float = 5e-3):
         """`temperature` seeds Maxwell-Boltzmann initial velocities
         (NVE). Setting BOTH `target_temperature` (K) and `friction`
         (1/fs) switches the integrator to the BAOAB Langevin
@@ -64,7 +69,18 @@ class VelocityVerlet:
         chunk re-bins atoms, rebuilds the skinned pair list, and
         integrates `chunk_size` steps — positions/velocities never
         leave the device, the host only checks the overflow
-        diagnostics (two scalars per chunk)."""
+        diagnostics (two scalars per chunk).
+
+        `target_pressure` (GPa) switches on the isotropic Berendsen
+        barostat (NPT when combined with the Langevin thermostat):
+        each step scales positions and cell by
+        ``mu = (1 - dt/pressure_tau * compressibility * (P0 - P))^(1/3)``
+        with the instantaneous ``P`` = virial + kinetic pressure.
+        The stress comes from the SAME backward pass as the forces
+        (value_and_grad over positions and cell), so an NPT step costs
+        essentially an NVE step. `pressure_tau` in fs;
+        `compressibility` in 1/GPa (default ~metals, 1/B with
+        B ~ 200 GPa)."""
         self.base_model = model
         self.params = params
         self.structure = structure.copy()
@@ -76,6 +92,11 @@ class VelocityVerlet:
         if (target_temperature is None) != (friction is None):
             raise ValueError("Langevin NVT needs both "
                              "target_temperature and friction")
+        self.target_pressure = target_pressure
+        self.pressure_tau = float(pressure_tau)
+        self.compressibility = float(compressibility)
+        if target_pressure is not None and not structure.pbc.all():
+            raise ValueError("the barostat needs a fully periodic cell")
         self._key = jax.random.PRNGKey(seed + 7919)
 
         self.model = model.clone_for(Counter(structure.symbols))
@@ -119,11 +140,16 @@ class VelocityVerlet:
             layout=model_feature_layout(self.model))
         return feats
 
-    def _make_scan(self):
+    def _integrator(self):
+        """Shared per-step physics for the host- and device-NL chunk
+        kernels: returns (forces_of, step, finish) closures. The carry
+        is (pos, vel, acc, p_pot, cell, key, feats); `cell` is dynamic
+        only under the barostat (NPT), otherwise it passes through."""
         model, dt = self.model, self.timestep
         masses = jnp.asarray(self.masses_vap)[:, None]
         mask = jnp.asarray(self.vap.atom_masks)[:, None]
         langevin = self.friction is not None
+        npt = self.target_pressure is not None
         if langevin:
             c1 = float(np.exp(-self.friction * dt))
             c2 = float(np.sqrt(1.0 - c1 * c1))
@@ -131,17 +157,38 @@ class VelocityVerlet:
             sigma_v = jnp.sqrt(KB * self.target_temperature / masses *
                                FORCE_TO_ACC) * mask
 
-        def forces_of(feats, pos):
-            f = dict(feats)
-            f["positions"] = pos
-            g = jax.grad(lambda p: model.variational_energy(
-                self.params, dict(f, positions=p)))(pos)
-            return -g * f["atom_masks"][:, None]
+        def forces_of(feats, pos, cell):
+            """-> (forces, potential pressure GPa). Under NPT the
+            pressure rides the SAME backward (grad over pos + cell)."""
+            def e_of(p, h):
+                return model.variational_energy(
+                    self.params, dict(feats, positions=p, cell=h))
+            if not npt:
+                g = jax.grad(e_of)(pos, cell)
+                return -g * mask, jnp.zeros((), pos.dtype)
+            gpos, gcell = jax.grad(e_of, argnums=(0, 1))(pos, cell)
+            virial = gpos.T @ pos + gcell.T @ cell
+            vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
+            p_pot = -jnp.trace(virial) / vol / 3.0 * EV_A3_TO_GPA
+            return -gpos * mask, p_pot
+
+        def kinetic(vel):
+            return 0.5 * jnp.sum(masses * jnp.square(vel) * mask) / \
+                FORCE_TO_ACC
+
+        def barostat(pos, vel, cell, p_pot):
+            vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
+            p_kin = (2.0 / 3.0) * kinetic(vel) / vol * EV_A3_TO_GPA
+            p_inst = p_pot + p_kin
+            mu = (1.0 - dt / self.pressure_tau * self.compressibility *
+                  (self.target_pressure - p_inst)) ** (1.0 / 3.0)
+            mu = jnp.clip(mu, 0.99, 1.01)
+            return pos * mu, cell * mu
 
         def step(carry, _):
-            # carry the end-of-step acceleration: both integrators need
+            # carry the end-of-step acceleration: every integrator needs
             # ONE new force evaluation per step, not two
-            pos, vel, acc, key, feats = carry
+            pos, vel, acc, p_pot, cell, key, feats = carry
             if langevin:
                 # BAOAB: B(half kick) A(half drift) O(OU noise)
                 #        A(half drift) B(half kick)
@@ -151,84 +198,83 @@ class VelocityVerlet:
                 xi = jax.random.normal(sub, vel.shape, vel.dtype)
                 vel = c1 * vel + c2 * sigma_v * xi
                 pos = pos + 0.5 * dt * vel
-                acc_new = forces_of(feats, pos) / masses * FORCE_TO_ACC
+                forces, p_pot = forces_of(feats, pos, cell)
+                acc_new = forces / masses * FORCE_TO_ACC
                 vel = vel + 0.5 * dt * acc_new
-                return (pos, vel, acc_new, key, feats), None
-            vel_half = vel + 0.5 * dt * acc
-            pos_new = pos + dt * vel_half
-            acc_new = forces_of(feats, pos_new) / masses * FORCE_TO_ACC
-            vel_new = vel_half + 0.5 * dt * acc_new
-            return (pos_new, vel_new, acc_new, key, feats), None
+            else:
+                vel_half = vel + 0.5 * dt * acc
+                pos = pos + dt * vel_half
+                forces, p_pot = forces_of(feats, pos, cell)
+                acc_new = forces / masses * FORCE_TO_ACC
+                vel = vel_half + 0.5 * dt * acc_new
+            if npt:
+                pos, cell = barostat(pos, vel, cell, p_pot)
+            return (pos, vel, acc_new, p_pot, cell, key, feats), None
 
-        def chunk(pos, vel, key, feats, n):
-            acc0 = forces_of(feats, pos) / masses * FORCE_TO_ACC
-            (pos, vel, _, key, _), _ = jax.lax.scan(
-                step, (pos, vel, acc0, key, feats), None, length=n)
-            f = dict(feats)
-            f["positions"] = pos
-            energy = model.variational_energy(self.params, f)
-            ke = 0.5 * jnp.sum(masses * jnp.square(vel) * mask) / \
+        def finish(pos, vel, cell, p_pot, feats):
+            """Chunk-end observables: (potential, kinetic, P_inst)."""
+            energy = model.variational_energy(
+                self.params, dict(feats, positions=pos, cell=cell))
+            ke = kinetic(vel)
+            vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
+            p_inst = p_pot + (2.0 / 3.0) * ke / vol * EV_A3_TO_GPA
+            return energy, ke, p_inst
+
+        return forces_of, step, finish
+
+    def _make_scan(self):
+        forces_of, step, finish = self._integrator()
+
+        def chunk(pos, vel, cell, key, feats, n):
+            forces0, p0 = forces_of(feats, pos, cell)
+            acc0 = forces0 / jnp.asarray(self.masses_vap)[:, None] * \
                 FORCE_TO_ACC
-            return pos, vel, key, energy, ke
+            (pos, vel, _, p_pot, cell, key, _), _ = jax.lax.scan(
+                step, (pos, vel, acc0, p0, cell, key, feats), None,
+                length=n)
+            energy, ke, p_inst = finish(pos, vel, cell, p_pot, feats)
+            return pos, vel, cell, key, energy, ke, p_inst
 
         return jax.jit(chunk, static_argnames="n")
 
     def _make_scan_device(self):
         """Chunk kernel with the neighbor rebuild INSIDE the jit: bin,
         compact, integrate `n` steps — one device call per chunk."""
-        model, dt = self.model, self.timestep
         builder = self._nl
-        masses = jnp.asarray(self.masses_vap)[:, None]
-        mask = jnp.asarray(self.vap.atom_masks)[:, None]
-        langevin = self.friction is not None
-        if langevin:
-            c1 = float(np.exp(-self.friction * dt))
-            c2 = float(np.sqrt(1.0 - c1 * c1))
-            sigma_v = jnp.sqrt(KB * self.target_temperature / masses *
-                               FORCE_TO_ACC) * mask
-
-        def forces_of(feats, pos):
-            f = dict(feats)
-            f["positions"] = pos
-            g = jax.grad(lambda p: model.variational_energy(
-                self.params, dict(f, positions=p)))(pos)
-            return -g * f["atom_masks"][:, None]
-
-        def step(carry, _):
-            pos, vel, acc, key, feats = carry
-            if langevin:
-                vel = vel + 0.5 * dt * acc
-                pos = pos + 0.5 * dt * vel
-                key, sub = jax.random.split(key)
-                xi = jax.random.normal(sub, vel.shape, vel.dtype)
-                vel = c1 * vel + c2 * sigma_v * xi
-                pos = pos + 0.5 * dt * vel
-                acc_new = forces_of(feats, pos) / masses * FORCE_TO_ACC
-                vel = vel + 0.5 * dt * acc_new
-                return (pos, vel, acc_new, key, feats), None
-            vel_half = vel + 0.5 * dt * acc
-            pos_new = pos + dt * vel_half
-            acc_new = forces_of(feats, pos_new) / masses * FORCE_TO_ACC
-            vel_new = vel_half + 0.5 * dt * acc_new
-            return (pos_new, vel_new, acc_new, key, feats), None
-
+        forces_of, step, finish = self._integrator()
         etemp0 = float(self.structure.info.get("etemperature", 0.0) or 0.0)
 
-        def chunk(pos, vel, key, n):
+        def chunk(pos, vel, cell, key, n):
             feats, diag = builder._build(
-                pos, jnp.asarray(builder.cell0, pos.dtype),
-                jnp.asarray(etemp0, pos.dtype))
-            acc0 = forces_of(feats, pos) / masses * FORCE_TO_ACC
-            (pos, vel, _, key, _), _ = jax.lax.scan(
-                step, (pos, vel, acc0, key, feats), None, length=n)
-            f = dict(feats)
-            f["positions"] = pos
-            energy = model.variational_energy(self.params, f)
-            ke = 0.5 * jnp.sum(masses * jnp.square(vel) * mask) / \
+                pos, cell, jnp.asarray(etemp0, pos.dtype))
+            forces0, p0 = forces_of(feats, pos, cell)
+            acc0 = forces0 / jnp.asarray(self.masses_vap)[:, None] * \
                 FORCE_TO_ACC
-            return pos, vel, key, energy, ke, diag
+            (pos, vel, _, p_pot, cell, key, _), _ = jax.lax.scan(
+                step, (pos, vel, acc0, p0, cell, key, feats), None,
+                length=n)
+            energy, ke, p_inst = finish(pos, vel, cell, p_pot, feats)
+            return pos, vel, cell, key, energy, ke, p_inst, diag
 
         return jax.jit(chunk, static_argnames="n")
+
+    def _record(self, history, pe, ke, p_inst, cell):
+        ndof = 3 * len(self.structure)
+        history["potential"].append(float(pe))
+        history["kinetic"].append(float(ke))
+        history["total"].append(float(pe) + float(ke))
+        history["temperature"].append(2.0 * float(ke) / (ndof * KB))
+        if self.target_pressure is not None:
+            history["pressure"].append(float(p_inst))
+            history["volume"].append(
+                float(abs(np.linalg.det(np.asarray(cell)))))
+
+    def _history(self):
+        h = {"potential": [], "kinetic": [], "total": [],
+             "temperature": []}
+        if self.target_pressure is not None:
+            h["pressure"], h["volume"] = [], []
+        return h
 
     def _run_device(self, n_steps: int):
         dtype = (np.float64 if jax.config.jax_enable_x64
@@ -236,16 +282,15 @@ class VelocityVerlet:
         pos = jnp.asarray(self.vap.map_positions(
             self.structure.positions).astype(dtype))
         vel = jnp.asarray(self.velocities_vap.astype(dtype))
+        cell = jnp.asarray(self.structure.cell.astype(dtype))
         if self._scan is None:
             self._scan = self._make_scan_device()
-        history = {"potential": [], "kinetic": [], "total": [],
-                   "temperature": []}
-        ndof = 3 * len(self.structure)
+        history = self._history()
         remaining = n_steps
         while remaining > 0:
             n = min(self.chunk_size, remaining)
-            out = self._scan(pos, vel, self._key, n)
-            diag = jax.device_get(out[5])
+            out = self._scan(pos, vel, cell, self._key, n)
+            diag = jax.device_get(out[7])
             try:
                 self._nl.check(diag)
             except RuntimeError:
@@ -255,13 +300,11 @@ class VelocityVerlet:
                 self._nl = self._nl.grow(diag)
                 self._scan = self._make_scan_device()
                 continue
-            pos, vel, self._key, pe, ke, _ = out
-            history["potential"].append(float(pe))
-            history["kinetic"].append(float(ke))
-            history["total"].append(float(pe) + float(ke))
-            history["temperature"].append(2.0 * float(ke) / (ndof * KB))
+            pos, vel, cell, self._key, pe, ke, p_inst, _ = out
+            self._record(history, pe, ke, p_inst, cell)
             remaining -= n
         self.structure.positions = np.asarray(pos)[self.vap.local_to_vap]
+        self.structure.cell = np.asarray(cell)
         self.velocities_vap = np.asarray(vel)
         return history
 
@@ -273,13 +316,12 @@ class VelocityVerlet:
             return self._run_device(n_steps)
         pos_local = self.structure.positions.copy()
         vel = jnp.asarray(self.velocities_vap)
-        history = {"potential": [], "kinetic": [], "total": [],
-                   "temperature": []}
-        ndof = 3 * len(self.structure)
+        history = self._history()
         remaining = n_steps
         while remaining > 0:
             n = min(self.chunk_size, remaining)
-            # rebuild the (skinned) neighbor list on the host
+            # rebuild the (skinned) neighbor list on the host (at the
+            # CURRENT cell — the barostat may have rescaled it)
             old_rcut = self.fz.rcut
             feats_np = None
             try:
@@ -292,17 +334,16 @@ class VelocityVerlet:
             # feature shape signature (dense layouts have no pair_i)
             if self._scan is None:
                 self._scan = self._make_scan()
+            dtype = np.asarray(feats["positions"]).dtype
             pos_vap = jnp.asarray(self.vap.map_positions(
-                pos_local).astype(np.asarray(feats["positions"]).dtype))
+                pos_local).astype(dtype))
             feats["positions"] = pos_vap
-            pos_vap, vel, self._key, pe, ke = self._scan(
-                pos_vap, vel, self._key, feats, n)
+            cell = jnp.asarray(self.structure.cell.astype(dtype))
+            pos_vap, vel, cell, self._key, pe, ke, p_inst = self._scan(
+                pos_vap, vel, cell, self._key, feats, n)
             pos_local = np.asarray(pos_vap)[self.vap.local_to_vap]
-            history["potential"].append(float(pe))
-            history["kinetic"].append(float(ke))
-            history["total"].append(float(pe) + float(ke))
-            history["temperature"].append(2.0 * float(ke) /
-                                          (ndof * KB))
+            self.structure.cell = np.asarray(cell)
+            self._record(history, pe, ke, p_inst, cell)
             remaining -= n
         self.structure.positions = pos_local
         self.velocities_vap = np.asarray(vel)

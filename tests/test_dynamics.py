@@ -78,6 +78,54 @@ def test_langevin_nvt_thermalizes():
     assert hist["kinetic"][-1] > hist["kinetic"][0] + 0.1
 
 
+def test_npt_berendsen_relaxes_pressure():
+    """Isotropic Berendsen barostat: a compressed fcc Ni cell under
+    NPT at P0 = 0 must expand toward the zero-pressure volume, with
+    the instantaneous pressure magnitude decaying."""
+    a0 = 3.40          # zjw04 equilibrium ~3.52 -> strong compression
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(2)
+                           for j in range(2) for k in range(2)]) / 2
+    s = Structure.from_symbols(["Ni"] * len(frac),
+                               frac @ (np.eye(3) * 2 * a0),
+                               np.eye(3) * 2 * a0, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    md = VelocityVerlet(model, params, s, timestep=2.0, skin=1.0,
+                        chunk_size=25, seed=7,
+                        target_temperature=300.0, friction=0.1,
+                        target_pressure=0.0, pressure_tau=500.0)
+    v0 = abs(np.linalg.det(s.cell))
+    hist = md.run(400)
+    assert "pressure" in hist and "volume" in hist
+    p = np.asarray(hist["pressure"])
+    v = np.asarray(hist["volume"])
+    # compression -> large positive initial pressure
+    assert p[0] > 5.0
+    # the barostat lets the cell expand...
+    assert v[-1] > v0 * 1.02
+    # ...and the pressure relaxes most of the way to the target
+    assert abs(p[-1]) < 0.5 * p[0]
+    # positions followed the cell (structure updated in place)
+    assert abs(np.linalg.det(md.structure.cell)) == pytest.approx(
+        v[-1], rel=1e-6)
+
+
+def test_npt_requires_full_pbc():
+    s = Structure.from_symbols(["Ni"], [[0, 0, 0]],
+                               np.eye(3) * 3.52,
+                               pbc=[True, True, False])
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter({"Ni": 1}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        VelocityVerlet(model, params, s, target_pressure=0.0)
+
+
 def test_langevin_requires_both_knobs():
     s = Structure.from_symbols(["Ni"], [[0, 0, 0]],
                                np.eye(3) * 3.52, pbc=[True] * 3)
