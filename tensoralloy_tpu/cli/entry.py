@@ -157,6 +157,44 @@ def main(argv=None):
     c_unc.add_argument("--threshold", type=float, default=0.0,
                        help="only frames with score >= threshold eV/A")
 
+    c_md = comp_sub.add_parser(
+        "md", help="device-resident MD with a saved model: NVE "
+                   "(default), Langevin NVT (--nvt), or Berendsen NPT "
+                   "(--nvt + --npt); the whole integrator runs on the "
+                   "accelerator (ref analog: export to LAMMPS and run "
+                   "externally)")
+    c_md.add_argument("model")
+    c_md.add_argument("structure", help="extxyz/CIF file or built-in "
+                                        "crystal name")
+    c_md.add_argument("--steps", type=int, default=1000)
+    c_md.add_argument("--timestep", type=float, default=1.0,
+                      help="fs (default 1.0)")
+    c_md.add_argument("--temp", type=float, default=None,
+                      help="Maxwell-Boltzmann initial temperature (K)")
+    c_md.add_argument("--nvt", type=float, default=None, metavar="T",
+                      help="Langevin thermostat target temperature (K)")
+    c_md.add_argument("--friction", type=float, default=0.1,
+                      help="Langevin friction (1/fs, default 0.1)")
+    c_md.add_argument("--npt", type=float, default=None,
+                      metavar="P_GPA",
+                      help="Berendsen barostat target pressure (GPa); "
+                           "combine with --nvt for NPT")
+    c_md.add_argument("--pressure-tau", type=float, default=1000.0,
+                      help="barostat time constant (fs)")
+    c_md.add_argument("--supercell", type=int, nargs=3, default=None,
+                      help="repeat the input cell before running")
+    c_md.add_argument("--skin", type=float, default=1.0)
+    c_md.add_argument("--chunk-size", type=int, default=20,
+                      help="jitted steps per neighbor-list rebuild")
+    c_md.add_argument("--seed", type=int, default=0)
+    c_md.add_argument("--device-nl", action="store_true",
+                      help="rebuild the neighbor list ON DEVICE "
+                           "(positions never visit the host)")
+    c_md.add_argument("-o", "--output", default="md_final.extxyz",
+                      help="final structure (extxyz)")
+    c_md.add_argument("--thermo", default=None,
+                      help="write per-chunk thermo history as CSV")
+
     c_ph = comp_sub.add_parser(
         "phonon", help="phonon band structure from the model Hessian")
     c_ph.add_argument("model")
@@ -408,6 +446,8 @@ def _cmd_compute(args):
         return _compute_elastic(args)
     if args.task == "phonon":
         return _compute_phonon(args)
+    if args.task == "md":
+        return _compute_md(args)
     if args.task == "neb":
         return _compute_neb(args)
     if args.task == "defect":
@@ -465,6 +505,64 @@ def _compute_defect(args):
     print(f"supercell N = {n}; E_bulk = {e_bulk:.6f} eV; "
           f"E_defect = {e_def:.6f} eV")
     print(f"vacancy formation energy = {e_f:.6f} eV")
+    return 0
+
+
+def _compute_md(args):
+    """Run the on-device integrator (`dynamics.VelocityVerlet`) from a
+    saved model: chunked thermo lines to stdout, optional CSV history,
+    final frame to extxyz."""
+    import numpy as np
+    from ..dynamics import VelocityVerlet
+    from ..io.extxyz import write_extxyz
+    from ..io.model import load_model
+    model, params, _ = load_model(args.model)
+    s = _load_crystal(args.structure)
+    if args.supercell:
+        s = s.repeat(tuple(args.supercell))
+    if args.npt is not None and args.nvt is None:
+        raise SystemExit("--npt needs --nvt (Berendsen barostat is "
+                         "composed with the Langevin thermostat)")
+    md = VelocityVerlet(
+        model, params, s, timestep=args.timestep, skin=args.skin,
+        chunk_size=args.chunk_size, temperature=args.temp,
+        seed=args.seed,
+        target_temperature=args.nvt,
+        friction=args.friction if args.nvt is not None else None,
+        device_nl=args.device_nl,
+        target_pressure=args.npt, pressure_tau=args.pressure_tau)
+    regime = ("NPT" if args.npt is not None
+              else "NVT" if args.nvt is not None else "NVE")
+    print(f"{regime}: {len(s)} atoms, {args.steps} steps @ "
+          f"{args.timestep} fs, chunk {args.chunk_size}"
+          + (", device NL" if args.device_nl else ""))
+    history = md.run(args.steps)
+    n_chunks = len(history["potential"])
+    stride = max(1, n_chunks // 20)
+    for i in range(0, n_chunks, stride):
+        line = (f"step {min((i + 1) * args.chunk_size, args.steps):>8d}"
+                f"  E_pot {history['potential'][i]:.6f} eV"
+                f"  T {history['temperature'][i]:8.1f} K")
+        if "pressure" in history:
+            line += (f"  P {history['pressure'][i]:8.3f} GPa"
+                     f"  V {history['volume'][i]:10.2f} A^3")
+        print(line)
+    if args.thermo:
+        keys = list(history)
+        with open(args.thermo, "w") as fh:
+            fh.write(",".join(keys) + "\n")
+            for row in zip(*(history[k] for k in keys)):
+                fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+        print(f"wrote {args.thermo}")
+    final = md.structure
+    final.info["energy"] = float(history["potential"][-1])
+    write_extxyz(args.output, [final])
+    drift = abs(np.asarray(history["total"])[-1]
+                - np.asarray(history["total"])[0]) / len(s) * 1000
+    print(f"final T = {md.temperature:.1f} K"
+          + (f", total-energy drift {drift:.4f} meV/atom"
+             if regime == "NVE" else ""))
+    print(f"wrote {args.output}")
     return 0
 
 

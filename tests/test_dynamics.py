@@ -135,3 +135,54 @@ def test_langevin_requires_both_knobs():
     params = model.init_params(jax.random.PRNGKey(0))
     with pytest.raises(ValueError):
         VelocityVerlet(model, params, s, target_temperature=300.0)
+
+
+def test_cli_compute_md(tmp_path):
+    """`compute md` verb: NVT run from a saved zjw04 Ni model writes
+    the final frame + thermo CSV and reports a finite temperature."""
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+    from tensoralloy_tpu.io.extxyz import read_extxyz
+
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out_xyz = tmp_path / "final.extxyz"
+    thermo = tmp_path / "thermo.csv"
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute", "md",
+         str(mpath), "Ni", "--supercell", "2", "2", "2",
+         "--steps", "40", "--chunk-size", "10", "--nvt", "400",
+         "--timestep", "2.0", "-o", str(out_xyz),
+         "--thermo", str(thermo)],
+        capture_output=True, text=True, check=True)
+    assert "NVT: 32 atoms" in out.stdout
+    t_final = float(out.stdout.split("final T = ")[1].split()[0])
+    assert 0.0 < t_final < 2000.0
+    final = read_extxyz(str(out_xyz))[0]
+    assert len(final) == 32
+    header = open(thermo).readline().strip().split(",")
+    assert "potential" in header and "temperature" in header
+    assert len(open(thermo).readlines()) == 5  # header + 4 chunks
+
+
+def test_cli_compute_md_npt_rejects_without_nvt(tmp_path):
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute", "md",
+         str(mpath), "Ni", "--steps", "10", "--npt", "0.0"],
+        capture_output=True, text=True)
+    assert out.returncode != 0
+    assert "--npt needs --nvt" in out.stderr
