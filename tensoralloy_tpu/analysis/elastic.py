@@ -302,6 +302,77 @@ def relax_positions(calc, structure: Structure, fmax: float = 0.02,
     return s
 
 
+def relax_cell(calc, structure: Structure, fmax: float = 0.02,
+               smax: float = 0.05, steps: int = 500, dt: float = 0.08,
+               pressure: float = 0.0,
+               hydrostatic: bool = False) -> Structure:
+    """Combined position + cell relaxation (UnitCellFilter-style
+    damped dynamics; ref analog: `analysis/lammps` LatticeConstant,
+    which shells out to LAMMPS `fix box/relax`).
+
+    The degrees of freedom are the Cartesian positions plus a
+    symmetric strain `eps` of the ORIGINAL cell, h = h0 (1 + eps);
+    the generalized gradient on the strain block is V (sigma + P 1)
+    — energy (enthalpy at `pressure` GPa) decreases along the negative
+    stress, so cell and ions relax together in one FIRE-lite loop.
+    Both come from the SAME device call (`calc.calculate` yields
+    forces and stress from one backward pass).
+
+    Converged when max|F| < `fmax` (eV/A) AND every deviatoric +
+    pressure-shifted stress component is under `smax` (GPa).
+    `hydrostatic=True` restricts the cell motion to isotropic scaling
+    (shape-preserving, volume-only).
+    """
+    from ..nn.fields import EV_ANGSTROM3_TO_GPA
+    s = structure.copy()
+    if not np.asarray(s.pbc).all():
+        raise ValueError("relax_cell needs a fully periodic cell")
+    h0 = s.cell.copy()
+    eps = np.zeros((3, 3))
+    p_ev = pressure / EV_ANGSTROM3_TO_GPA
+    cell_factor = float(max(len(s), 1))
+    v_pos = np.zeros_like(s.positions)
+    v_eps = np.zeros((3, 3))
+    a_scale = 0.1
+    for _ in range(steps):
+        res = calc.calculate(s)
+        f = np.asarray(res["forces"])[:len(s)]
+        sv = np.asarray(res["stress"])          # Voigt [6], eV/A^3
+        sigma = np.array([[sv[0], sv[5], sv[4]],
+                          [sv[5], sv[1], sv[3]],
+                          [sv[4], sv[3], sv[2]]])
+        vol = abs(np.linalg.det(s.cell))
+        g_eps = -vol * (sigma + p_ev * np.eye(3)) / cell_factor
+        g_eps = 0.5 * (g_eps + g_eps.T)
+        if hydrostatic:
+            g_eps = np.eye(3) * np.trace(g_eps) / 3.0
+        s_gpa = (sigma + p_ev * np.eye(3)) * EV_ANGSTROM3_TO_GPA
+        if np.abs(f).max() < fmax and np.abs(s_gpa).max() < smax:
+            break
+        # FIRE-lite mixing over the CONCATENATED dof vector
+        power = float(np.vdot(f, v_pos)) + float(np.vdot(g_eps, v_eps))
+        if power > 0:
+            gn = np.sqrt(np.linalg.norm(f) ** 2 +
+                         np.linalg.norm(g_eps) ** 2) or 1.0
+            vn = np.sqrt(np.linalg.norm(v_pos) ** 2 +
+                         np.linalg.norm(v_eps) ** 2)
+            v_pos = (1 - a_scale) * v_pos + a_scale * vn * f / gn
+            v_eps = (1 - a_scale) * v_eps + a_scale * vn * g_eps / gn
+        else:
+            v_pos[:] = 0.0
+            v_eps[:] = 0.0
+        v_pos = v_pos + dt * f
+        v_eps = v_eps + dt * g_eps
+        eps = eps + dt * v_eps / cell_factor
+        new_cell = h0 @ (np.eye(3) + eps)
+        # affine cell update on the fractional coords, then the ionic
+        # FIRE step in Cartesian
+        frac = s.positions @ np.linalg.inv(s.cell)
+        s.cell = new_cell
+        s.positions = frac @ new_cell + dt * v_pos
+    return s
+
+
 def fit_elastic_tensor(calc, structure: Structure, n: int = 5,
                        d: float = 2.0, lattice: Optional[str] = None,
                        relax_ions: bool = False, in_gpa: bool = True,

@@ -87,11 +87,24 @@ def main(argv=None):
 
     c_rx = comp_sub.add_parser(
         "relax", help="relax internal coordinates with the model "
-                      "(fixed cell, FIRE)")
+                      "(fixed cell, FIRE); --cell also relaxes the "
+                      "cell against the stress")
     c_rx.add_argument("model")
     c_rx.add_argument("structure")
     c_rx.add_argument("--fmax", type=float, default=0.02)
     c_rx.add_argument("--steps", type=int, default=500)
+    c_rx.add_argument("--cell", action="store_true",
+                      help="variable-cell relaxation (positions + "
+                           "symmetric strain, one FIRE loop; ref "
+                           "analog: LAMMPS fix box/relax)")
+    c_rx.add_argument("--smax", type=float, default=0.05,
+                      help="stress convergence (GPa, with --cell)")
+    c_rx.add_argument("--pressure", type=float, default=0.0,
+                      help="external pressure (GPa, with --cell): "
+                           "relaxes the enthalpy E + PV")
+    c_rx.add_argument("--hydrostatic", action="store_true",
+                      help="volume-only (shape-preserving) cell "
+                           "motion")
     c_rx.add_argument("-o", "--output", default="relaxed.extxyz")
 
     c_pct = comp_sub.add_parser(
@@ -667,17 +680,35 @@ def _compute_eos(args):
 def _compute_relax(args):
     import numpy as np
     from ..calculator import TensorAlloyCalculator
-    from ..analysis.elastic import relax_positions
+    from ..analysis.elastic import relax_cell, relax_positions
     from ..io.extxyz import write_extxyz
     calc = TensorAlloyCalculator(args.model)
     s = _load_crystal(args.structure)
     e_in = calc.get_potential_energy(s)
-    s = relax_positions(calc, s, fmax=args.fmax, steps=args.steps)
+    if args.cell:
+        v_in = s.volume
+        s = relax_cell(calc, s, fmax=args.fmax, smax=args.smax,
+                       steps=args.steps, pressure=args.pressure,
+                       hydrostatic=args.hydrostatic)
+    else:
+        s = relax_positions(calc, s, fmax=args.fmax, steps=args.steps)
     e_out = calc.get_potential_energy(s)
     f = np.abs(np.asarray(calc.get_forces(s))).max()
     s.info["energy"] = float(e_out)
     write_extxyz(args.output, [s])
-    state = "converged" if f < args.fmax else "NOT converged"
+    converged = f < args.fmax
+    if args.cell:
+        from ..nn.fields import EV_ANGSTROM3_TO_GPA
+        s_gpa = np.abs(np.asarray(calc.get_stress(s))
+                       * EV_ANGSTROM3_TO_GPA
+                       + args.pressure * np.array(
+                           [1.0, 1, 1, 0, 0, 0])).max()
+        converged = converged and s_gpa < args.smax
+        a, b, c = np.linalg.norm(s.cell, axis=1)
+        print(f"cell: V {v_in:.3f} -> {s.volume:.3f} A^3, "
+              f"a/b/c = {a:.4f}/{b:.4f}/{c:.4f} A, "
+              f"max|sigma + P| = {s_gpa:.4f} GPa")
+    state = "converged" if converged else "NOT converged"
     print(f"{state}: E {e_in:.6f} -> {e_out:.6f} eV "
           f"(dE = {e_out - e_in:+.6f}), max|F| = {f:.4f} eV/A")
     print(f"wrote {args.output}")

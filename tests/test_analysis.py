@@ -380,3 +380,49 @@ Climbing replica = 4
     parsed = drv.parse_neb_log(log)
     assert parsed["EBF"] == 0.8612 and parsed["EBR"] == 0.8612
     assert parsed["RDT"] == 2.48
+
+
+def test_relax_cell_recovers_a0(ni_calc):
+    """Variable-cell FIRE: a compressed AND sheared fcc Ni cube must
+    relax back to the cubic zjw04 equilibrium (a0 = 3.52, E = -4.45
+    eV/atom) with the residual stress under the smax gate."""
+    from tensoralloy_tpu.analysis.elastic import relax_cell
+    from tensoralloy_tpu.nn.fields import EV_ANGSTROM3_TO_GPA
+    a0 = 3.42
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    shear = np.array([[1.0, 0.02, 0.0],
+                      [0.02, 1.0, 0.0],
+                      [0.0, 0.0, 1.0]])
+    cell = (np.eye(3) * a0) @ shear
+    s = Structure.from_symbols(["Ni"] * 4, (base * a0) @ shear, cell,
+                               pbc=[True] * 3)
+    r = relax_cell(ni_calc, s, fmax=0.01, smax=0.02, steps=800)
+    lengths = np.linalg.norm(r.cell, axis=1)
+    np.testing.assert_allclose(lengths, 3.52, atol=0.01)
+    # angles back to 90 deg: off-diagonal metric ~ 0
+    metric = r.cell @ r.cell.T
+    assert np.abs(metric - np.diag(np.diag(metric))).max() < 0.05
+    e = ni_calc.get_potential_energy(r) / 4
+    assert e == pytest.approx(-4.45, abs=0.005)
+    s_gpa = np.abs(np.asarray(ni_calc.get_stress(r))
+                   * EV_ANGSTROM3_TO_GPA).max()
+    assert s_gpa < 0.02
+
+
+def test_relax_cell_external_pressure(ni_calc):
+    """Enthalpy relaxation: 10 GPa external pressure compresses the
+    equilibrium lattice, and the internal stress balances -P."""
+    from tensoralloy_tpu.analysis.elastic import relax_cell
+    from tensoralloy_tpu.nn.fields import EV_ANGSTROM3_TO_GPA
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    s = Structure.from_symbols(["Ni"] * 4, base * a0, np.eye(3) * a0,
+                               pbc=[True] * 3)
+    r = relax_cell(ni_calc, s, fmax=0.01, smax=0.05, steps=800,
+                   pressure=10.0)
+    a = np.linalg.norm(r.cell, axis=1).mean()
+    assert 3.40 < a < 3.50          # compressed below a0
+    sv = np.asarray(ni_calc.get_stress(r)) * EV_ANGSTROM3_TO_GPA
+    np.testing.assert_allclose(sv[:3], -10.0, atol=0.05)
