@@ -207,6 +207,19 @@ def main(argv=None):
                       help="final structure (extxyz)")
     c_md.add_argument("--thermo", default=None,
                       help="write per-chunk thermo history as CSV")
+    c_md.add_argument("--traj", default=None,
+                      help="write one trajectory frame per chunk "
+                           "(extxyz, unwrapped positions)")
+
+    c_rdf = comp_sub.add_parser(
+        "rdf", help="partial radial distribution functions g_ab(r) "
+                    "from a trajectory (device pair histogram)")
+    c_rdf.add_argument("trajectory",
+                       help="extxyz trajectory (one stoichiometry; "
+                            "e.g. `compute md --traj` output)")
+    c_rdf.add_argument("--rmax", type=float, default=6.0)
+    c_rdf.add_argument("--nbins", type=int, default=200)
+    c_rdf.add_argument("-o", "--output", default="rdf.csv")
 
     c_ph = comp_sub.add_parser(
         "phonon", help="phonon band structure from the model Hessian")
@@ -461,6 +474,8 @@ def _cmd_compute(args):
         return _compute_phonon(args)
     if args.task == "md":
         return _compute_md(args)
+    if args.task == "rdf":
+        return _compute_rdf(args)
     if args.task == "neb":
         return _compute_neb(args)
     if args.task == "defect":
@@ -549,7 +564,8 @@ def _compute_md(args):
     print(f"{regime}: {len(s)} atoms, {args.steps} steps @ "
           f"{args.timestep} fs, chunk {args.chunk_size}"
           + (", device NL" if args.device_nl else ""))
-    history = md.run(args.steps)
+    history = md.run(args.steps,
+                     record_trajectory=args.traj is not None)
     n_chunks = len(history["potential"])
     stride = max(1, n_chunks // 20)
     for i in range(0, n_chunks, stride):
@@ -560,8 +576,19 @@ def _compute_md(args):
             line += (f"  P {history['pressure'][i]:8.3f} GPa"
                      f"  V {history['volume'][i]:10.2f} A^3")
         print(line)
+    if args.traj:
+        frames = []
+        for p, c, pe in zip(history["positions"], history["cells"],
+                            history["potential"]):
+            frame = s.copy()
+            frame.positions, frame.cell = p, c
+            frame.info["energy"] = float(pe)
+            frames.append(frame)
+        write_extxyz(args.traj, frames)
+        print(f"wrote {args.traj} ({len(frames)} frames)")
     if args.thermo:
-        keys = list(history)
+        keys = [k for k in history
+                if k not in ("positions", "velocities", "cells")]
         with open(args.thermo, "w") as fh:
             fh.write(",".join(keys) + "\n")
             for row in zip(*(history[k] for k in keys)):
@@ -576,6 +603,27 @@ def _compute_md(args):
           + (f", total-energy drift {drift:.4f} meV/atom"
              if regime == "NVE" else ""))
     print(f"wrote {args.output}")
+    return 0
+
+
+def _compute_rdf(args):
+    import numpy as np
+    from ..analysis.trajectory import radial_distribution
+    from ..io.extxyz import read_extxyz
+    frames = read_extxyz(args.trajectory)
+    out = radial_distribution(frames, rmax=args.rmax,
+                              nbins=args.nbins)
+    keys = [k for k in out if k != "r"]
+    with open(args.output, "w") as fh:
+        fh.write("r," + ",".join(keys) + "\n")
+        for i, r in enumerate(out["r"]):
+            fh.write(f"{r:.6f}," + ",".join(
+                f"{out[k][i]:.6f}" for k in keys) + "\n")
+    for k in keys:
+        peak = int(np.argmax(out[k]))
+        print(f"g({k}): first-max at r = {out['r'][peak]:.3f} A "
+              f"(g = {out[k][peak]:.2f})")
+    print(f"wrote {args.output} ({len(frames)} frames averaged)")
     return 0
 
 

@@ -258,7 +258,8 @@ class VelocityVerlet:
 
         return jax.jit(chunk, static_argnames="n")
 
-    def _record(self, history, pe, ke, p_inst, cell):
+    def _record(self, history, pe, ke, p_inst, cell,
+                pos=None, vel=None):
         ndof = 3 * len(self.structure)
         history["potential"].append(float(pe))
         history["kinetic"].append(float(ke))
@@ -268,15 +269,25 @@ class VelocityVerlet:
             history["pressure"].append(float(p_inst))
             history["volume"].append(
                 float(abs(np.linalg.det(np.asarray(cell)))))
+        if "positions" in history:
+            # local order, UNWRAPPED (the integrator never wraps) —
+            # directly usable by analysis.trajectory MSD/diffusion
+            history["positions"].append(
+                np.asarray(pos)[self.vap.local_to_vap].copy())
+            history["velocities"].append(
+                np.asarray(vel)[self.vap.local_to_vap].copy())
+            history["cells"].append(np.asarray(cell).copy())
 
-    def _history(self):
+    def _history(self, record_trajectory=False):
         h = {"potential": [], "kinetic": [], "total": [],
              "temperature": []}
         if self.target_pressure is not None:
             h["pressure"], h["volume"] = [], []
+        if record_trajectory:
+            h["positions"], h["velocities"], h["cells"] = [], [], []
         return h
 
-    def _run_device(self, n_steps: int):
+    def _run_device(self, n_steps: int, record_trajectory=False):
         dtype = (np.float64 if jax.config.jax_enable_x64
                  else np.float32)
         pos = jnp.asarray(self.vap.map_positions(
@@ -285,7 +296,7 @@ class VelocityVerlet:
         cell = jnp.asarray(self.structure.cell.astype(dtype))
         if self._scan is None:
             self._scan = self._make_scan_device()
-        history = self._history()
+        history = self._history(record_trajectory)
         remaining = n_steps
         while remaining > 0:
             n = min(self.chunk_size, remaining)
@@ -301,7 +312,7 @@ class VelocityVerlet:
                 self._scan = self._make_scan_device()
                 continue
             pos, vel, cell, self._key, pe, ke, p_inst, _ = out
-            self._record(history, pe, ke, p_inst, cell)
+            self._record(history, pe, ke, p_inst, cell, pos, vel)
             remaining -= n
         self.structure.positions = np.asarray(pos)[self.vap.local_to_vap]
         self.structure.cell = np.asarray(cell)
@@ -309,14 +320,18 @@ class VelocityVerlet:
         return history
 
     # ------------------------------------------------------------------
-    def run(self, n_steps: int):
-        """Integrate `n_steps`; returns a dict with the trajectory of
-        (potential, kinetic, total) energies per chunk."""
+    def run(self, n_steps: int, record_trajectory: bool = False):
+        """Integrate `n_steps`; returns a dict with the per-chunk
+        thermo history (potential, kinetic, total, temperature; plus
+        pressure/volume under NPT). `record_trajectory=True` also
+        stores per-chunk UNWRAPPED positions, velocities, and cells —
+        the exact inputs `analysis.trajectory` (RDF/MSD/VACF/D)
+        expects."""
         if self._nl is not None:
-            return self._run_device(n_steps)
+            return self._run_device(n_steps, record_trajectory)
         pos_local = self.structure.positions.copy()
         vel = jnp.asarray(self.velocities_vap)
-        history = self._history()
+        history = self._history(record_trajectory)
         remaining = n_steps
         while remaining > 0:
             n = min(self.chunk_size, remaining)
@@ -343,7 +358,7 @@ class VelocityVerlet:
                 pos_vap, vel, cell, self._key, feats, n)
             pos_local = np.asarray(pos_vap)[self.vap.local_to_vap]
             self.structure.cell = np.asarray(cell)
-            self._record(history, pe, ke, p_inst, cell)
+            self._record(history, pe, ke, p_inst, cell, pos_vap, vel)
             remaining -= n
         self.structure.positions = pos_local
         self.velocities_vap = np.asarray(vel)
