@@ -155,6 +155,82 @@ class PhononCalculator:
         dos /= (len(freqs) * sigma * np.sqrt(2 * np.pi))
         return grid, dos
 
+    def thermal_properties(self, temperatures,
+                           qmesh: Tuple[int, int, int] = (8, 8, 8)
+                           ) -> Dict[str, np.ndarray]:
+        """Quantum-harmonic thermodynamics PER PRIMITIVE CELL from
+        exact mode sums over a Monkhorst-Pack mesh (no smearing):
+        zero-point energy, vibrational free energy F_vib(T), entropy
+        S_vib(T) (eV/K), internal energy U_vib(T), heat capacity
+        C_v(T) (eV/K). Divide by `len(primitive)` for per-atom values;
+        C_v -> 3 kB per atom in the classical limit."""
+        freqs = []
+        for i in range(qmesh[0]):
+            for j in range(qmesh[1]):
+                for k in range(qmesh[2]):
+                    q = np.array([i / qmesh[0], j / qmesh[1],
+                                  k / qmesh[2]])
+                    freqs.append(self.frequencies(q))
+        n_q = qmesh[0] * qmesh[1] * qmesh[2]
+        out = harmonic_thermo(np.concatenate(freqs), temperatures)
+        for key in ("zpe", "free_energy", "entropy",
+                    "internal_energy", "heat_capacity"):
+            out[key] = out[key] / n_q
+        return out
+
+
+THZ_TO_EV = 4.135667696e-3     # h * 1 THz in eV
+KB_EV = 8.617333262e-5         # Boltzmann constant, eV/K
+
+
+def harmonic_thermo(freqs_thz: np.ndarray,
+                    temperatures: np.ndarray,
+                    imaginary_tol: float = 0.05) -> Dict[str, np.ndarray]:
+    """Quantum-harmonic mode sums (the phonopy `thermal_properties`
+    analog, computed from this module's exact autodiff force
+    constants).
+
+    `freqs_thz`: mode frequencies (e.g. all modes over a q-mesh —
+    results are divided by nothing here, so normalize outside).
+    Modes with nu < `imaginary_tol` THz (imaginary or acoustic-gamma)
+    are excluded and counted in "n_skipped".
+
+    -> {"T", "zpe" (scalar, eV), "free_energy", "entropy",
+        "internal_energy", "heat_capacity", "n_skipped"}:
+    F = sum hv/2 + kT ln(1 - e^-x), S = sum k [x n_B - ln(1-e^-x)],
+    U = sum hv (1/2 + n_B), C_v = sum k x^2 e^x / (e^x - 1)^2 with
+    x = hv/kT, n_B = 1/(e^x - 1). Entropy in eV/K; T = 0 rows give
+    (F=ZPE, S=0, U=ZPE, C_v=0) exactly.
+    """
+    freqs = np.asarray(freqs_thz, float).reshape(-1)
+    skipped = int((freqs < imaginary_tol).sum())
+    hv = freqs[freqs >= imaginary_tol] * THZ_TO_EV      # [M] eV
+    temps = np.atleast_1d(np.asarray(temperatures, float))
+    zpe = 0.5 * hv.sum()
+    f_out = np.empty(len(temps))
+    s_out = np.empty(len(temps))
+    u_out = np.empty(len(temps))
+    c_out = np.empty(len(temps))
+    for i, t in enumerate(temps):
+        if t <= 0.0:
+            f_out[i], s_out[i], u_out[i], c_out[i] = zpe, 0.0, zpe, 0.0
+            continue
+        x = hv / (KB_EV * t)
+        # exp overflow guard: for x > 50 every occupation term is
+        # below 2e-22 — the T=0 limit
+        x = np.minimum(x, 50.0)
+        expm = np.expm1(x)
+        n_b = 1.0 / expm
+        ln1me = np.log(-np.expm1(-x))
+        f_out[i] = zpe + KB_EV * t * ln1me.sum()
+        s_out[i] = KB_EV * np.sum(x * n_b - ln1me)
+        u_out[i] = zpe + np.sum(hv * n_b)
+        c_out[i] = KB_EV * np.sum(
+            x * x * np.exp(x) * n_b * n_b)
+    return {"T": temps, "zpe": zpe, "free_energy": f_out,
+            "entropy": s_out, "internal_energy": u_out,
+            "heat_capacity": c_out, "n_skipped": skipped}
+
 
 FCC_PATH = [("G", [0.0, 0.0, 0.0]), ("X", [0.5, 0.0, 0.5]),
             ("W", [0.5, 0.25, 0.75]), ("K", [0.375, 0.375, 0.75]),

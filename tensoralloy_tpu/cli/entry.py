@@ -231,6 +231,12 @@ def main(argv=None):
                       choices=["fcc", "bcc", "gamma"])
     c_ph.add_argument("--npoints", type=int, default=20)
     c_ph.add_argument("--output", default="bands.csv")
+    c_ph.add_argument("--temps", default=None,
+                      help="comma-separated temperatures (K): also "
+                           "print harmonic ZPE / F_vib / S_vib / C_v "
+                           "per atom from exact q-mesh mode sums")
+    c_ph.add_argument("--qmesh", type=int, nargs=3, default=[8, 8, 8],
+                      help="Monkhorst-Pack mesh for --temps")
 
     v2l = sub.add_parser(
         "vasp2lammps",
@@ -663,6 +669,18 @@ def _compute_phonon(args):
     calc = TensorAlloyCalculator(args.model)
     crystal = _load_crystal(args.crystal)
     ph = PhononCalculator(calc, crystal, supercell=tuple(args.supercell))
+    if args.temps:
+        temps = [float(t) for t in args.temps.split(",")]
+        th = ph.thermal_properties(temps, qmesh=tuple(args.qmesh))
+        n = len(crystal)
+        print(f"ZPE = {th['zpe'] / n * 1000:.3f} meV/atom "
+              f"({th['n_skipped']} modes skipped)")
+        print("T (K)   F_vib (meV/at)  S_vib (kB/at)  C_v (kB/at)")
+        for i, t in enumerate(temps):
+            from ..analysis.phonon import KB_EV
+            print(f"{t:7.1f} {th['free_energy'][i] / n * 1000:14.3f} "
+                  f"{th['entropy'][i] / n / KB_EV:14.4f} "
+                  f"{th['heat_capacity'][i] / n / KB_EV:12.4f}")
     if args.path == "gamma":
         freqs = ph.gamma_frequencies()
         print("Gamma frequencies (THz):",

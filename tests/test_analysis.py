@@ -426,3 +426,54 @@ def test_relax_cell_external_pressure(ni_calc):
     assert 3.40 < a < 3.50          # compressed below a0
     sv = np.asarray(ni_calc.get_stress(r)) * EV_ANGSTROM3_TO_GPA
     np.testing.assert_allclose(sv[:3], -10.0, atol=0.05)
+
+
+def test_harmonic_thermo_einstein_oracle():
+    """Single-frequency Einstein crystal: every quantity has a closed
+    form. 3N modes at nu -> per-mode x = h nu / kT."""
+    from tensoralloy_tpu.analysis.phonon import (harmonic_thermo,
+                                                 THZ_TO_EV, KB_EV)
+    nu = 5.0                    # THz
+    n_modes = 96
+    freqs = np.full(n_modes, nu)
+    t = 300.0
+    out = harmonic_thermo(freqs, [0.0, t])
+    hv = nu * THZ_TO_EV
+    x = hv / (KB_EV * t)
+    n_b = 1.0 / np.expm1(x)
+    assert out["zpe"] == pytest.approx(0.5 * n_modes * hv, rel=1e-12)
+    # T = 0 row: F = U = ZPE, S = Cv = 0
+    assert out["free_energy"][0] == out["zpe"]
+    assert out["entropy"][0] == 0.0 and out["heat_capacity"][0] == 0.0
+    f_exact = n_modes * (0.5 * hv + KB_EV * t * np.log(-np.expm1(-x)))
+    s_exact = n_modes * KB_EV * (x * n_b - np.log(-np.expm1(-x)))
+    u_exact = n_modes * hv * (0.5 + n_b)
+    c_exact = n_modes * KB_EV * x * x * np.exp(x) * n_b * n_b
+    assert out["free_energy"][1] == pytest.approx(f_exact, rel=1e-10)
+    assert out["entropy"][1] == pytest.approx(s_exact, rel=1e-10)
+    assert out["internal_energy"][1] == pytest.approx(u_exact, rel=1e-10)
+    assert out["heat_capacity"][1] == pytest.approx(c_exact, rel=1e-10)
+    # thermodynamic identity F = U - T S
+    assert out["free_energy"][1] == pytest.approx(
+        out["internal_energy"][1] - t * out["entropy"][1], rel=1e-10)
+
+
+def test_phonon_thermal_properties_dulong_petit(ni_calc, ni_primitive):
+    """zjw04 Ni harmonic thermodynamics: C_v approaches the classical
+    3 kB/atom at high T, entropy grows monotonically, ZPE is a few
+    tens of meV/atom."""
+    from tensoralloy_tpu.analysis.phonon import PhononCalculator, KB_EV
+    ph = PhononCalculator(ni_calc, ni_primitive, supercell=(2, 2, 2))
+    out = ph.thermal_properties([100.0, 300.0, 2000.0],
+                                qmesh=(4, 4, 4))
+    n = len(ni_primitive)
+    cv_kb = out["heat_capacity"] / n / KB_EV
+    assert cv_kb[2] == pytest.approx(3.0, rel=0.02)   # Dulong-Petit
+    assert cv_kb[0] < cv_kb[1] < cv_kb[2]             # quantum onset
+    assert 10.0 < out["zpe"] / n * 1000 < 80.0        # meV/atom
+    s = out["entropy"]
+    assert 0.0 < s[0] < s[1] < s[2]
+    # F decreases with T; U increases
+    f, u = out["free_energy"], out["internal_energy"]
+    assert f[0] > f[1] > f[2]
+    assert u[0] < u[1] < u[2]
