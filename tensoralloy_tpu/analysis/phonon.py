@@ -232,6 +232,56 @@ def harmonic_thermo(freqs_thz: np.ndarray,
             "heat_capacity": c_out, "n_skipped": skipped}
 
 
+def quasi_harmonic(calc, primitive: Structure, temperatures,
+                   scales=None, supercell: Tuple[int, int, int] = (2, 2, 2),
+                   qmesh: Tuple[int, int, int] = (4, 4, 4),
+                   eos: str = "birchmurnaghan") -> Dict[str, np.ndarray]:
+    """Quasi-harmonic approximation: minimize F(V, T) = E(V) +
+    F_vib(V, T) over isotropically scaled cells to get the thermal
+    expansion (the reference has no QHA — phonopy-based workflows do
+    this externally).
+
+    `scales`: linear scale factors for the primitive cell (default
+    0.985..1.04, 7 points around equilibrium — widen for high T).
+    One exact Hessian per volume; everything else is mode algebra.
+
+    -> {"T" [K], "volume" [A^3 per primitive cell], "a_scale"
+    (V(T)/V(T[0]))^(1/3), "alpha" linear expansion coefficient [1/K]
+    (central differences), "bulk_modulus" [GPa] (isothermal, from the
+    F(V) curvature at the minimum), "free_energy" [eV per primitive
+    cell at the minimum]}.
+    """
+    from .eos import EquationOfState
+    from ..nn.fields import EV_ANGSTROM3_TO_GPA
+    if scales is None:
+        scales = np.linspace(0.985, 1.04, 7)
+    temps = np.atleast_1d(np.asarray(temperatures, float))
+    volumes, e0, f_vib = [], [], []
+    for sc in scales:
+        s = primitive.copy()
+        s.cell = s.cell * sc
+        s.positions = s.positions * sc
+        volumes.append(s.volume)
+        e0.append(calc.get_potential_energy(s))
+        ph = PhononCalculator(calc, s, supercell=supercell)
+        th = ph.thermal_properties(temps, qmesh=qmesh)
+        f_vib.append(th["free_energy"])
+    volumes = np.asarray(volumes)
+    e0 = np.asarray(e0)
+    f_vib = np.asarray(f_vib)                      # [n_scales, n_T]
+    v0 = np.empty(len(temps))
+    b0 = np.empty(len(temps))
+    f0 = np.empty(len(temps))
+    for i in range(len(temps)):
+        fit = EquationOfState(volumes, e0 + f_vib[:, i], eos=eos)
+        v, f, b = fit.fit()
+        v0[i], f0[i], b0[i] = v, f, b * EV_ANGSTROM3_TO_GPA
+    a_scale = (v0 / v0[0]) ** (1.0 / 3.0)
+    alpha = np.gradient(a_scale, temps) / a_scale
+    return {"T": temps, "volume": v0, "a_scale": a_scale,
+            "alpha": alpha, "bulk_modulus": b0, "free_energy": f0}
+
+
 FCC_PATH = [("G", [0.0, 0.0, 0.0]), ("X", [0.5, 0.0, 0.5]),
             ("W", [0.5, 0.25, 0.75]), ("K", [0.375, 0.375, 0.75]),
             ("G", [0.0, 0.0, 0.0]), ("L", [0.5, 0.5, 0.5])]

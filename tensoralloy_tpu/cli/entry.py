@@ -211,6 +211,23 @@ def main(argv=None):
                       help="write one trajectory frame per chunk "
                            "(extxyz, unwrapped positions)")
 
+    c_qha = comp_sub.add_parser(
+        "qha", help="quasi-harmonic thermal expansion: minimize "
+                    "E(V) + F_vib(V,T) over scaled cells (one exact "
+                    "Hessian per volume)")
+    c_qha.add_argument("model")
+    c_qha.add_argument("crystal")
+    c_qha.add_argument("--temps", default="0,300,600,900",
+                       help="comma-separated temperatures (K)")
+    c_qha.add_argument("--supercell", type=int, nargs=3,
+                       default=[3, 3, 3])
+    c_qha.add_argument("--qmesh", type=int, nargs=3, default=[6, 6, 6])
+    c_qha.add_argument("--scales", type=float, nargs=3,
+                       default=[0.985, 1.04, 7],
+                       metavar=("LO", "HI", "N"),
+                       help="linear cell scale grid")
+    c_qha.add_argument("--eos", default="birchmurnaghan")
+
     c_rdf = comp_sub.add_parser(
         "rdf", help="partial radial distribution functions g_ab(r) "
                     "from a trajectory (device pair histogram)")
@@ -482,6 +499,8 @@ def _cmd_compute(args):
         return _compute_md(args)
     if args.task == "rdf":
         return _compute_rdf(args)
+    if args.task == "qha":
+        return _compute_qha(args)
     if args.task == "neb":
         return _compute_neb(args)
     if args.task == "defect":
@@ -609,6 +628,27 @@ def _compute_md(args):
           + (f", total-energy drift {drift:.4f} meV/atom"
              if regime == "NVE" else ""))
     print(f"wrote {args.output}")
+    return 0
+
+
+def _compute_qha(args):
+    import numpy as np
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.phonon import quasi_harmonic
+    calc = TensorAlloyCalculator(args.model)
+    crystal = _load_crystal(args.crystal)
+    temps = [float(t) for t in args.temps.split(",")]
+    lo, hi, n = args.scales
+    out = quasi_harmonic(calc, crystal, temps,
+                         scales=np.linspace(lo, hi, int(n)),
+                         supercell=tuple(args.supercell),
+                         qmesh=tuple(args.qmesh), eos=args.eos)
+    print("T (K)   V (A^3/cell)  a/a0      alpha (1e-6/K)  B (GPa)")
+    for i, t in enumerate(out["T"]):
+        print(f"{t:7.1f} {out['volume'][i]:12.4f} "
+              f"{out['a_scale'][i]:9.5f} "
+              f"{out['alpha'][i] * 1e6:14.2f} "
+              f"{out['bulk_modulus'][i]:9.2f}")
     return 0
 
 

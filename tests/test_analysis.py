@@ -477,3 +477,20 @@ def test_phonon_thermal_properties_dulong_petit(ni_calc, ni_primitive):
     f, u = out["free_energy"], out["internal_energy"]
     assert f[0] > f[1] > f[2]
     assert u[0] < u[1] < u[2]
+
+
+def test_quasi_harmonic_thermal_expansion(ni_calc, ni_primitive):
+    """QHA on zjw04 Ni: the lattice expands with T at a physical rate
+    (experimental alpha ~ 1.3e-5/K), the bulk modulus softens, and
+    F(T) at the minimum decreases."""
+    from tensoralloy_tpu.analysis.phonon import quasi_harmonic
+    out = quasi_harmonic(ni_calc, ni_primitive, [0.0, 300.0, 600.0],
+                         supercell=(2, 2, 2), qmesh=(4, 4, 4))
+    v = out["volume"]
+    assert v[0] < v[1] < v[2]                       # thermal expansion
+    assert 0.4e-5 < out["alpha"][1] < 3e-5          # physical range
+    b = out["bulk_modulus"]
+    assert 140.0 < b[0] < 200.0                     # zjw04 B ~ 181
+    assert b[0] > b[1] > b[2]                       # softening
+    f = out["free_energy"]
+    assert f[0] > f[1] > f[2]
