@@ -314,6 +314,26 @@ class VelocityVerlet:
             pos, vel, cell, self._key, pe, ke, p_inst, _ = out
             self._record(history, pe, ke, p_inst, cell, pos, vel)
             remaining -= n
+            if self.target_pressure is not None:
+                # the grid is static in FRACTIONAL space: a barostat
+                # shrink narrows the bins until the stencil no longer
+                # spans the skinned cutoff. The skin absorbs in-chunk
+                # drift; re-grid for the next chunk once the margin is
+                # consumed. Reach below the BARE cutoff means the last
+                # chunk may have run on a truncated list — refuse.
+                cell_h = np.asarray(cell)
+                if not self._nl.covers(cell_h, self.fz.max_cutoff):
+                    raise RuntimeError(
+                        "barostat shrank the cell past the neighbor "
+                        "stencil within one chunk; use a smaller "
+                        "chunk_size or a larger skin")
+                if not self._nl.covers(cell_h):
+                    tmpl = self.structure.copy()
+                    tmpl.positions = np.asarray(pos)[
+                        self.vap.local_to_vap]
+                    tmpl.cell = cell_h
+                    self._nl = self._nl.rebuilt_for(tmpl)
+                    self._scan = self._make_scan_device()
         self.structure.positions = np.asarray(pos)[self.vap.local_to_vap]
         self.structure.cell = np.asarray(cell)
         self.velocities_vap = np.asarray(vel)

@@ -215,6 +215,32 @@ class DeviceNeighborList:
                 f"device neighbor list overflow: needed ntl "
                 f"{int(diag['ntl_needed'])} (cap {self.ntl_cap})")
 
+    def stencil_reach(self, cell) -> np.ndarray:
+        """Physical distance the static stencil covers per axis for a
+        DIFFERENT cell than the one this builder was sized for: the
+        grid is fixed in FRACTIONAL space, so when a barostat shrinks
+        the cell the bins shrink with it and the stencil may no longer
+        span the cutoff. [3] in A — compare against `self.cutoff`."""
+        heights = _cell_heights(np.asarray(cell, dtype=np.float64))
+        return (np.asarray(self.stencil_extent, float) * heights /
+                np.asarray(self.grid, float))
+
+    def covers(self, cell, cutoff: Optional[float] = None) -> bool:
+        """True when the stencil still spans `cutoff` (default: this
+        builder's skinned cutoff) for the given cell; False means the
+        caller must rebuild the binning before the next build."""
+        want = self.cutoff if cutoff is None else float(cutoff)
+        pbc_axes = self.pbc
+        reach = self.stencil_reach(cell)
+        return bool(np.all(reach[pbc_axes] >= want - 1e-9))
+
+    def rebuilt_for(self, structure: Structure) -> "DeviceNeighborList":
+        """New builder re-gridded for `structure`'s current cell (same
+        cutoff/layout; caps re-auto-sized from its positions)."""
+        return DeviceNeighborList(
+            self.fz, self.vap, structure, cutoff=self.cutoff,
+            layout=self.layout, angular=self.angular)
+
     def grow(self, diag, margin: float = 1.3) -> "DeviceNeighborList":
         """New builder with caps covering `diag` (keeps grid/layout).
 

@@ -281,3 +281,62 @@ def test_overflow_diag_and_grow():
     grown.check(diag)
     assert _pair_set_from_dense(grown, feats) == _pair_set_from_host(
         s, 4.5)
+
+
+def test_stencil_covers_and_rebuild_after_shrink():
+    """`covers` flags a barostat-shrunk cell whose fractional-space
+    stencil no longer spans the cutoff; `rebuilt_for` re-grids and the
+    rebuilt builder's pairs agree with the host oracle energy."""
+    rng = np.random.RandomState(3)
+    cell = np.eye(3) * 11.0
+    s = Structure.from_symbols(["Ni"] * 24,
+                               rng.uniform(0, 11.0, (24, 3)), cell,
+                               pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=5.2)
+    model, params = _grap_model(fz, s)
+    vap = fz.make_vap(s, Counter(s.symbols))
+    b = DeviceNeighborList(fz, vap, s, layout="dense")
+    # grid 2x2x2, bins 5.5 A: only 0.3 A of shrink margin
+    assert b.covers(cell)
+    shrunk = cell * 0.90
+    assert not b.covers(shrunk)
+    s2 = s.copy()
+    s2.cell = shrunk
+    s2.positions = s.positions * 0.90
+    b2 = b.rebuilt_for(s2)
+    assert b2.covers(shrunk)
+    dev, diag = b2.build(jnp.asarray(vap.map_positions(s2.positions)))
+    b2.check(diag)
+    host = {k: jnp.asarray(v)
+            for k, v in fz.featurize(s2, vap, layout="dense").items()}
+    efs = make_efs_fn(model.energy)
+    np.testing.assert_allclose(float(efs(params, dev)["energy"]),
+                               float(efs(params, host)["energy"]),
+                               rtol=1e-10)
+
+
+def test_md_npt_device_nl_matches_host_nl():
+    """NPT trajectories (Langevin + Berendsen) with the on-device
+    rebuild must match the host-rebuild path, including the rescaled
+    cell."""
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    s = _cases()["cubic"]
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    model, params = _grap_model(fz, s)
+
+    def traj(device_nl):
+        md = VelocityVerlet(model, params, s, timestep=1.0, skin=1.0,
+                            chunk_size=5, seed=13,
+                            target_temperature=300.0, friction=0.1,
+                            target_pressure=15.0, pressure_tau=200.0,
+                            device_nl=device_nl)
+        h = md.run(20)
+        return (np.asarray(md.structure.positions),
+                np.asarray(md.structure.cell), h)
+
+    p_host, c_host, h_host = traj(False)
+    p_dev, c_dev, h_dev = traj(True)
+    np.testing.assert_allclose(c_dev, c_host, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(p_dev, p_host, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(h_dev["pressure"], h_host["pressure"],
+                               rtol=1e-6)
