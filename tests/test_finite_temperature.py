@@ -176,3 +176,32 @@ def test_benn_entropy_head(be_structure):
         ops2 = model2.energy_ops(params2, feats)
         assert float(ops2["energy"]) == pytest.approx(
             float(ops["energy"]), abs=1e-9)
+
+
+def test_td_molecular_dynamics_conserves_free_energy(be_structure):
+    """Two-temperature MD: at fixed electronic temperature the forces
+    are -dF/dR, so the conserved quantity is F + KE (NOT U + KE when
+    the entropy has spatial dependence)."""
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    s = be_structure.copy()
+    fz, model = _make_model(len(s))
+    params = model.init_params(jax.random.PRNGKey(2))
+    # Be is light (9 amu) and the random-init PES is steep: 0.25 fs
+    # (0.5 fs heats the fixture liquid into runaway within 40 steps)
+    md = VelocityVerlet(model, params, s, timestep=0.25, skin=1.0,
+                        chunk_size=10, temperature=300.0, seed=4)
+    hist = md.run(40)
+    tot = np.asarray(hist["total"])    # potential here IS F
+    drift = abs(tot[-1] - tot[0]) / len(s) * 1000
+    assert drift < 0.2                 # meV/atom over 10 fs
+    # the electronic temperature actually matters: forces at T_e = 0
+    # differ from the fixture's 0.34 eV electronic temperature
+    from tensoralloy_tpu.nn.fields import make_efs_fn
+    vap = fz.make_vap(s, model.max_occurs)
+    feats = {k: jnp.asarray(v) for k, v in fz.featurize(s, vap).items()}
+    efs = make_efs_fn(model.variational_energy)
+    f_hot = np.asarray(efs(params, feats)["forces"])
+    feats0 = dict(feats)
+    feats0["etemperature"] = jnp.zeros_like(feats["etemperature"])
+    f_cold = np.asarray(efs(params, feats0)["forces"])
+    assert np.abs(f_hot - f_cold).max() > 1e-6
