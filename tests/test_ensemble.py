@@ -129,3 +129,72 @@ def test_architecture_mismatch_rejected(tmp_path):
     ens = EnsembleCalculator([p1, p1])
     assert ens.n_members == 2
     assert abs(ens.get_energy_std(s)) < 1e-12
+
+
+def test_active_learning_loop_end_to_end(tmp_path):
+    """The full active-learning round-trip using only this framework:
+    run MD with a committee member, record the trajectory, rank frames
+    by committee force disagreement, and append the selected frames to
+    a training database — the loop the reference's fixed-schedule
+    tensordb sampling cannot close on its own."""
+    from collections import Counter
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    from tensoralloy_tpu.ensemble import (EnsembleCalculator,
+                                          select_by_uncertainty)
+    from tensoralloy_tpu.io.sqlite import connect
+
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(2)
+                           for j in range(2) for k in range(2)]) / 2
+    s = Structure.from_symbols(["Ni"] * len(frac),
+                               frac @ (np.eye(3) * 2 * a0),
+                               np.eye(3) * 2 * a0, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    # committee: zjw04 + two perturbed replicas (as-if different seeds)
+    p0 = model.init_params(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    def jitter(p, key, scale):
+        leaves, tree = jax.tree_util.tree_flatten(p)
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(tree, [
+            l * (1.0 + scale * jax.random.normal(k, jnp.shape(l)))
+            for l, k in zip(leaves, keys)])
+
+    committee = [p0, jitter(p0, jax.random.PRNGKey(1), 0.02),
+                 jitter(p0, jax.random.PRNGKey(2), 0.02)]
+    # 1. explore: short NVT run with the first member
+    md = VelocityVerlet(model, p0, s, timestep=2.0, skin=1.0,
+                        chunk_size=10, seed=3,
+                        target_temperature=800.0, friction=0.1)
+    hist = md.run(50, record_trajectory=True)
+    frames = []
+    for p, c in zip(hist["positions"], hist["cells"]):
+        f = s.copy()
+        f.positions, f.cell = p, c
+        frames.append(f)
+    assert len(frames) == 5
+    # 2. rank by committee disagreement
+    calc = EnsembleCalculator(model, committee)
+    picked = select_by_uncertainty(calc, frames, n_select=2)
+    assert len(picked) == 2
+    scores = [calc.get_max_force_std(f) for f in frames]
+    assert all(np.isfinite(scores)) and max(scores) > 0
+    assert scores[picked[0]] == max(scores)
+    # 3. append the selected frames to a training database
+    db_path = str(tmp_path / "al.db")
+    db = connect(db_path)
+    for i in picked:
+        db.write(frames[i])
+    db2 = connect(db_path)
+    assert len(db2) == 2
+    assert db2.elements == ["Ni"]
+    got = db2.get(1)
+    assert len(got) == len(s)
