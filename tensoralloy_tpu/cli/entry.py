@@ -211,6 +211,19 @@ def main(argv=None):
                       help="write one trajectory frame per chunk "
                            "(extxyz, unwrapped positions)")
 
+    c_surf = comp_sub.add_parser(
+        "surface", help="surface energy gamma(hkl): Miller-index slab "
+                        "built by integer lattice algebra, relaxed "
+                        "with the model (ref analog: exported LAMMPS)")
+    c_surf.add_argument("model")
+    c_surf.add_argument("crystal", help="BULK cell (conventional for "
+                                        "textbook indices)")
+    c_surf.add_argument("miller", type=int, nargs=3)
+    c_surf.add_argument("--layers", type=int, default=8)
+    c_surf.add_argument("--vacuum", type=float, default=12.0)
+    c_surf.add_argument("--no-relax", action="store_true")
+    c_surf.add_argument("--fmax", type=float, default=0.02)
+
     c_qha = comp_sub.add_parser(
         "qha", help="quasi-harmonic thermal expansion: minimize "
                     "E(V) + F_vib(V,T) over scaled cells (one exact "
@@ -501,6 +514,8 @@ def _cmd_compute(args):
         return _compute_rdf(args)
     if args.task == "qha":
         return _compute_qha(args)
+    if args.task == "surface":
+        return _compute_surface(args)
     if args.task == "neb":
         return _compute_neb(args)
     if args.task == "defect":
@@ -628,6 +643,23 @@ def _compute_md(args):
           + (f", total-energy drift {drift:.4f} meV/atom"
              if regime == "NVE" else ""))
     print(f"wrote {args.output}")
+    return 0
+
+
+def _compute_surface(args):
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.surface import surface_energy
+    calc = TensorAlloyCalculator(args.model)
+    bulk = _load_crystal(args.crystal)
+    r = surface_energy(calc, bulk, tuple(args.miller),
+                       layers=args.layers, vacuum=args.vacuum,
+                       relax=not args.no_relax, fmax=args.fmax)
+    h, k, l = args.miller
+    print(f"slab ({h}{k}{l}): {r['n_atoms']} atoms, "
+          f"area {r['area_a2']:.3f} A^2, "
+          f"surface relaxation {r['relaxation_ev'] * 1000:.2f} meV")
+    print(f"gamma({h}{k}{l}) = {r['gamma_j_m2']:.4f} J/m^2 "
+          f"({r['gamma_ev_a2']:.6f} eV/A^2)")
     return 0
 
 

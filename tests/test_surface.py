@@ -1,0 +1,93 @@
+"""Miller-index slab builder + surface energies (analysis/surface.py).
+
+Oracles: exact slab geometry (atom counts, interplanar spacings,
+vacuum gap) and the robust fcc EAM surface-energy ordering
+gamma(111) < gamma(100) < gamma(110) with zjw04-Ni magnitudes.
+"""
+from collections import Counter
+
+import jax
+import numpy as np
+import pytest
+
+from tensoralloy_tpu.atoms import Structure
+from tensoralloy_tpu.transform import Featurizer
+from tensoralloy_tpu.nn.eam import EamAlloyNN
+from tensoralloy_tpu.calculator import TensorAlloyCalculator
+from tensoralloy_tpu.analysis.surface import make_slab, surface_energy
+
+A0 = 3.52
+
+
+@pytest.fixture(scope="module")
+def ni_bulk():
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    return Structure.from_symbols(["Ni"] * 4, base * A0,
+                                  np.eye(3) * A0, pbc=[True] * 3)
+
+
+@pytest.fixture(scope="module")
+def ni_calc_s():
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    return TensorAlloyCalculator(model,
+                                 model.init_params(jax.random.PRNGKey(0)))
+
+
+def test_slab_geometry_fcc(ni_bulk):
+    """(100)/(110)/(111) slabs: atom counts follow the integer
+    supercell volume, interplanar spacings match the textbook values,
+    and the perpendicular replica gap equals the requested vacuum."""
+    spacings = {(1, 0, 0): A0 / 2, (1, 1, 0): A0 / (2 * np.sqrt(2)),
+                (1, 1, 1): A0 / np.sqrt(3)}
+    for hkl, d_ref in spacings.items():
+        slab = make_slab(ni_bulk, hkl, layers=6, vacuum=10.0)
+        normal = np.cross(slab.cell[0], slab.cell[1])
+        normal /= np.linalg.norm(normal)
+        heights = np.sort(slab.positions @ normal)
+        # distinct planes at the textbook spacing
+        uniq = np.unique(np.round(heights, 6))
+        gaps = np.diff(uniq)
+        np.testing.assert_allclose(gaps, d_ref, atol=1e-6)
+        # slab thickness: 6 stacking periods of >= 1 plane each
+        assert len(uniq) >= 6
+        # vacuum: replica gap along the normal
+        period = abs(float(slab.cell[2] @ normal))
+        thickness = uniq[-1] - uniq[0]
+        assert period - (thickness + d_ref) == pytest.approx(
+            10.0, abs=1e-6)
+        # in-plane lattice vectors lie in the surface
+        assert abs(slab.cell[0] @ normal) < 1e-9
+        assert abs(slab.cell[1] @ normal) < 1e-9
+
+
+def test_slab_rejects_zero_miller(ni_bulk):
+    with pytest.raises(ValueError):
+        make_slab(ni_bulk, (0, 0, 0))
+
+
+def test_surface_energy_ordering_zjw04(ni_bulk, ni_calc_s):
+    """zjw04 Ni: gamma(111) < gamma(100) < gamma(110), all in the
+    published 1.6-2.1 J/m^2 window."""
+    gammas = {}
+    for hkl in [(1, 0, 0), (1, 1, 0), (1, 1, 1)]:
+        r = surface_energy(ni_calc_s, ni_bulk, hkl, layers=8,
+                           relax=True, steps=120)
+        gammas[hkl] = r["gamma_j_m2"]
+        # relaxation can only lower the energy
+        assert r["relaxation_ev"] >= -1e-8
+    assert gammas[(1, 1, 1)] < gammas[(1, 0, 0)] < gammas[(1, 1, 0)]
+    for g in gammas.values():
+        assert 1.5 < g < 2.3
+
+
+def test_miller_equivalents_match(ni_bulk, ni_calc_s):
+    """Cubic symmetry: (100) and (010) give the same surface energy."""
+    r1 = surface_energy(ni_calc_s, ni_bulk, (1, 0, 0), layers=6,
+                        relax=False)
+    r2 = surface_energy(ni_calc_s, ni_bulk, (0, 1, 0), layers=6,
+                        relax=False)
+    assert r1["gamma_j_m2"] == pytest.approx(r2["gamma_j_m2"],
+                                             rel=1e-8)
