@@ -21,7 +21,7 @@ import numpy as np
 
 from ..atoms import Structure
 
-__all__ = ["make_slab", "surface_energy"]
+__all__ = ["make_slab", "surface_energy", "stacking_fault_energy"]
 
 
 def _in_plane_basis(cell: np.ndarray, hkl: Tuple[int, int, int],
@@ -70,22 +70,14 @@ def _in_plane_basis(cell: np.ndarray, hkl: Tuple[int, int, int],
     return m[0], m[1], m[2]
 
 
-def make_slab(bulk: Structure, miller: Tuple[int, int, int],
-              layers: int = 6, vacuum: float = 12.0,
-              search: int = 3) -> Structure:
-    """Cut an (hkl) slab with `layers` repetitions of the minimal
-    stacking period along the plane normal and `vacuum` A of empty
-    space separating periodic replicas.
-
-    The returned structure keeps pbc = (T, T, T); the vacuum gap makes
-    the third direction non-interacting for any cutoff < vacuum.
-    """
+def _fill_supercell(bulk: Structure, m: np.ndarray
+                    ) -> Tuple[list, np.ndarray, np.ndarray]:
+    """Populate the integer supercell `m` (rows: lattice combinations)
+    of `bulk` -> (symbols, fractional positions in the NEW cell, new
+    cell). Exact-count checked."""
     cell = np.asarray(bulk.cell, float)
-    u, v, w = _in_plane_basis(cell, miller, search=search)
-    m = np.stack([u, v, w * layers])        # integer supercell matrix
     new_cell = m @ cell
     ncells = int(round(abs(np.linalg.det(m))))
-    # enumerate bulk lattice translations covering the new cell
     corners = np.array(list(product([0, 1], repeat=3))) @ m
     lo = corners.min(axis=0) - 1
     hi = corners.max(axis=0) + 1
@@ -108,8 +100,26 @@ def make_slab(bulk: Structure, miller: Tuple[int, int, int],
     expected = ncells * len(bulk)
     if len(sym) != expected:
         raise RuntimeError(
-            f"slab filling found {len(sym)} atoms, expected {expected}")
-    pos = np.asarray(pos) @ new_cell
+            f"supercell filling found {len(sym)} atoms, "
+            f"expected {expected}")
+    return sym, np.asarray(pos), new_cell
+
+
+def make_slab(bulk: Structure, miller: Tuple[int, int, int],
+              layers: int = 6, vacuum: float = 12.0,
+              search: int = 3) -> Structure:
+    """Cut an (hkl) slab with `layers` repetitions of the minimal
+    stacking period along the plane normal and `vacuum` A of empty
+    space separating periodic replicas.
+
+    The returned structure keeps pbc = (T, T, T); the vacuum gap makes
+    the third direction non-interacting for any cutoff < vacuum.
+    """
+    cell = np.asarray(bulk.cell, float)
+    u, v, w = _in_plane_basis(cell, miller, search=search)
+    m = np.stack([u, v, w * layers])        # integer supercell matrix
+    sym, frac, new_cell = _fill_supercell(bulk, m)
+    pos = frac @ new_cell
     # vacuum: extend the third vector along the plane normal so the
     # PERPENDICULAR replica gap equals `vacuum`
     normal = np.cross(new_cell[0], new_cell[1])
@@ -150,3 +160,88 @@ def surface_energy(calc, bulk: Structure,
             "e_slab": float(e_slab),
             "e_unrelaxed": float(e_unrelaxed),
             "relaxation_ev": float(e_unrelaxed - e_slab)}
+
+
+def _relax_normal(calc, s: Structure, normal: np.ndarray,
+                  fmax: float = 0.02, steps: int = 200,
+                  dt: float = 0.08) -> Structure:
+    """FIRE-lite with forces PROJECTED on the plane normal — the
+    standard constrained relaxation for gamma-surface points (in-plane
+    motion would slide the fault away)."""
+    s = s.copy()
+    n = normal / np.linalg.norm(normal)
+    v = np.zeros(len(s))
+    a_scale = 0.1
+    for _ in range(steps):
+        f = np.asarray(calc.get_forces(s)) @ n
+        if np.abs(f).max() < fmax:
+            break
+        power = float(f @ v)
+        if power > 0:
+            fn = np.linalg.norm(f) or 1.0
+            v = (1 - a_scale) * v + a_scale * np.linalg.norm(v) * f / fn
+        else:
+            v[:] = 0.0
+        v = v + dt * f
+        s.positions = s.positions + dt * v[:, None] * n[None, :]
+    return s
+
+
+def stacking_fault_energy(calc, bulk: Structure,
+                          miller: Tuple[int, int, int] = (1, 1, 1),
+                          frac_shift: Tuple[float, float] = (1/3, 1/3),
+                          layers: int = 8, relax: bool = True,
+                          fmax: float = 0.02, steps: int = 200,
+                          search: int = 3) -> Dict[str, float]:
+    """Generalized stacking-fault energy by the tilted-cell method:
+    the (hkl)-oriented supercell's third vector is sheared by
+    `frac_shift` of the two in-plane lattice vectors, inserting exactly
+    ONE fault per periodic image (no vacuum, no free surfaces). Atoms
+    relax along the plane normal only (`relax=True`), the constrained
+    mode a gamma-surface scan requires.
+
+    For fcc (111) with the default shortest in-plane basis,
+    `frac_shift=(1/3, 1/3)` is the intrinsic stacking fault
+    (the Shockley-partial displacement). Returns gamma in eV/A^2,
+    J/m^2 and mJ/m^2.
+    """
+    cell = np.asarray(bulk.cell, float)
+    u, v, w = _in_plane_basis(cell, miller, search=search)
+    m = np.stack([u, v, w * layers])
+    sym, frac, perfect_cell = _fill_supercell(bulk, m)
+    perfect = Structure.from_symbols(sym, frac @ perfect_cell,
+                                     perfect_cell, pbc=[True] * 3)
+    e_perfect = calc.get_potential_energy(perfect)
+    # canonical ACUTE in-plane basis: whether the shortest-pair search
+    # returned vectors at 60 or 120 degrees is arbitrary, but the
+    # physical meaning of frac_shift must not be — e.g. (1/3, 1/3) of
+    # the acute fcc(111) basis IS the Shockley-partial displacement
+    b1 = perfect_cell[0]
+    b2 = (perfect_cell[1] if b1 @ perfect_cell[1] >= -1e-9
+          else perfect_cell[0] + perfect_cell[1])
+    shift = frac_shift[0] * b1 + frac_shift[1] * b2
+    faulted_cell = perfect_cell.copy()
+    faulted_cell[2] = perfect_cell[2] + shift
+    # atoms stay at their PERFECT Cartesian positions: only the
+    # periodic boundary is sheared, so the slip discontinuity (the
+    # fault) is localized at the cell boundary instead of being
+    # smeared into a uniform shear strain
+    faulted = Structure.from_symbols(sym, frac @ perfect_cell,
+                                     faulted_cell, pbc=[True] * 3)
+    e_unrelaxed = calc.get_potential_energy(faulted)
+    normal = np.cross(perfect_cell[0], perfect_cell[1])
+    if relax:
+        faulted = _relax_normal(calc, faulted, normal,
+                                fmax=fmax, steps=steps)
+        e_fault = calc.get_potential_energy(faulted)
+    else:
+        e_fault = e_unrelaxed
+    area = float(np.linalg.norm(normal))
+    gamma = (e_fault - e_perfect) / area
+    return {"gamma_ev_a2": float(gamma),
+            "gamma_j_m2": float(gamma) * 16.02176634,
+            "gamma_mj_m2": float(gamma) * 16021.76634,
+            "n_atoms": len(perfect), "area_a2": area,
+            "e_perfect": float(e_perfect),
+            "e_unrelaxed": float(e_unrelaxed),
+            "e_fault": float(e_fault)}

@@ -224,6 +224,20 @@ def main(argv=None):
     c_surf.add_argument("--no-relax", action="store_true")
     c_surf.add_argument("--fmax", type=float, default=0.02)
 
+    c_sfe = comp_sub.add_parser(
+        "sfe", help="stacking-fault energy gamma(hkl, shift): "
+                    "tilted-cell method, normal-constrained "
+                    "relaxation (fcc (111) 1/3,1/3 = intrinsic SF)")
+    c_sfe.add_argument("model")
+    c_sfe.add_argument("crystal")
+    c_sfe.add_argument("--miller", type=int, nargs=3,
+                       default=[1, 1, 1])
+    c_sfe.add_argument("--shift", type=float, nargs=2,
+                       default=[1 / 3, 1 / 3],
+                       help="in units of the acute in-plane basis")
+    c_sfe.add_argument("--layers", type=int, default=8)
+    c_sfe.add_argument("--no-relax", action="store_true")
+
     c_qha = comp_sub.add_parser(
         "qha", help="quasi-harmonic thermal expansion: minimize "
                     "E(V) + F_vib(V,T) over scaled cells (one exact "
@@ -516,6 +530,8 @@ def _cmd_compute(args):
         return _compute_qha(args)
     if args.task == "surface":
         return _compute_surface(args)
+    if args.task == "sfe":
+        return _compute_sfe(args)
     if args.task == "neb":
         return _compute_neb(args)
     if args.task == "defect":
@@ -660,6 +676,22 @@ def _compute_surface(args):
           f"surface relaxation {r['relaxation_ev'] * 1000:.2f} meV")
     print(f"gamma({h}{k}{l}) = {r['gamma_j_m2']:.4f} J/m^2 "
           f"({r['gamma_ev_a2']:.6f} eV/A^2)")
+    return 0
+
+
+def _compute_sfe(args):
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.surface import stacking_fault_energy
+    calc = TensorAlloyCalculator(args.model)
+    bulk = _load_crystal(args.crystal)
+    r = stacking_fault_energy(calc, bulk, tuple(args.miller),
+                              tuple(args.shift), layers=args.layers,
+                              relax=not args.no_relax)
+    h, k, l = args.miller
+    print(f"({h}{k}{l}) shift ({args.shift[0]:.4f}, "
+          f"{args.shift[1]:.4f}): {r['n_atoms']} atoms, "
+          f"area {r['area_a2']:.3f} A^2")
+    print(f"gamma = {r['gamma_mj_m2']:.2f} mJ/m^2")
     return 0
 
 

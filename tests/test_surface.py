@@ -91,3 +91,25 @@ def test_miller_equivalents_match(ni_bulk, ni_calc_s):
                         relax=False)
     assert r1["gamma_j_m2"] == pytest.approx(r2["gamma_j_m2"],
                                              rel=1e-8)
+
+
+def test_stacking_fault_energy_fcc(ni_bulk, ni_calc_s):
+    """Tilted-cell GSF: zero and full-lattice shifts are exactly
+    invariant (gamma = 0), the intrinsic fault at the Shockley-partial
+    displacement lands in the zjw04-Ni window, and the halfway point
+    (unstable fault) lies above it."""
+    from tensoralloy_tpu.analysis.surface import stacking_fault_energy
+    r0 = stacking_fault_energy(ni_calc_s, ni_bulk, (1, 1, 1),
+                               (0.0, 0.0), layers=8, relax=False)
+    assert r0["gamma_mj_m2"] == pytest.approx(0.0, abs=1e-6)
+    r_full = stacking_fault_energy(ni_calc_s, ni_bulk, (1, 1, 1),
+                                   (1.0, 0.0), layers=8, relax=False)
+    assert r_full["gamma_mj_m2"] == pytest.approx(0.0, abs=1e-6)
+    r_isf = stacking_fault_energy(ni_calc_s, ni_bulk, (1, 1, 1),
+                                  (1 / 3, 1 / 3), layers=8)
+    assert 60.0 < r_isf["gamma_mj_m2"] < 200.0   # published ~125
+    r_us = stacking_fault_energy(ni_calc_s, ni_bulk, (1, 1, 1),
+                                 (1 / 6, 1 / 6), layers=8)
+    assert r_us["gamma_mj_m2"] > r_isf["gamma_mj_m2"]
+    # constrained relaxation can only lower the energy
+    assert r_isf["e_fault"] <= r_isf["e_unrelaxed"] + 1e-10
