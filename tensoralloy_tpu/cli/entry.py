@@ -147,7 +147,8 @@ def main(argv=None):
                        help="write per-image path energies as CSV")
 
     c_def = comp_sub.add_parser(
-        "defect", help="vacancy formation energy (native relaxation, "
+        "defect", help="point-defect formation energy: vacancy "
+                       "(default) or interstitial (native relaxation, "
                        "no LAMMPS)")
     c_def.add_argument("model")
     c_def.add_argument("crystal")
@@ -155,6 +156,16 @@ def main(argv=None):
                        default=[3, 3, 3])
     c_def.add_argument("--site", type=int, default=0,
                        help="atom index removed from the supercell")
+    c_def.add_argument("--interstitial", type=float, nargs=3,
+                       default=None, metavar=("FX", "FY", "FZ"),
+                       help="ADD one atom at this fractional position "
+                            "of the supercell instead of removing one "
+                            "(e.g. 1/6 1/6 1/6 of a 3x3x3 fcc "
+                            "supercell = octahedral site)")
+    c_def.add_argument("--element", default=None,
+                       help="interstitial species (default: host; the "
+                            "chemical potential is the bulk "
+                            "energy/atom, i.e. self-interstitial)")
     c_def.add_argument("--fmax", type=float, default=0.02)
 
     c_unc = comp_sub.add_parser(
@@ -566,9 +577,12 @@ def _compute_uncertainty(args):
 
 
 def _compute_defect(args):
-    """Vacancy formation: E_f = E_def - (N-1)/N * E_bulk, internally
-    relaxed with the model (ref analog: analysis/lammps DefectFormation,
-    which needs an external LAMMPS)."""
+    """Point-defect formation, internally relaxed with the model (ref
+    analog: analysis/lammps DefectFormation, which needs an external
+    LAMMPS). Vacancy: E_f = E_def - (N-1)/N * E_bulk. Interstitial:
+    E_f = E_def - (N+1)/N * E_bulk (self-interstitial; for a foreign
+    `--element` the host-energy chemical potential is still used and
+    reported as such)."""
     import numpy as np
     from ..atoms import Structure
     from ..calculator import TensorAlloyCalculator
@@ -578,6 +592,22 @@ def _compute_defect(args):
     bulk = relax_positions(calc, bulk, fmax=args.fmax)
     e_bulk = calc.get_potential_energy(bulk)
     n = len(bulk)
+    if getattr(args, "interstitial", None) is not None:
+        from ..elements import atomic_numbers
+        sym = args.element or bulk.symbols[0]
+        pos_new = np.asarray(args.interstitial) @ bulk.cell
+        defect = Structure(
+            np.concatenate([bulk.numbers, [atomic_numbers[sym]]]),
+            np.concatenate([bulk.positions, pos_new[None]]),
+            bulk.cell.copy(), bulk.pbc)
+        defect = relax_positions(calc, defect, fmax=args.fmax)
+        e_def = calc.get_potential_energy(defect)
+        e_f = e_def - (n + 1) / n * e_bulk
+        print(f"supercell N = {n}; E_bulk = {e_bulk:.6f} eV; "
+              f"E_defect = {e_def:.6f} eV ({sym} interstitial, "
+              f"mu = bulk energy/atom)")
+        print(f"interstitial formation energy = {e_f:.6f} eV")
+        return 0
     if not 0 <= args.site < n:
         raise SystemExit(f"--site {args.site} out of range (N={n})")
     keep = np.arange(n) != args.site

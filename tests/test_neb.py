@@ -148,3 +148,28 @@ def test_cli_compute_latt(tmp_path):
     e0 = float(out.stdout.split("E0 = ")[1].split()[0])
     assert a0 == pytest.approx(3.52, abs=0.01)
     assert e0 == pytest.approx(-4.45, abs=0.02)
+
+
+def test_cli_compute_defect_interstitial(tmp_path):
+    """Interstitial branch: a Ni self-interstitial at the octahedral
+    site of a 2x2x2 supercell lands in the known EAM 3.5-6 eV window
+    (well above the ~1.6 eV vacancy)."""
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 32}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "defect", str(mpath), "Ni", "--supercell", "2", "2", "2",
+         "--interstitial", "0.25", "0.25", "0.25"],
+        capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines()
+            if "interstitial formation energy" in l][0]
+    e_f = float(line.split("=")[1].split()[0])
+    assert 3.0 < e_f < 6.5
