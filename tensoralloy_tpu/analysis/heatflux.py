@@ -1,0 +1,201 @@
+"""Green-Kubo thermal conductivity from an exact autodiff heat flux.
+
+The reference framework has no thermal-transport capability at all (it
+delegates MD to LAMMPS through its exporters, and LAMMPS' own
+`compute heat/flux` is WRONG for many-body potentials unless the
+centroid form is used).  Here the potential is a pure JAX function of
+the pair displacement vectors, so the EXACT many-body heat flux is one
+`jax.value_and_grad` against them — the same rij-fed contract as
+`nn.fields.make_rij_efs_fn` (reference `use_computed_dists=False`,
+`transformer/universal.py:265-276`).
+
+Math.  Every site energy in this framework is a function of the
+displacement vectors anchored at its owner atom: E_i({d_q : o(q)=i})
+with d_q = r_{n(q)} - r_{o(q)} (radial pairs `pair_i -> pair_j`,
+angular triples `trip_i -> trip_j/trip_k`; see `ops/pairs.py`).  With
+g_q = dE_total/d(d_q) = dE_{o(q)}/d(d_q) (owner-only dependence), the
+microscopic energy current J = d/dt sum_i r_i (E_i + K_i) reduces to
+the manifestly translation- and gauge-invariant operator
+
+    J = sum_i (E_i + K_i) v_i  -  sum_q d_q (g_q . v_{n(q)})
+
+(the absolute-position terms cancel between the potential piece and
+the kinetic piece dK_i/dt = F_i . v_i).  This is the Hardy/Fan form
+[Fan et al., PRB 92, 094301 (2015), Eq. 24] generalised to any owner-
+anchored many-body decomposition — EAM/ADP, symmetry functions, GRAP
+moment tensors alike.  Uniform velocities give the enthalpy-transport
+identity J = (E + K) v - W^T v with W the potential virial.
+
+Green-Kubo:  kappa = 1 / (V kB T^2) * int_0^inf <J(0) . J(t)>/3 dt,
+with the HCACF averaged over all time origins.
+
+Units follow `dynamics.py`: eV, A, fs, amu -> J in eV*A/fs, kappa
+converted to W/(m K).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dynamics import FORCE_TO_ACC, KB
+from ..ops.pairs import pair_vectors
+
+__all__ = ["make_heat_flux_fn", "trajectory_heat_flux", "green_kubo"]
+
+# 1 eV/(A fs K) in W/(m K): eV->J, A->m, fs->s
+EV_A_FS_TO_W_MK = 1.602176634e-19 / (1e-10 * 1e-15)
+
+
+def _trip_vectors(features):
+    """Owner-anchored triple displacement vectors (d_ij, d_ik)."""
+    pos, cell = features["positions"], features["cell"]
+    ri = pos[features["trip_i"]]
+    dij = (pos[features["trip_j"]] + features["trip_shift_j"] @ cell
+           - ri)
+    dik = (pos[features["trip_k"]] + features["trip_shift_k"] @ cell
+           - ri)
+    return dij, dik
+
+
+def make_heat_flux_fn(model) -> Callable:
+    """-> fn(params, features, velocities, masses) -> dict.
+
+    `features`: one structure's segment-layout features (the flat pair
+    arrays; the owner-anchored rij-fed energy contract only exists
+    there).  `velocities` [n_vap, 3] A/fs and `masses` [n_vap] amu in
+    VAP order (virtual row 0 arbitrary — it is masked out).
+
+    Returns {"J", "J_convective", "J_virial" [3] eV*A/fs,
+    "energy" scalar, "atomic_energies" [n_vap]}.
+    """
+    backend = getattr(getattr(model, "descriptor", None), "backend",
+                      "segment")
+    if backend != "segment":
+        raise ValueError(
+            "heat flux needs the flat segment descriptor backend "
+            f"(owner-anchored rij-fed gradients); got {backend!r}")
+
+    site_energies = model.atomic_energies
+
+    def flux(params, features, velocities, masses
+             ) -> Dict[str, jnp.ndarray]:
+        feats = dict(features)
+        keys = ["rij"]
+        vecs = [pair_vectors(features)]
+        if "trip_i" in features:
+            dij, dik = _trip_vectors(features)
+            keys += ["trip_rij", "trip_rik"]
+            vecs += [dij, dik]
+
+        def e_of(*vs):
+            f = dict(feats)
+            f.update(zip(keys, vs))
+            ae = site_energies(params, f)
+            return jnp.sum(ae), ae
+
+        (energy, ae), grads = jax.value_and_grad(
+            e_of, argnums=tuple(range(len(keys))),
+            has_aux=True)(*vecs)
+        grads = dict(zip(keys, grads))
+        vecs = dict(zip(keys, vecs))
+
+        amask = features["atom_masks"]
+        kin = 0.5 * masses * jnp.sum(jnp.square(velocities), axis=-1) \
+            / FORCE_TO_ACC
+        conv = jnp.sum(((ae + kin * amask))[:, None] * velocities,
+                       axis=0)
+
+        def virial_term(vec_key, neighbor_key):
+            g = grads[vec_key]
+            vn = velocities[features[neighbor_key]]
+            return -jnp.sum(vecs[vec_key]
+                            * jnp.sum(g * vn, axis=-1, keepdims=True),
+                            axis=0)
+
+        jv = virial_term("rij", "pair_j")
+        if "trip_rij" in grads:
+            jv = jv + virial_term("trip_rij", "trip_j")
+            jv = jv + virial_term("trip_rik", "trip_k")
+
+        return {"J": conv + jv, "J_convective": conv, "J_virial": jv,
+                "energy": energy, "atomic_energies": ae}
+
+    return flux
+
+
+def trajectory_heat_flux(model, params, structure, positions, velocities,
+                         cells=None, featurizer=None) -> np.ndarray:
+    """J(t) [n_frames, 3] (eV*A/fs) for a recorded MD trajectory.
+
+    `positions`/`velocities` [n_frames, N, 3] in LOCAL atom order (as
+    recorded by `dynamics.VelocityVerlet.run(record_trajectory=True)`);
+    `cells` [n_frames, 3, 3] or None for the fixed structure cell.
+    Each frame is featurized on the host (exact neighbor list) and the
+    flux is one jitted device call; frames share the compiled program
+    via capacity-padded shapes.
+    """
+    from ..atoms import Structure
+
+    fz = featurizer or model.featurizer
+    vap = fz.make_vap(structure, model.max_occurs)
+    flux = jax.jit(make_heat_flux_fn(model))
+    masses = jnp.asarray(vap.map_array(structure.masses))
+
+    n_frames = len(positions)
+    cap: Dict[str, int] = {}
+    out = np.zeros((n_frames, 3))
+    for t in range(n_frames):
+        s = Structure(structure.numbers, np.asarray(positions[t]),
+                      structure.cell if cells is None
+                      else np.asarray(cells[t]), structure.pbc)
+        feats = fz.featurize(s, vap, layout="segment")
+        # pad pair/triple arrays up to a persistent capacity so every
+        # frame hits the same compiled executable
+        for k, v in feats.items():
+            n = np.asarray(v).shape[0] if np.ndim(v) else 0
+            if k.startswith(("pair_", "trip_")) and np.ndim(v):
+                cap[k] = max(cap.get(k, 0), int(1.25 * n) + 8)
+                pad = cap[k] - n
+                if pad > 0:
+                    width = [(0, pad)] + [(0, 0)] * (np.ndim(v) - 1)
+                    feats[k] = np.pad(np.asarray(v), width)
+        v_vap = vap.map_array(np.asarray(velocities[t]))
+        res = flux(params, {k: jnp.asarray(v) for k, v in feats.items()},
+                   jnp.asarray(v_vap), masses)
+        out[t] = np.asarray(res["J"])
+    return out
+
+
+def green_kubo(J: np.ndarray, dt: float, volume: float,
+               temperature: float, max_lag: Optional[int] = None
+               ) -> Dict[str, np.ndarray]:
+    """Green-Kubo running thermal conductivity from a heat-flux series.
+
+    J [n_frames, 3] in eV*A/fs (total flux, NOT per volume), `dt` fs
+    between frames, `volume` A^3, `temperature` K.
+
+    Returns {"lags" fs, "hcacf" (eV*A/fs)^2 (component-averaged,
+    all-origin), "kappa_running" W/(m K) — trapezoidal running
+    integral, "kappa" its final value}.
+    """
+    J = np.asarray(J, dtype=np.float64)
+    n = len(J)
+    if max_lag is None:
+        max_lag = n // 2
+    max_lag = int(min(max_lag, n - 1))
+    acf = np.empty(max_lag + 1)
+    for lag in range(max_lag + 1):
+        prods = np.sum(J[:n - lag] * J[lag:], axis=1)
+        acf[lag] = prods.mean() / 3.0
+    lags = np.arange(max_lag + 1) * dt
+    # trapezoidal cumulative integral of the HCACF
+    integ = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (acf[1:] + acf[:-1]) * dt)])
+    pref = EV_A_FS_TO_W_MK / (volume * KB * temperature ** 2)
+    kappa_running = pref * integ
+    return {"lags": lags, "hcacf": acf,
+            "kappa_running": kappa_running,
+            "kappa": float(kappa_running[-1])}

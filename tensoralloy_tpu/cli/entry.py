@@ -222,6 +222,32 @@ def main(argv=None):
                       help="write one trajectory frame per chunk "
                            "(extxyz, unwrapped positions)")
 
+    c_gk = comp_sub.add_parser(
+        "kappa", help="Green-Kubo lattice thermal conductivity: NVT "
+                      "equilibration -> NVE production -> exact "
+                      "autodiff many-body heat flux -> HCACF "
+                      "integral (no reference analog; LAMMPS' own "
+                      "compute heat/flux is wrong for many-body "
+                      "potentials)")
+    c_gk.add_argument("model")
+    c_gk.add_argument("structure", help="extxyz/CIF file or built-in "
+                                        "crystal name")
+    c_gk.add_argument("--temp", type=float, default=300.0)
+    c_gk.add_argument("--equil-steps", type=int, default=2000)
+    c_gk.add_argument("--steps", type=int, default=20000,
+                      help="NVE production steps")
+    c_gk.add_argument("--timestep", type=float, default=2.0)
+    c_gk.add_argument("--sample", type=int, default=5,
+                      help="record J every SAMPLE steps (= MD chunk)")
+    c_gk.add_argument("--max-lag", type=int, default=None,
+                      help="HCACF lag cutoff in frames (default n/2)")
+    c_gk.add_argument("--supercell", type=int, nargs=3, default=None)
+    c_gk.add_argument("--friction", type=float, default=0.05)
+    c_gk.add_argument("--skin", type=float, default=1.0)
+    c_gk.add_argument("--seed", type=int, default=0)
+    c_gk.add_argument("-o", "--output", default="kappa.csv",
+                      help="CSV: lag_fs, hcacf, kappa_running")
+
     c_surf = comp_sub.add_parser(
         "surface", help="surface energy gamma(hkl): Miller-index slab "
                         "built by integer lattice algebra, relaxed "
@@ -535,6 +561,8 @@ def _cmd_compute(args):
         return _compute_phonon(args)
     if args.task == "md":
         return _compute_md(args)
+    if args.task == "kappa":
+        return _compute_kappa(args)
     if args.task == "rdf":
         return _compute_rdf(args)
     if args.task == "qha":
@@ -688,6 +716,57 @@ def _compute_md(args):
     print(f"final T = {md.temperature:.1f} K"
           + (f", total-energy drift {drift:.4f} meV/atom"
              if regime == "NVE" else ""))
+    print(f"wrote {args.output}")
+    return 0
+
+
+def _compute_kappa(args):
+    """Green-Kubo kappa: Langevin-NVT equilibration, NVE production
+    with per-chunk trajectory recording, exact autodiff heat flux per
+    frame (`analysis.heatflux`), HCACF running integral."""
+    import numpy as np
+    from ..dynamics import VelocityVerlet
+    from ..io.model import load_model
+    from ..analysis.heatflux import trajectory_heat_flux, green_kubo
+    model, params, _ = load_model(args.model)
+    s = _load_crystal(args.structure)
+    if args.supercell:
+        s = s.repeat(tuple(args.supercell))
+    print(f"equilibration: NVT {args.temp} K, {args.equil_steps} "
+          f"steps @ {args.timestep} fs ({len(s)} atoms)")
+    md_eq = VelocityVerlet(
+        model, params, s, timestep=args.timestep, skin=args.skin,
+        chunk_size=max(args.sample, 20), temperature=args.temp,
+        seed=args.seed, target_temperature=args.temp,
+        friction=args.friction)
+    md_eq.run(args.equil_steps)
+    print(f"  T after equilibration: {md_eq.temperature:.1f} K")
+
+    md = VelocityVerlet(model, params, md_eq.structure,
+                        timestep=args.timestep, skin=args.skin,
+                        chunk_size=args.sample, seed=args.seed)
+    md.velocities_vap = md_eq.velocities_vap.copy()
+    print(f"production: NVE {args.steps} steps, J sampled every "
+          f"{args.sample * args.timestep} fs")
+    hist = md.run(args.steps, record_trajectory=True)
+    pos = np.asarray(hist["positions"])
+    vel = np.asarray(hist["velocities"])
+    t_mean = float(np.mean(hist["temperature"]))
+    # md.model is the stoichiometry-matched clone of the saved model
+    J = trajectory_heat_flux(md.model, params, md.structure, pos, vel,
+                             cells=np.asarray(hist["cells"]))
+    gk = green_kubo(J, dt=args.sample * args.timestep,
+                    volume=md.structure.volume, temperature=t_mean,
+                    max_lag=args.max_lag)
+    with open(args.output, "w") as fh:
+        fh.write("lag_fs,hcacf_eVA_fs_sq,kappa_running_W_mK\n")
+        for row in zip(gk["lags"], gk["hcacf"], gk["kappa_running"]):
+            fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+    kr = gk["kappa_running"]
+    plateau = float(np.mean(kr[len(kr) // 2:]))
+    print(f"<T> = {t_mean:.1f} K over {len(J)} frames")
+    print(f"kappa(max lag) = {gk['kappa']:.3f} W/m/K; "
+          f"plateau mean (last half of lags) = {plateau:.3f} W/m/K")
     print(f"wrote {args.output}")
     return 0
 

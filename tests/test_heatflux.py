@@ -1,0 +1,239 @@
+"""Exact many-body heat flux + Green-Kubo machinery.
+
+Oracles:
+1. Uniform-velocity enthalpy identity: for v_i = v, the operator must
+   give J = (E + KE) v - W^T v with W the potential virial from the
+   standard EFS pass — pins the virial term against an independently
+   computed quantity.
+2. Finite-difference energy-current oracle on a vacuum cluster: with
+   positions following r(t) = r + v t, dE_i/dt = (d/dt) E_i(r + v t)
+   is computable by central differences of the per-atom energies, and
+   the gauge-fixed current J = sum_i e_i v_i + sum_i r_i (dE_i/dt +
+   F_i . v_i) must equal the operator exactly (it was derived from it
+   by algebra with no approximation).  This verifies the owner-anchored
+   attribution, every sign, and the kinetic piece at once.
+3. Green-Kubo estimator pinned on a constant flux (hand-computed
+   prefactor) and an exactly-known cosine HCACF.
+"""
+import os
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensoralloy_tpu.atoms import Structure
+from tensoralloy_tpu.transform import Featurizer
+from tensoralloy_tpu.nn.eam import EamAlloyNN
+from tensoralloy_tpu.nn.sf import SymmetryFunction
+from tensoralloy_tpu.nn.atomic import AtomicNN
+from tensoralloy_tpu.nn.fields import make_efs_fn
+from tensoralloy_tpu.analysis.heatflux import (
+    make_heat_flux_fn, trajectory_heat_flux, green_kubo,
+    EV_A_FS_TO_W_MK)
+from tensoralloy_tpu.dynamics import FORCE_TO_ACC, KB
+
+
+def _fcc_ni(n_cell=2, a0=3.52, rattle=0.06, seed=0):
+    rng = np.random.RandomState(seed)
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    frac = np.concatenate([base + [i, j, k]
+                           for i in range(n_cell)
+                           for j in range(n_cell)
+                           for k in range(n_cell)])
+    pos = frac * a0 + rng.normal(scale=rattle, size=(len(frac), 3))
+    return Structure.from_symbols(["Ni"] * len(frac), pos,
+                                  np.eye(3) * a0 * n_cell,
+                                  pbc=[True] * 3)
+
+
+def _cluster_ni(n=10, seed=3):
+    """Vacuum-cell cluster (gauge-fixed absolute positions)."""
+    rng = np.random.RandomState(seed)
+    pos = []
+    while len(pos) < n:
+        cand = rng.uniform(0, 6.5, size=3)
+        if all(np.linalg.norm(cand - p) > 2.1 for p in pos):
+            pos.append(cand)
+    s = Structure.from_symbols(["Ni"] * n, np.array(pos) + 8.0,
+                               np.eye(3) * 24.0, pbc=[False] * 3)
+    return s
+
+
+def _models(structure, angular=False, rcut=4.5):
+    out = []
+    n = len(structure)
+    fz = Featurizer(["Ni"], rcut=rcut)
+    eam = EamAlloyNN(fz, Counter({"Ni": n}), custom_potentials="zjw04")
+    out.append((eam, eam.init_params(jax.random.PRNGKey(0)), fz))
+    if angular:
+        fza = Featurizer(["Ni"], rcut=rcut, angular=True)
+        sf = SymmetryFunction(["Ni"])
+        m = AtomicNN(fza, Counter({"Ni": n}), sf, hidden_sizes=[8],
+                     minmax_scale=False)
+        out.append((m, m.init_params(jax.random.PRNGKey(1)), fza))
+    return out
+
+
+def _feats(fz, s, vap):
+    return {k: jnp.asarray(v)
+            for k, v in fz.featurize(s, vap, layout="segment").items()}
+
+
+def test_uniform_velocity_enthalpy_identity():
+    """v_i = v for all i  =>  J = (E + KE) v - W^T v."""
+    s = _fcc_ni()
+    for model, params, fz in _models(s, angular=True):
+        vap = fz.make_vap(s, model.max_occurs)
+        feats = _feats(fz, s, vap)
+        masses = jnp.asarray(vap.map_array(s.masses))
+        v = np.array([0.013, -0.007, 0.019])
+        vel = jnp.asarray(vap.map_array(np.tile(v, (len(s), 1))))
+
+        res = jax.jit(make_heat_flux_fn(model))(params, feats, vel,
+                                                masses)
+        efs = jax.jit(make_efs_fn(model.energy))(params, feats)
+        ke = float(0.5 * np.sum(np.asarray(masses)
+                                * np.sum(np.asarray(vel) ** 2, -1))
+                   / FORCE_TO_ACC)
+        expect = ((float(efs["energy"]) + ke) * v
+                  - np.asarray(efs["virial"]).T @ v)
+        np.testing.assert_allclose(np.asarray(res["J"]), expect,
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_heat_flux_fd_energy_current_oracle():
+    """Cluster: operator == gauge-fixed sum_i [e_i v_i + r_i de_i/dt]."""
+    s = _cluster_ni()
+    rng = np.random.RandomState(7)
+    vel_local = rng.normal(scale=0.02, size=(len(s), 3))
+    for model, params, fz in _models(s, angular=True):
+        vap = fz.make_vap(s, model.max_occurs)
+        feats = _feats(fz, s, vap)
+        masses_local = s.masses
+        masses = jnp.asarray(vap.map_array(masses_local))
+        vel = jnp.asarray(vap.map_array(vel_local))
+
+        res = jax.jit(make_heat_flux_fn(model))(params, feats, vel,
+                                                masses)
+
+        # central FD of per-atom site energies along r(t) = r + v t
+        eps = 1e-5
+        ae = {}
+        for sgn in (+1, -1):
+            s2 = Structure(s.numbers,
+                           s.positions + sgn * eps * vel_local,
+                           s.cell, s.pbc)
+            f2 = _feats(fz, s2, vap)
+            ae[sgn] = np.asarray(model.atomic_energies(params, f2))
+        de_dt = vap.reverse_map((ae[+1] - ae[-1]) / (2 * eps))
+
+        efs = jax.jit(make_efs_fn(model.energy))(params, feats)
+        forces = vap.reverse_map(np.asarray(efs["forces"]))
+        e_at = vap.reverse_map(
+            np.asarray(model.atomic_energies(params, feats)))
+        ke_at = 0.5 * masses_local * np.sum(vel_local ** 2, -1) \
+            / FORCE_TO_ACC
+        dke_dt = np.sum(forces * vel_local, -1)
+
+        j_ref = (np.sum((e_at + ke_at)[:, None] * vel_local, 0)
+                 + np.sum(s.positions * (de_dt + dke_dt)[:, None], 0))
+        np.testing.assert_allclose(np.asarray(res["J"]), j_ref,
+                                   rtol=2e-5, atol=2e-7)
+
+
+def test_heat_flux_requires_segment_backend():
+    s = _fcc_ni()
+    fz = Featurizer(["Ni"], rcut=4.5)
+    sf = SymmetryFunction(["Ni"], backend="dense")
+    m = AtomicNN(fz, Counter({"Ni": len(s)}), sf, hidden_sizes=[8],
+                 minmax_scale=False)
+    with pytest.raises(ValueError, match="segment"):
+        make_heat_flux_fn(m)
+
+
+def test_green_kubo_constant_flux_prefactor():
+    """Constant J => HCACF == |J|^2/3 and kappa_running is linear with
+    the hand-computed prefactor."""
+    J = np.tile([0.3, -0.1, 0.2], (101, 1))
+    dt, vol, temp = 2.0, 1000.0, 300.0
+    gk = green_kubo(J, dt=dt, volume=vol, temperature=temp, max_lag=50)
+    j2 = np.sum(J[0] ** 2) / 3.0
+    np.testing.assert_allclose(gk["hcacf"], j2, rtol=1e-12)
+    pref = EV_A_FS_TO_W_MK / (vol * KB * temp ** 2)
+    np.testing.assert_allclose(
+        gk["kappa_running"], pref * j2 * gk["lags"], rtol=1e-12)
+    assert gk["kappa"] == pytest.approx(pref * j2 * 50 * dt)
+
+
+def test_green_kubo_cosine_acf():
+    """J_x(t) = cos(w t) sampled densely: the all-origin HCACF at lag L
+    is cos(w L) * mean_t[cos^2] ~ cos(w L)/2, and the running integral
+    approaches sin(w t)/(2 w) * pref."""
+    w = 0.05
+    t = np.arange(4000) * 1.0
+    J = np.zeros((len(t), 3))
+    J[:, 0] = np.cos(w * t)
+    gk = green_kubo(J, dt=1.0, volume=500.0, temperature=400.0,
+                    max_lag=200)
+    # finite-window origin averaging leaves an O(1/(w n)) remainder
+    expect = 0.5 * np.cos(w * gk["lags"]) / 3.0
+    np.testing.assert_allclose(gk["hcacf"], expect, atol=1e-3)
+
+
+def test_trajectory_heat_flux_runs():
+    """End-to-end: short NVE trajectory -> J(t) -> finite kappa; the
+    first frame's flux matches a direct make_heat_flux_fn call."""
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    s = _fcc_ni(rattle=0.0)
+    model, params, fz = _models(s)[0]
+    md = VelocityVerlet(model, params, s, timestep=2.0,
+                        temperature=400.0, seed=2, chunk_size=5)
+    hist = md.run(10, record_trajectory=True)
+    pos = np.asarray(hist["positions"])
+    vel = np.asarray(hist["velocities"])
+    J = trajectory_heat_flux(model, params, s, pos, vel)
+    assert J.shape == (len(pos), 3)
+    assert np.all(np.isfinite(J))
+
+    vap = fz.make_vap(s, model.max_occurs)
+    s0 = Structure(s.numbers, pos[0], s.cell, s.pbc)
+    feats = _feats(fz, s0, vap)
+    res = jax.jit(make_heat_flux_fn(model))(
+        params, feats, jnp.asarray(vap.map_array(vel[0])),
+        jnp.asarray(vap.map_array(s.masses)))
+    np.testing.assert_allclose(J[0], np.asarray(res["J"]),
+                               rtol=1e-6, atol=1e-9)
+
+    gk = green_kubo(J, dt=2.0, volume=s.volume, temperature=400.0)
+    assert np.isfinite(gk["kappa"])
+
+
+def test_cli_compute_kappa(tmp_path):
+    """`compute kappa` end-to-end on a tiny zjw04 Ni cell: NVT equil,
+    NVE production, heat flux, HCACF CSV with finite kappa."""
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out_csv = tmp_path / "kappa.csv"
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "kappa", str(mpath), "Ni", "--supercell", "2", "2", "2",
+         "--temp", "300", "--equil-steps", "20", "--steps", "60",
+         "--sample", "5", "--timestep", "2.0", "-o", str(out_csv)],
+        capture_output=True, text=True, check=True)
+    assert "kappa(max lag)" in out.stdout
+    kappa = float(out.stdout.split("kappa(max lag) = ")[1].split()[0])
+    assert np.isfinite(kappa)
+    rows = open(out_csv).readlines()
+    assert rows[0].startswith("lag_fs,")
+    assert len(rows) >= 5
