@@ -187,6 +187,160 @@ def _relax_normal(calc, s: Structure, normal: np.ndarray,
     return s
 
 
+def _is_crystal_translation(frac, sym, t_frac, tol=1e-5) -> bool:
+    """Does translating every atom by `t_frac` (fractional, PBC) map
+    the structure onto itself species-for-species?"""
+    frac = np.asarray(frac)
+    d = frac[:, None, :] + np.asarray(t_frac)[None, None, :] \
+        - frac[None, :, :]
+    d -= np.round(d)
+    close = np.max(np.abs(d), axis=-1) < tol
+    sym = np.asarray(sym)
+    same = sym[:, None] == sym[None, :]
+    return bool(np.all(np.any(close & same, axis=1)))
+
+
+def _lattice_basis_2d(vecs):
+    """Basis of the integer span of 2D integer vectors (Euclid on the
+    first coordinate, then gcd of the residual second column)."""
+    rows = [[int(v[0]), int(v[1])] for v in vecs if any(v)]
+    while True:
+        nz = sorted((r for r in rows if r[0] != 0),
+                    key=lambda r: abs(r[0]))
+        if len(nz) <= 1:
+            break
+        r0 = nz[0]
+        for r in nz[1:]:
+            q = r[0] // r0[0]
+            r[0] -= q * r0[0]
+            r[1] -= q * r0[1]
+        rows = [r for r in rows if r != [0, 0]]
+    a = next(r for r in rows if r[0] != 0)
+    gy = 0
+    for r in rows:
+        if r[0] == 0:
+            gy = gcd(gy, abs(r[1]))
+    b = [0, gy]
+    a[1] -= (a[1] // gy) * gy
+    return np.array(a, np.int64), np.array(b, np.int64)
+
+
+def _lagrange_reduce(a: np.ndarray, b: np.ndarray):
+    """Two shortest lattice vectors (2D Gauss-Lagrange reduction)."""
+    a, b = a.astype(float), b.astype(float)
+    if a @ a > b @ b:
+        a, b = b, a
+    while True:
+        mu = round(float(a @ b) / float(a @ a))
+        b = b - mu * a
+        if b @ b >= a @ a:
+            break
+        a, b = b, a
+    return a, b
+
+
+class _GsfCell:
+    """Shared tilted-cell setup for gamma-surface scans: the perfect
+    (hkl)-oriented supercell, its PRIMITIVE acute in-plane basis, and
+    the fault normal/area — built once, evaluated at many shifts.
+
+    The integer lattice algebra of `_in_plane_basis` works on the
+    CONVENTIONAL cell, so for centered lattices (fcc/bcc) its in-plane
+    vectors can be multiples of the true plane-lattice basis (fcc(111):
+    exactly 2x, making a naive gamma-surface 4-fold redundant and
+    mislabeling the partials). The constructor therefore reduces
+    (b1, b2) to the primitive plane lattice — candidate sub-vectors
+    (i b1 + j b2)/6 are verified as crystal translations against the
+    atom set itself — and orients the acute basis so that
+    (b1 + b2)/3 is the +stacking-offset direction, which makes
+    `frac_shift=(1/3, 1/3)` the INTRINSIC (Shockley) fault for
+    close-packed planes by construction rather than by coincidence."""
+
+    def __init__(self, calc, bulk: Structure,
+                 miller: Tuple[int, int, int], layers: int,
+                 search: int = 3):
+        cell = np.asarray(bulk.cell, float)
+        u, v, w = _in_plane_basis(cell, miller, search=search)
+        m = np.stack([u, v, w * layers])
+        self.sym, self.frac, self.perfect_cell = _fill_supercell(bulk, m)
+        self.positions = self.frac @ self.perfect_cell
+        perfect = Structure.from_symbols(self.sym, self.positions,
+                                         self.perfect_cell,
+                                         pbc=[True] * 3)
+        self.n_atoms = len(perfect)
+        self.e_perfect = float(calc.get_potential_energy(perfect))
+        self.normal = np.cross(self.perfect_cell[0],
+                               self.perfect_cell[1])
+        self.area = float(np.linalg.norm(self.normal))
+        self.b1, self.b2 = self._reduced_basis(layers)
+
+    def _reduced_basis(self, layers: int):
+        c1, c2 = self.perfect_cell[0], self.perfect_cell[1]
+        inv = np.linalg.inv(self.perfect_cell)
+        denom = 6              # covers sublattice indices 2, 3, 4, 6
+        found = [(denom, 0), (0, denom)]
+        for i in range(denom):
+            for j in range(denom):
+                if i == 0 and j == 0:
+                    continue
+                t = (i * c1 + j * c2) / denom
+                if _is_crystal_translation(self.frac, self.sym,
+                                           t @ inv):
+                    found.append((i, j))
+        ia, ib = _lattice_basis_2d(found)
+        b1 = (ia[0] * c1 + ia[1] * c2) / denom
+        b2 = (ib[0] * c1 + ib[1] * c2) / denom
+        b1, b2 = _lagrange_reduce(b1, b2)
+        if b1 @ b2 < -1e-9:                      # canonical ACUTE
+            b2 = -b2
+        # Shockley orientation: if the plane's stacking offset (the
+        # in-plane projection of the unit-advance vector) is the
+        # NEGATIVE diagonal third, flip the basis so that
+        # (1/3, 1/3) always means the intrinsic fault
+        n_hat = self.normal / np.linalg.norm(self.normal)
+        w_vec = self.perfect_cell[2] / layers
+        w_par = w_vec - (w_vec @ n_hat) * n_hat
+        basis = np.stack([b1, b2]).T             # [3, 2]
+
+        def equiv(vec):
+            coords, *_ = np.linalg.lstsq(basis, vec, rcond=None)
+            return np.all(np.abs(coords - np.round(coords)) < 1e-6)
+
+        diag = (b1 + b2) / 3.0
+        if not equiv(diag - w_par) and equiv(-diag - w_par):
+            b1, b2 = -b1, -b2
+        return b1, b2
+
+    def evaluate(self, calc, frac_shift, relax: bool = True,
+                 fmax: float = 0.02, steps: int = 200
+                 ) -> Dict[str, float]:
+        """gamma at one in-plane shift (units of the acute basis)."""
+        shift = frac_shift[0] * self.b1 + frac_shift[1] * self.b2
+        faulted_cell = self.perfect_cell.copy()
+        faulted_cell[2] = self.perfect_cell[2] + shift
+        # atoms stay at their PERFECT Cartesian positions: only the
+        # periodic boundary is sheared, so the slip discontinuity (the
+        # fault) is localized at the cell boundary instead of being
+        # smeared into a uniform shear strain
+        faulted = Structure.from_symbols(self.sym, self.positions,
+                                         faulted_cell, pbc=[True] * 3)
+        e_unrelaxed = float(calc.get_potential_energy(faulted))
+        if relax:
+            faulted = _relax_normal(calc, faulted, self.normal,
+                                    fmax=fmax, steps=steps)
+            e_fault = float(calc.get_potential_energy(faulted))
+        else:
+            e_fault = e_unrelaxed
+        gamma = (e_fault - self.e_perfect) / self.area
+        return {"gamma_ev_a2": gamma,
+                "gamma_j_m2": gamma * 16.02176634,
+                "gamma_mj_m2": gamma * 16021.76634,
+                "n_atoms": self.n_atoms, "area_a2": self.area,
+                "e_perfect": self.e_perfect,
+                "e_unrelaxed": e_unrelaxed,
+                "e_fault": e_fault}
+
+
 def stacking_fault_energy(calc, bulk: Structure,
                           miller: Tuple[int, int, int] = (1, 1, 1),
                           frac_shift: Tuple[float, float] = (1/3, 1/3),
@@ -205,43 +359,83 @@ def stacking_fault_energy(calc, bulk: Structure,
     (the Shockley-partial displacement). Returns gamma in eV/A^2,
     J/m^2 and mJ/m^2.
     """
-    cell = np.asarray(bulk.cell, float)
-    u, v, w = _in_plane_basis(cell, miller, search=search)
-    m = np.stack([u, v, w * layers])
-    sym, frac, perfect_cell = _fill_supercell(bulk, m)
-    perfect = Structure.from_symbols(sym, frac @ perfect_cell,
-                                     perfect_cell, pbc=[True] * 3)
-    e_perfect = calc.get_potential_energy(perfect)
-    # canonical ACUTE in-plane basis: whether the shortest-pair search
-    # returned vectors at 60 or 120 degrees is arbitrary, but the
-    # physical meaning of frac_shift must not be — e.g. (1/3, 1/3) of
-    # the acute fcc(111) basis IS the Shockley-partial displacement
-    b1 = perfect_cell[0]
-    b2 = (perfect_cell[1] if b1 @ perfect_cell[1] >= -1e-9
-          else perfect_cell[0] + perfect_cell[1])
-    shift = frac_shift[0] * b1 + frac_shift[1] * b2
-    faulted_cell = perfect_cell.copy()
-    faulted_cell[2] = perfect_cell[2] + shift
-    # atoms stay at their PERFECT Cartesian positions: only the
-    # periodic boundary is sheared, so the slip discontinuity (the
-    # fault) is localized at the cell boundary instead of being
-    # smeared into a uniform shear strain
-    faulted = Structure.from_symbols(sym, frac @ perfect_cell,
-                                     faulted_cell, pbc=[True] * 3)
-    e_unrelaxed = calc.get_potential_energy(faulted)
-    normal = np.cross(perfect_cell[0], perfect_cell[1])
-    if relax:
-        faulted = _relax_normal(calc, faulted, normal,
-                                fmax=fmax, steps=steps)
-        e_fault = calc.get_potential_energy(faulted)
-    else:
-        e_fault = e_unrelaxed
-    area = float(np.linalg.norm(normal))
-    gamma = (e_fault - e_perfect) / area
-    return {"gamma_ev_a2": float(gamma),
-            "gamma_j_m2": float(gamma) * 16.02176634,
-            "gamma_mj_m2": float(gamma) * 16021.76634,
-            "n_atoms": len(perfect), "area_a2": area,
-            "e_perfect": float(e_perfect),
-            "e_unrelaxed": float(e_unrelaxed),
-            "e_fault": float(e_fault)}
+    gsf = _GsfCell(calc, bulk, miller, layers, search=search)
+    return gsf.evaluate(calc, frac_shift, relax=relax, fmax=fmax,
+                        steps=steps)
+
+
+def gamma_line(calc, bulk: Structure,
+               miller: Tuple[int, int, int] = (1, 1, 1),
+               direction: Tuple[float, float] = (1.0, 1.0),
+               n_points: int = 13, layers: int = 8,
+               relax: bool = True, fmax: float = 0.02,
+               steps: int = 200, search: int = 3) -> Dict[str, object]:
+    """gamma(t * direction) for t in [0, 1] — the slip-path profile.
+
+    For fcc (111) the default `direction=(1, 1)` of the acute basis is
+    the <112> path: gamma rises to the UNSTABLE stacking-fault energy
+    gamma_us, dips to the intrinsic gamma_isf at t = 1/3 (the Shockley
+    partial), and returns to zero at t = 1 (b1 + b2 is a full lattice
+    translation). Returns the curve plus gamma_us (path maximum) and
+    gamma at the t = 1/3 grid point if sampled.
+
+    The perfect supercell, its energy, and the compiled evaluator are
+    shared across all points (every faulted cell has the same shapes).
+    """
+    gsf = _GsfCell(calc, bulk, miller, layers, search=search)
+    ts = np.linspace(0.0, 1.0, n_points)
+    gammas = np.zeros(n_points)
+    for i, t in enumerate(ts):
+        if i == 0:
+            continue            # zero shift: exactly the perfect cell
+        r = gsf.evaluate(calc, (t * direction[0], t * direction[1]),
+                         relax=relax, fmax=fmax, steps=steps)
+        gammas[i] = r["gamma_mj_m2"]
+    # gamma_us = the FIRST barrier along the path (the unstable SFE
+    # between perfect crystal and the first metastable fault), not the
+    # global maximum — on the fcc <112> line the run-on (AA-stacking)
+    # peak beyond the intrinsic fault is much higher
+    first_peak = len(gammas) - 1
+    for i in range(1, len(gammas) - 1):
+        if gammas[i + 1] < gammas[i]:
+            first_peak = i
+            break
+    out = {"t": ts, "gamma_mj_m2": gammas,
+           "gamma_us_mj_m2": float(gammas[first_peak]),
+           "gamma_max_mj_m2": float(gammas.max()),
+           "area_a2": gsf.area, "n_atoms": gsf.n_atoms}
+    third = np.isclose(ts, 1.0 / 3.0, atol=1e-9)
+    if third.any():
+        out["gamma_isf_mj_m2"] = float(gammas[third][0])
+    return out
+
+
+def gamma_surface(calc, bulk: Structure,
+                  miller: Tuple[int, int, int] = (1, 1, 1),
+                  n_grid: Tuple[int, int] = (8, 8), layers: int = 8,
+                  relax: bool = True, fmax: float = 0.02,
+                  steps: int = 200, search: int = 3
+                  ) -> Dict[str, object]:
+    """Full generalized-stacking-fault surface gamma(u, v) on an
+    n1 x n2 grid over the in-plane unit cell (acute basis; periodic —
+    u, v run over [0, 1) without the duplicate edge).
+
+    Returns {"u", "v", "gamma_mj_m2" [n1, n2], ...}; grid point (0, 0)
+    is exactly zero by construction (zero shift IS the perfect cell,
+    pinned by `test_surface.py`).
+    """
+    gsf = _GsfCell(calc, bulk, miller, layers, search=search)
+    n1, n2 = n_grid
+    us = np.arange(n1) / n1
+    vs = np.arange(n2) / n2
+    grid = np.zeros((n1, n2))
+    for i, uu in enumerate(us):
+        for j, vv in enumerate(vs):
+            if i == 0 and j == 0:
+                continue
+            r = gsf.evaluate(calc, (uu, vv), relax=relax, fmax=fmax,
+                             steps=steps)
+            grid[i, j] = r["gamma_mj_m2"]
+    return {"u": us, "v": vs, "gamma_mj_m2": grid,
+            "gamma_max_mj_m2": float(grid.max()),
+            "area_a2": gsf.area, "n_atoms": gsf.n_atoms}

@@ -274,6 +274,17 @@ def main(argv=None):
                        help="in units of the acute in-plane basis")
     c_sfe.add_argument("--layers", type=int, default=8)
     c_sfe.add_argument("--no-relax", action="store_true")
+    c_sfe.add_argument("--line", type=int, default=None, metavar="N",
+                       help="scan gamma(t * direction) at N points "
+                            "along --shift (as the direction; default "
+                            "fcc <112>): prints gamma_us/gamma_isf, "
+                            "writes CSV")
+    c_sfe.add_argument("--grid", type=int, nargs=2, default=None,
+                       metavar=("N1", "N2"),
+                       help="full gamma-surface on an N1 x N2 shift "
+                            "grid; writes CSV")
+    c_sfe.add_argument("-o", "--output", default="gsf.csv",
+                       help="CSV output for --line/--grid")
 
     c_qha = comp_sub.add_parser(
         "qha", help="quasi-harmonic thermal expansion: minimize "
@@ -789,14 +800,52 @@ def _compute_surface(args):
 
 
 def _compute_sfe(args):
+    import numpy as np
     from ..calculator import TensorAlloyCalculator
-    from ..analysis.surface import stacking_fault_energy
+    from ..analysis.surface import (stacking_fault_energy, gamma_line,
+                                    gamma_surface)
     calc = TensorAlloyCalculator(args.model)
     bulk = _load_crystal(args.crystal)
+    h, k, l = args.miller
+    relax = not args.no_relax
+    if args.grid is not None:
+        r = gamma_surface(calc, bulk, tuple(args.miller),
+                          n_grid=tuple(args.grid), layers=args.layers,
+                          relax=relax)
+        with open(args.output, "w") as fh:
+            fh.write("u,v,gamma_mj_m2\n")
+            for i, uu in enumerate(r["u"]):
+                for j, vv in enumerate(r["v"]):
+                    fh.write(f"{uu:.6f},{vv:.6f},"
+                             f"{r['gamma_mj_m2'][i, j]:.4f}\n")
+        print(f"({h}{k}{l}) gamma-surface {args.grid[0]}x"
+              f"{args.grid[1]}: {r['n_atoms']} atoms/cell, "
+              f"max gamma = {r['gamma_max_mj_m2']:.2f} mJ/m^2")
+        print(f"wrote {args.output}")
+        return 0
+    if args.line is not None:
+        # --shift doubles as the path direction; (1/3,1/3) would be a
+        # point, so the default direction is the full (1,1) path
+        direction = tuple(args.shift)
+        if np.allclose(direction, (1 / 3, 1 / 3)):
+            direction = (1.0, 1.0)
+        r = gamma_line(calc, bulk, tuple(args.miller),
+                       direction=direction, n_points=args.line,
+                       layers=args.layers, relax=relax)
+        with open(args.output, "w") as fh:
+            fh.write("t,gamma_mj_m2\n")
+            for t, g in zip(r["t"], r["gamma_mj_m2"]):
+                fh.write(f"{t:.6f},{g:.4f}\n")
+        print(f"({h}{k}{l}) path along ({direction[0]:.3f}, "
+              f"{direction[1]:.3f}): gamma_us = "
+              f"{r['gamma_us_mj_m2']:.2f} mJ/m^2"
+              + (f", gamma_isf = {r['gamma_isf_mj_m2']:.2f} mJ/m^2"
+                 if "gamma_isf_mj_m2" in r else ""))
+        print(f"wrote {args.output}")
+        return 0
     r = stacking_fault_energy(calc, bulk, tuple(args.miller),
                               tuple(args.shift), layers=args.layers,
-                              relax=not args.no_relax)
-    h, k, l = args.miller
+                              relax=relax)
     print(f"({h}{k}{l}) shift ({args.shift[0]:.4f}, "
           f"{args.shift[1]:.4f}): {r['n_atoms']} atoms, "
           f"area {r['area_a2']:.3f} A^2")

@@ -7,6 +7,15 @@ virtual CPU mesh.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocess CLI tests must not load the axon TPU plugin: even with
+# JAX_PLATFORMS=cpu its import-time client sleeps/retries on the
+# remote tunnel whenever a training job holds it (observed: a 2 s CLI
+# call blocking >6 min). Strip it from the inherited PYTHONPATH and
+# keep the repo importable for `python -m tensoralloy_tpu.cli`.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+     if p and "axon" not in p]
+    + [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))])
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -113,3 +113,87 @@ def test_stacking_fault_energy_fcc(ni_bulk, ni_calc_s):
     assert r_us["gamma_mj_m2"] > r_isf["gamma_mj_m2"]
     # constrained relaxation can only lower the energy
     assert r_isf["e_fault"] <= r_isf["e_unrelaxed"] + 1e-10
+
+
+def test_gamma_line_fcc_112_path(ni_bulk, ni_calc_s):
+    """gamma(t) along the acute-basis (1,1) (= <112>) path: zero at
+    both ends (t=1 is the b1+b2 lattice translation), gamma_us above
+    gamma_isf, and the t=1/3 point matches the single-shot SFE call
+    exactly (shared tilted-cell construction)."""
+    from tensoralloy_tpu.analysis.surface import (gamma_line,
+                                                  stacking_fault_energy)
+    r = gamma_line(ni_calc_s, ni_bulk, (1, 1, 1), direction=(1, 1),
+                   n_points=6, layers=8, relax=False)
+    g = r["gamma_mj_m2"]
+    assert g[0] == pytest.approx(0.0, abs=1e-6)
+    assert g[-1] == pytest.approx(0.0, abs=1e-4)
+    assert np.all(g[1:-1] > 0)
+    assert "gamma_isf_mj_m2" not in r          # 1/3 not on a 6-grid
+    r13 = gamma_line(ni_calc_s, ni_bulk, (1, 1, 1), direction=(1, 1),
+                     n_points=13, layers=8, relax=False)
+    assert "gamma_isf_mj_m2" in r13
+    assert (r13["gamma_us_mj_m2"] > r13["gamma_isf_mj_m2"] > 0)
+    one = stacking_fault_energy(ni_calc_s, ni_bulk, (1, 1, 1),
+                                (1 / 3, 1 / 3), layers=8, relax=False)
+    assert r13["gamma_isf_mj_m2"] == pytest.approx(
+        one["gamma_mj_m2"], rel=1e-9)
+
+
+def test_gamma_surface_grid_fcc(ni_bulk, ni_calc_s):
+    """3x3 gamma-surface: origin exactly zero, all other points
+    positive, and the fcc(111) mirror symmetry gamma(u,v)=gamma(v,u)
+    of the acute basis holds to machine precision (unrelaxed)."""
+    from tensoralloy_tpu.analysis.surface import gamma_surface
+    r = gamma_surface(ni_calc_s, ni_bulk, (1, 1, 1), n_grid=(3, 3),
+                      layers=8, relax=False)
+    g = r["gamma_mj_m2"]
+    assert g.shape == (3, 3)
+    assert g[0, 0] == 0.0
+    assert np.all(g.flatten()[1:] > 0)
+    np.testing.assert_allclose(g, g.T, rtol=1e-7, atol=1e-6)
+    assert r["gamma_max_mj_m2"] == pytest.approx(g.max())
+
+
+def test_gamma_line_us_is_first_barrier(ni_bulk, ni_calc_s):
+    """gamma_us is the first barrier (t ~ 1/6 on the fcc <112> path,
+    zjw04 Ni published ~255-290 mJ/m^2), NOT the far run-on peak."""
+    from tensoralloy_tpu.analysis.surface import gamma_line
+    r = gamma_line(ni_calc_s, ni_bulk, (1, 1, 1), direction=(1, 1),
+                   n_points=13, layers=8, relax=False)
+    assert r["gamma_us_mj_m2"] < r["gamma_max_mj_m2"]
+    assert 180 < r["gamma_us_mj_m2"] < 400
+    i_us = int(np.argmin(np.abs(
+        r["gamma_mj_m2"] - r["gamma_us_mj_m2"])))
+    assert r["t"][i_us] < 0.35
+
+
+def test_cli_sfe_line_and_grid(tmp_path, ni_bulk):
+    """`compute sfe --line/--grid` write CSVs and print gamma_us."""
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    line_csv = tmp_path / "line.csv"
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "sfe", str(mpath), "Ni", "--line", "5", "--layers", "6",
+         "--no-relax", "-o", str(line_csv)],
+        capture_output=True, text=True, check=True)
+    assert "gamma_us" in out.stdout
+    rows = open(line_csv).readlines()
+    assert rows[0].strip() == "t,gamma_mj_m2"
+    assert len(rows) == 6
+    grid_csv = tmp_path / "grid.csv"
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "sfe", str(mpath), "Ni", "--grid", "2", "2", "--layers", "6",
+         "--no-relax", "-o", str(grid_csv)],
+        capture_output=True, text=True, check=True)
+    assert "gamma-surface 2x2" in out.stdout
+    assert len(open(grid_csv).readlines()) == 5
