@@ -20,7 +20,8 @@ import numpy as np
 from ..atoms import Structure
 
 __all__ = ["radial_distribution", "mean_squared_displacement",
-           "velocity_autocorrelation", "diffusion_coefficient"]
+           "velocity_autocorrelation", "vibrational_dos",
+           "diffusion_coefficient"]
 
 
 def _pair_histogram_fn(nbins: int, rmax: float):
@@ -152,6 +153,54 @@ def velocity_autocorrelation(velocities: np.ndarray,
         b = v[lag:] if lag else v
         c[lag] = np.mean(np.sum(a * b, axis=-1))
     return {"t": np.arange(lmax + 1) * timestep, "vacf": c / c[0]}
+
+
+def vibrational_dos(velocities: np.ndarray, timestep: float = 1.0,
+                    masses: Optional[np.ndarray] = None,
+                    max_lag: Optional[int] = None
+                    ) -> Dict[str, np.ndarray]:
+    """Vibrational density of states from MD velocities: the cosine
+    transform of the (mass-weighted) velocity autocorrelation with a
+    Hann window — the anharmonic, finite-temperature counterpart of
+    `analysis.phonon.PhononCalculator.dos` (exact q-mesh mode sums),
+    usable to cross-check the harmonic spectrum or to see shifts in a
+    liquid/hot crystal where the harmonic picture fails.
+
+    `velocities` [T, N, 3] A/fs (as recorded by
+    `dynamics.VelocityVerlet.run(record_trajectory=True)`), `timestep`
+    fs BETWEEN FRAMES, `masses` [N] amu (uniform weights if omitted).
+
+    Returns {"freq_thz", "dos"} with the DOS normalized to unit
+    integral over the sampled band (Nyquist = 500/timestep THz).
+    """
+    v = np.asarray(velocities, dtype=np.float64)
+    t_frames = v.shape[0]
+    lmax = min(max_lag or (t_frames - 1), t_frames - 1)
+    w = (np.ones(v.shape[1]) if masses is None
+         else np.asarray(masses, np.float64))
+    c = np.empty(lmax + 1)
+    for lag in range(lmax + 1):
+        a = v[:t_frames - lag] if lag else v
+        b = v[lag:] if lag else v
+        c[lag] = np.mean(np.sum(a * b, axis=-1) @ w) / w.sum()
+    c /= c[0]
+    hann = 0.5 * (1.0 + np.cos(np.pi * np.arange(lmax + 1) / lmax))
+    ct = c * hann
+    # one-sided cosine transform on the lag grid
+    nfreq = lmax + 1
+    freqs = np.arange(nfreq) / (2.0 * lmax * timestep)   # 1/fs
+    phase = 2.0 * np.pi * np.outer(freqs, np.arange(lmax + 1)
+                                   * timestep)
+    weights = np.ones(lmax + 1)
+    weights[0] = 0.5                                      # trapezoid
+    weights[-1] = 0.5
+    dos = 2.0 * timestep * (np.cos(phase) * (ct * weights)).sum(axis=1)
+    dos = np.maximum(dos, 0.0)
+    area = np.trapezoid(dos, freqs) if hasattr(np, "trapezoid") \
+        else np.trapz(dos, freqs)
+    if area > 0:
+        dos /= area
+    return {"freq_thz": freqs * 1000.0, "dos": dos / 1000.0}
 
 
 def diffusion_coefficient(positions: np.ndarray,

@@ -140,3 +140,85 @@ def test_md_trajectory_roundtrip():
     res = mean_squared_displacement(
         np.stack(hist["positions"]), timestep=20.0)
     assert np.all(res["msd"] >= 0) and res["msd"].max() < 1.0
+
+
+def test_vibrational_dos_single_frequency():
+    """Synthetic cosine velocities: the VDOS peaks at the driving
+    frequency and is normalized to unit integral."""
+    from tensoralloy_tpu.analysis.trajectory import vibrational_dos
+    f0 = 0.008                      # 1/fs = 8 THz
+    dt = 2.0
+    t = np.arange(2000) * dt
+    rng = np.random.RandomState(0)
+    phase = rng.uniform(0, 2 * np.pi, size=(5, 3))
+    v = np.cos(2 * np.pi * f0 * t)[:, None, None] \
+        * np.cos(phase)[None] + np.sin(2 * np.pi * f0 * t)[
+        :, None, None] * np.sin(phase)[None]
+    out = vibrational_dos(v, timestep=dt)
+    peak = out["freq_thz"][np.argmax(out["dos"])]
+    assert peak == pytest.approx(8.0, abs=0.3)
+    area = np.trapezoid(out["dos"], out["freq_thz"]) \
+        if hasattr(np, "trapezoid") else np.trapz(out["dos"],
+                                                  out["freq_thz"])
+    assert area == pytest.approx(1.0, rel=1e-6)
+
+
+def test_vibrational_dos_mass_weighting():
+    """Two oscillator groups at different frequencies: mass weighting
+    shifts spectral weight toward the heavy group's line in the mass
+    ratio (equal velocity amplitudes)."""
+    from tensoralloy_tpu.analysis.trajectory import vibrational_dos
+    dt, n = 1.0, 4000
+    t = np.arange(n) * dt
+    v = np.zeros((n, 2, 3))
+    v[:, 0, 0] = np.cos(2 * np.pi * 0.004 * t)     # 4 THz, mass 1
+    v[:, 1, 0] = np.cos(2 * np.pi * 0.012 * t)     # 12 THz, mass 9
+    out = vibrational_dos(v, timestep=dt, masses=np.array([1.0, 9.0]))
+    f, d = out["freq_thz"], out["dos"]
+    w_lo = d[(f > 2) & (f < 6)].sum()
+    w_hi = d[(f > 10) & (f < 14)].sum()
+    assert w_hi / w_lo == pytest.approx(9.0, rel=0.1)
+    # unweighted: equal lines
+    out_u = vibrational_dos(v, timestep=dt)
+    f, d = out_u["freq_thz"], out_u["dos"]
+    w_lo = d[(f > 2) & (f < 6)].sum()
+    w_hi = d[(f > 10) & (f < 14)].sum()
+    assert w_hi / w_lo == pytest.approx(1.0, rel=0.1)
+
+
+def test_vibrational_dos_vs_harmonic_band(ni_eam=None):
+    """MD-VDOS of a cold zjw04 Ni crystal lives inside the harmonic
+    band: negligible spectral weight above 1.25x the exact q-mesh
+    maximum frequency, dominant weight inside the band."""
+    from collections import Counter
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    from tensoralloy_tpu.analysis.phonon import PhononCalculator
+    from tensoralloy_tpu.analysis.trajectory import vibrational_dos
+    s = _fcc(3.52, reps=2)
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    prim = Structure.from_symbols(
+        ["Ni"] * 4, np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5],
+                              [0, .5, .5]]) * 3.52,
+        np.eye(3) * 3.52, pbc=[True] * 3)
+    ph = PhononCalculator(TensorAlloyCalculator(model, params), prim,
+                          supercell=(2, 2, 2))
+    grid, dd = ph.dos(qmesh=(4, 4, 4))
+    nu_max = float(grid[dd > 1e-4 * dd.max()].max())
+    md = VelocityVerlet(model, params, s, timestep=2.0, skin=1.0,
+                        chunk_size=2, seed=3, temperature=150.0)
+    hist = md.run(400, record_trajectory=True)
+    vel = np.stack(hist["velocities"])
+    out = vibrational_dos(vel, timestep=4.0,
+                          masses=np.asarray(md.structure.masses))
+    f, d = out["freq_thz"], out["dos"]
+    in_band = d[f <= 1.1 * nu_max].sum()
+    above = d[f > 1.25 * nu_max].sum()
+    assert above < 0.1 * in_band
+    peak = f[np.argmax(d)]
+    assert 1.0 < peak < 1.1 * nu_max
