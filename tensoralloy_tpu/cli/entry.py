@@ -145,6 +145,9 @@ def main(argv=None):
                        help="pre-relax both endpoints (fixed cell)")
     c_neb.add_argument("--output", default=None,
                        help="write per-image path energies as CSV")
+    c_neb.add_argument("--shards", type=int, default=1,
+                       help="shard the replica axis over this many "
+                            "devices (LAMMPS -partition analog)")
 
     c_def = comp_sub.add_parser(
         "defect", help="point-defect formation energy: vacancy "
@@ -907,7 +910,7 @@ def _compute_neb(args):
         s_f = relax_positions(calc, s_f, fmax=args.fmax)
     neb = NEB(calc.model, calc.params, s_i, s_f,
               n_images=args.n_images, k=args.spring,
-              climb=not args.no_climb)
+              climb=not args.no_climb, n_shards=args.shards)
     res = neb.run(fmax=args.fmax, max_steps=args.max_steps)
     state = "converged" if res["converged"] else \
         f"NOT converged (fmax={res['fmax']:.4f})"

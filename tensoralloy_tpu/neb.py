@@ -50,14 +50,36 @@ class NEB:
     climb : turn the highest interior replica into a climbing image
         (no spring; tangential true force inverted) so it converges
         onto the saddle point.
+    n_shards : shard the replica axis over the first `n_shards`
+        devices of a 1-D `jax.sharding.Mesh` (the reference's analog
+        is LAMMPS `-partition Mx1` replica parallelism over MPI;
+        here the band arrays carry a `NamedSharding` and XLA's SPMD
+        partitioner inserts the collective-permutes the tangent /
+        spring terms and the band-wide FIRE reductions need — same
+        math, zero re-implementation). `n_images` must be divisible
+        by `n_shards`.
     """
 
     def __init__(self, model, params, initial: Structure,
                  final: Structure, n_images: int = 9, k: float = 5.0,
                  climb: bool = True, skin: float = 0.5,
-                 chunk_size: int = 25):
+                 chunk_size: int = 25, n_shards: int = 1):
         if n_images < 3:
             raise ValueError("need at least 3 images")
+        if n_shards > 1:
+            if n_images % n_shards:
+                raise ValueError(
+                    f"n_images={n_images} not divisible by "
+                    f"n_shards={n_shards}")
+            if n_shards > len(jax.devices()):
+                raise ValueError(
+                    f"n_shards={n_shards} > {len(jax.devices())} "
+                    "available devices")
+            from jax.sharding import Mesh
+            self.mesh = Mesh(
+                np.array(jax.devices()[:n_shards]), ("rep",))
+        else:
+            self.mesh = None
         self.params = params
         self.k = float(k)
         self.climb = bool(climb)
@@ -77,6 +99,7 @@ class NEB:
         self._shapes_key = None
         self._fire_state = None
         self.energies: Optional[np.ndarray] = None
+        self.last_sharding = None
 
     # ------------------------------------------------------------------
     def _featurize_band(self):
@@ -245,8 +268,20 @@ class NEB:
             (self.n_images, self.model.n_atoms_vap, 3),
             dtype=np.asarray(feats["positions"]).dtype)
         pos_vap[:, l2v] = self.positions
+        pos_in = jnp.asarray(pos_vap)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P("rep"))
+            feats = {k: jax.device_put(v, rep)
+                     if np.asarray(v).ndim else v
+                     for k, v in feats.items()}
+            pos_in = jax.device_put(pos_in, rep)
+            vel = jax.device_put(vel, rep)
         pos_j, vel, dt, alpha, n_up, e, f = self._scan(
-            jnp.asarray(pos_vap), vel, dt, alpha, n_up, feats, n)
+            pos_in, vel, dt, alpha, n_up, feats, n)
+        if self.mesh is not None and n > 0:
+            # surface the sharding for tests/diagnostics
+            self.last_sharding = pos_j.sharding
         self.positions = np.asarray(pos_j)[:, l2v]
         return vel, dt, alpha, n_up, np.asarray(e), float(f)
 

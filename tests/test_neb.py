@@ -173,3 +173,39 @@ def test_cli_compute_defect_interstitial(tmp_path):
             if "interstitial formation energy" in l][0]
     e_f = float(line.split("=")[1].split()[0])
     assert 3.0 < e_f < 6.5
+
+
+def test_neb_replica_sharding_parity():
+    """Replica-axis sharding over a 4-device mesh (the reference's
+    LAMMPS `-partition Mx1` analog, here a NamedSharding + XLA SPMD):
+    bit-for-bit the math of the single-device band, and the band
+    state actually lives on 4 devices."""
+    s_i, s_f = _fcc_vacancy_pair()
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter(s_i.symbols),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    res = {}
+    for shards in (1, 4):
+        neb = NEB(model, params, s_i, s_f, n_images=8, k=5.0,
+                  chunk_size=5, n_shards=shards)
+        res[shards] = neb.run(fmax=1e-9, max_steps=10)
+        if shards == 4:
+            assert len(neb.last_sharding.device_set) == 4
+    np.testing.assert_allclose(res[1]["energies"],
+                               res[4]["energies"],
+                               rtol=1e-10, atol=1e-10)
+    assert res[1]["fmax"] == pytest.approx(res[4]["fmax"], rel=1e-8)
+
+
+def test_neb_shard_validation():
+    s_i, s_f = _fcc_vacancy_pair()
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter(s_i.symbols),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="divisible"):
+        NEB(model, params, s_i, s_f, n_images=7, n_shards=4)
+    with pytest.raises(ValueError, match="devices"):
+        NEB(model, params, s_i, s_f, n_images=64, n_shards=64)
