@@ -43,7 +43,8 @@ import numpy as np
 from ..dynamics import FORCE_TO_ACC, KB
 from ..ops.pairs import pair_vectors
 
-__all__ = ["make_heat_flux_fn", "trajectory_heat_flux", "green_kubo"]
+__all__ = ["make_heat_flux_fn", "make_atomic_virial_fn",
+           "trajectory_heat_flux", "green_kubo"]
 
 # 1 eV/(A fs K) in W/(m K): eV->J, A->m, fs->s
 EV_A_FS_TO_W_MK = 1.602176634e-19 / (1e-10 * 1e-15)
@@ -124,6 +125,64 @@ def make_heat_flux_fn(model) -> Callable:
                 "energy": energy, "atomic_energies": ae}
 
     return flux
+
+
+def make_atomic_virial_fn(model) -> Callable:
+    """-> fn(params, features) -> {"atomic_virials" [n_vap, 3, 3],
+    "virial" [3, 3], "atomic_energies", "energy"}.
+
+    Per-atom virials by the same owner-anchored pair/triple gradients
+    as the heat flux: W_i = sum_{q: o(q)=i} g_q (x) d_q, which sums
+    EXACTLY to the total potential virial (g.T @ d in
+    `nn.fields.make_rij_efs_fn`). The per-atom decomposition is the
+    standard atomistic local-stress diagnostic (grain boundaries,
+    defect cores, surface stress); the reference has no analog.
+    """
+    backend = getattr(getattr(model, "descriptor", None), "backend",
+                      "segment")
+    if backend != "segment":
+        raise ValueError(
+            "atomic virials need the flat segment descriptor backend "
+            f"(owner-anchored rij-fed gradients); got {backend!r}")
+
+    site_energies = model.atomic_energies
+
+    def virials(params, features) -> Dict[str, jnp.ndarray]:
+        feats = dict(features)
+        keys = ["rij"]
+        vecs = [pair_vectors(features)]
+        if "trip_i" in features:
+            dij, dik = _trip_vectors(features)
+            keys += ["trip_rij", "trip_rik"]
+            vecs += [dij, dik]
+
+        def e_of(*vs):
+            f = dict(feats)
+            f.update(zip(keys, vs))
+            ae = site_energies(params, f)
+            return jnp.sum(ae), ae
+
+        (energy, ae), grads = jax.value_and_grad(
+            e_of, argnums=tuple(range(len(keys))),
+            has_aux=True)(*vecs)
+        grads = dict(zip(keys, grads))
+        vecs = dict(zip(keys, vecs))
+        n_vap = features["positions"].shape[0]
+
+        def seg_outer(vec_key, owner_key):
+            outer = grads[vec_key][:, :, None] \
+                * vecs[vec_key][:, None, :]
+            return jax.ops.segment_sum(outer, features[owner_key],
+                                       num_segments=n_vap)
+
+        w = seg_outer("rij", "pair_i")
+        if "trip_rij" in grads:
+            w = w + seg_outer("trip_rij", "trip_i")
+            w = w + seg_outer("trip_rik", "trip_i")
+        return {"atomic_virials": w, "virial": jnp.sum(w, axis=0),
+                "atomic_energies": ae, "energy": energy}
+
+    return virials
 
 
 def trajectory_heat_flux(model, params, structure, positions, velocities,

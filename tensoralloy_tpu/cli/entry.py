@@ -159,6 +159,12 @@ def main(argv=None):
                        default=[3, 3, 3])
     c_def.add_argument("--site", type=int, default=0,
                        help="atom index removed from the supercell")
+    c_def.add_argument("--dipole", action="store_true",
+                       help="also report the elastic dipole tensor "
+                            "P = -V (sigma_def - sigma_bulk) of the "
+                            "relaxed defect (fixed cell) and its "
+                            "trace/3 -- the defect-strain coupling; "
+                            "relaxation volume = tr(P)/(3B)")
     c_def.add_argument("--interstitial", type=float, nargs=3,
                        default=None, metavar=("FX", "FY", "FZ"),
                        help="ADD one atom at this fractional position "
@@ -618,6 +624,28 @@ def _compute_uncertainty(args):
     return 0
 
 
+
+def _print_elastic_dipole(calc, bulk, defect):
+    """Elastic dipole tensor of a relaxed defect at FIXED cell:
+    P = -V (sigma_def - sigma_bulk) (eV). tr(P)/3 gives the
+    relaxation volume via dV = tr(P) / (3 B)."""
+    import numpy as np
+    from ..atoms import voigt_to_full_3x3
+    v = bulk.volume
+
+    def full(s):
+        s = np.asarray(s, dtype=np.float64)
+        return voigt_to_full_3x3(s) if s.ndim == 1 else s
+
+    dsig = full(calc.get_stress(defect)) - full(calc.get_stress(bulk))
+    pdip = -v * dsig
+    print("elastic dipole tensor P (eV):")
+    for row in pdip:
+        print("  [" + "  ".join(f"{x:9.4f}" for x in row) + "]")
+    print(f"tr(P)/3 = {np.trace(pdip) / 3:.4f} eV "
+          f"(relaxation volume = tr(P)/(3B))")
+
+
 def _compute_defect(args):
     """Point-defect formation, internally relaxed with the model (ref
     analog: analysis/lammps DefectFormation, which needs an external
@@ -649,6 +677,8 @@ def _compute_defect(args):
               f"E_defect = {e_def:.6f} eV ({sym} interstitial, "
               f"mu = bulk energy/atom)")
         print(f"interstitial formation energy = {e_f:.6f} eV")
+        if getattr(args, "dipole", False):
+            _print_elastic_dipole(calc, bulk, defect)
         return 0
     if not 0 <= args.site < n:
         raise SystemExit(f"--site {args.site} out of range (N={n})")
@@ -661,6 +691,8 @@ def _compute_defect(args):
     print(f"supercell N = {n}; E_bulk = {e_bulk:.6f} eV; "
           f"E_defect = {e_def:.6f} eV")
     print(f"vacancy formation energy = {e_f:.6f} eV")
+    if getattr(args, "dipole", False):
+        _print_elastic_dipole(calc, bulk, defect)
     return 0
 
 

@@ -237,3 +237,33 @@ def test_cli_compute_kappa(tmp_path):
     rows = open(out_csv).readlines()
     assert rows[0].startswith("lag_fs,")
     assert len(rows) >= 5
+
+
+def test_atomic_virials_sum_to_total():
+    """Per-atom virials (owner-anchored g (x) d) sum exactly to the
+    position/cell-gradient virial of the standard EFS pass; in the
+    perfect crystal every atom carries W/N."""
+    from tensoralloy_tpu.analysis.heatflux import make_atomic_virial_fn
+    s = _fcc_ni()
+    for model, params, fz in _models(s, angular=True):
+        vap = fz.make_vap(s, model.max_occurs)
+        feats = _feats(fz, s, vap)
+        out = jax.jit(make_atomic_virial_fn(model))(params, feats)
+        efs = jax.jit(make_efs_fn(model.energy))(params, feats)
+        np.testing.assert_allclose(np.asarray(out["virial"]),
+                                   np.asarray(efs["virial"]),
+                                   rtol=1e-8, atol=1e-9)
+        w = vap.reverse_map(np.asarray(out["atomic_virials"]))
+        np.testing.assert_allclose(
+            w.sum(0), np.asarray(efs["virial"]), rtol=1e-8, atol=1e-9)
+
+    # perfect (unrattled) crystal: identical per-atom virials
+    s0 = _fcc_ni(rattle=0.0)
+    model, params, fz = _models(s0)[0]
+    vap = fz.make_vap(s0, model.max_occurs)
+    feats = _feats(fz, s0, vap)
+    out = jax.jit(make_atomic_virial_fn(model))(params, feats)
+    w = vap.reverse_map(np.asarray(out["atomic_virials"]))
+    # identical up to fp64 summation-order noise (~4e-15 measured)
+    np.testing.assert_allclose(
+        w, np.broadcast_to(w[0], w.shape), atol=1e-13)

@@ -209,3 +209,33 @@ def test_neb_shard_validation():
         NEB(model, params, s_i, s_f, n_images=7, n_shards=4)
     with pytest.raises(ValueError, match="devices"):
         NEB(model, params, s_i, s_f, n_images=64, n_shards=64)
+
+
+def test_cli_defect_dipole(tmp_path):
+    """--dipole reports the elastic dipole tensor: cubic-symmetric
+    (isotropic P for the vacancy in fcc) with a NEGATIVE trace for a
+    vacancy (lattice relaxes inward -> relaxation volume < 0 for
+    zjw04 Ni)."""
+    import re
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "defect", str(mpath), "Ni", "--supercell", "2", "2", "2",
+         "--dipole"],
+        capture_output=True, text=True, check=True)
+    assert "elastic dipole tensor P (eV):" in out.stdout
+    tr = float(re.search(r"tr\(P\)/3 = (\S+) eV", out.stdout).group(1))
+    assert tr < 0.0
+    rows = [l for l in out.stdout.splitlines() if l.startswith("  [")]
+    vals = [[float(x) for x in r.strip("[] ").split()] for r in rows]
+    v = np.asarray(vals)
+    # cubic site symmetry: isotropic dipole, small off-diagonals
+    assert np.allclose(v, np.eye(3) * v[0, 0], atol=0.05 * abs(tr))
