@@ -254,6 +254,11 @@ def main(argv=None):
     c_gk.add_argument("--friction", type=float, default=0.05)
     c_gk.add_argument("--skin", type=float, default=1.0)
     c_gk.add_argument("--seed", type=int, default=0)
+    c_gk.add_argument("--device-nl", action="store_true",
+                      help="rebuild neighbor lists ON DEVICE during "
+                           "production (J is computed inside the "
+                           "jitted chunk either way, so this makes "
+                           "the whole production loop chip-resident)")
     c_gk.add_argument("-o", "--output", default="kappa.csv",
                       help="CSV: lag_fs, hcacf, kappa_running")
 
@@ -773,7 +778,7 @@ def _compute_kappa(args):
     import numpy as np
     from ..dynamics import VelocityVerlet
     from ..io.model import load_model
-    from ..analysis.heatflux import trajectory_heat_flux, green_kubo
+    from ..analysis.heatflux import green_kubo
     model, params, _ = load_model(args.model)
     s = _load_crystal(args.structure)
     if args.supercell:
@@ -790,17 +795,16 @@ def _compute_kappa(args):
 
     md = VelocityVerlet(model, params, md_eq.structure,
                         timestep=args.timestep, skin=args.skin,
-                        chunk_size=args.sample, seed=args.seed)
+                        chunk_size=args.sample, seed=args.seed,
+                        device_nl=args.device_nl,
+                        record_heat_flux=True)
     md.velocities_vap = md_eq.velocities_vap.copy()
     print(f"production: NVE {args.steps} steps, J sampled every "
-          f"{args.sample * args.timestep} fs")
-    hist = md.run(args.steps, record_trajectory=True)
-    pos = np.asarray(hist["positions"])
-    vel = np.asarray(hist["velocities"])
+          f"{args.sample * args.timestep} fs (flux inside the "
+          f"jitted chunk)")
+    hist = md.run(args.steps)
     t_mean = float(np.mean(hist["temperature"]))
-    # md.model is the stoichiometry-matched clone of the saved model
-    J = trajectory_heat_flux(md.model, params, md.structure, pos, vel,
-                             cells=np.asarray(hist["cells"]))
+    J = np.stack(hist["heat_flux"])
     gk = green_kubo(J, dt=args.sample * args.timestep,
                     volume=md.structure.volume, temperature=t_mean,
                     max_lag=args.max_lag)

@@ -56,7 +56,8 @@ class VelocityVerlet:
                  device_nl: bool = False,
                  target_pressure: Optional[float] = None,
                  pressure_tau: float = 1000.0,
-                 compressibility: float = 5e-3):
+                 compressibility: float = 5e-3,
+                 record_heat_flux: bool = False):
         """`temperature` seeds Maxwell-Boltzmann initial velocities
         (NVE). Setting BOTH `target_temperature` (K) and `friction`
         (1/fs) switches the integrator to the BAOAB Langevin
@@ -70,6 +71,12 @@ class VelocityVerlet:
         integrates `chunk_size` steps — positions/velocities never
         leave the device, the host only checks the overflow
         diagnostics (two scalars per chunk).
+
+        `record_heat_flux=True` evaluates the exact many-body heat
+        flux (`analysis.heatflux`) at every chunk end INSIDE the
+        jitted kernel — with `device_nl` a Green-Kubo production run
+        never featurizes on the host at all. One extra backward pass
+        per chunk, not per step.
 
         `target_pressure` (GPa) switches on the isotropic Berendsen
         barostat (NPT when combined with the Langevin thermostat):
@@ -100,6 +107,12 @@ class VelocityVerlet:
         self._key = jax.random.PRNGKey(seed + 7919)
 
         self.model = model.clone_for(Counter(structure.symbols))
+        self.record_heat_flux = bool(record_heat_flux)
+        self._flux_fn = None
+        if self.record_heat_flux:
+            from .analysis.heatflux import make_heat_flux_fn
+            # raises for dense-backend descriptors up front
+            self._flux_fn = make_heat_flux_fn(self.model)
         self.fz = model.featurizer
         self.vap = self.fz.make_vap(structure,
                                     Counter(structure.symbols))
@@ -212,13 +225,23 @@ class VelocityVerlet:
             return (pos, vel, acc_new, p_pot, cell, key, feats), None
 
         def finish(pos, vel, cell, p_pot, feats):
-            """Chunk-end observables: (potential, kinetic, P_inst)."""
+            """Chunk-end observables: (potential, kinetic, P_inst, J).
+
+            When `record_heat_flux` is on, the exact many-body heat
+            flux rides the chunk-end evaluation (one extra backward,
+            amortized over `chunk_size` steps)."""
             energy = model.variational_energy(
                 self.params, dict(feats, positions=pos, cell=cell))
             ke = kinetic(vel)
             vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
             p_inst = p_pot + (2.0 / 3.0) * ke / vol * EV_A3_TO_GPA
-            return energy, ke, p_inst
+            if self._flux_fn is not None:
+                j = self._flux_fn(
+                    self.params, dict(feats, positions=pos, cell=cell),
+                    vel, masses[:, 0])["J"]
+            else:
+                j = jnp.zeros(3, pos.dtype)
+            return energy, ke, p_inst, j
 
         return forces_of, step, finish
 
@@ -232,8 +255,9 @@ class VelocityVerlet:
             (pos, vel, _, p_pot, cell, key, _), _ = jax.lax.scan(
                 step, (pos, vel, acc0, p0, cell, key, feats), None,
                 length=n)
-            energy, ke, p_inst = finish(pos, vel, cell, p_pot, feats)
-            return pos, vel, cell, key, energy, ke, p_inst
+            energy, ke, p_inst, j = finish(pos, vel, cell, p_pot,
+                                           feats)
+            return pos, vel, cell, key, energy, ke, p_inst, j
 
         return jax.jit(chunk, static_argnames="n")
 
@@ -253,14 +277,17 @@ class VelocityVerlet:
             (pos, vel, _, p_pot, cell, key, _), _ = jax.lax.scan(
                 step, (pos, vel, acc0, p0, cell, key, feats), None,
                 length=n)
-            energy, ke, p_inst = finish(pos, vel, cell, p_pot, feats)
-            return pos, vel, cell, key, energy, ke, p_inst, diag
+            energy, ke, p_inst, j = finish(pos, vel, cell, p_pot,
+                                           feats)
+            return pos, vel, cell, key, energy, ke, p_inst, j, diag
 
         return jax.jit(chunk, static_argnames="n")
 
     def _record(self, history, pe, ke, p_inst, cell,
-                pos=None, vel=None):
+                pos=None, vel=None, jflux=None):
         ndof = 3 * len(self.structure)
+        if "heat_flux" in history:
+            history["heat_flux"].append(np.asarray(jflux).copy())
         history["potential"].append(float(pe))
         history["kinetic"].append(float(ke))
         history["total"].append(float(pe) + float(ke))
@@ -285,6 +312,8 @@ class VelocityVerlet:
             h["pressure"], h["volume"] = [], []
         if record_trajectory:
             h["positions"], h["velocities"], h["cells"] = [], [], []
+        if self.record_heat_flux:
+            h["heat_flux"] = []
         return h
 
     def _run_device(self, n_steps: int, record_trajectory=False):
@@ -301,7 +330,7 @@ class VelocityVerlet:
         while remaining > 0:
             n = min(self.chunk_size, remaining)
             out = self._scan(pos, vel, cell, self._key, n)
-            diag = jax.device_get(out[7])
+            diag = jax.device_get(out[8])
             try:
                 self._nl.check(diag)
             except RuntimeError:
@@ -311,8 +340,9 @@ class VelocityVerlet:
                 self._nl = self._nl.grow(diag)
                 self._scan = self._make_scan_device()
                 continue
-            pos, vel, cell, self._key, pe, ke, p_inst, _ = out
-            self._record(history, pe, ke, p_inst, cell, pos, vel)
+            pos, vel, cell, self._key, pe, ke, p_inst, jflux, _ = out
+            self._record(history, pe, ke, p_inst, cell, pos, vel,
+                         jflux)
             remaining -= n
             if self.target_pressure is not None:
                 # the grid is static in FRACTIONAL space: a barostat
@@ -374,11 +404,13 @@ class VelocityVerlet:
                 pos_local).astype(dtype))
             feats["positions"] = pos_vap
             cell = jnp.asarray(self.structure.cell.astype(dtype))
-            pos_vap, vel, cell, self._key, pe, ke, p_inst = self._scan(
+            (pos_vap, vel, cell, self._key, pe, ke, p_inst,
+             jflux) = self._scan(
                 pos_vap, vel, cell, self._key, feats, n)
             pos_local = np.asarray(pos_vap)[self.vap.local_to_vap]
             self.structure.cell = np.asarray(cell)
-            self._record(history, pe, ke, p_inst, cell, pos_vap, vel)
+            self._record(history, pe, ke, p_inst, cell, pos_vap, vel,
+                         jflux)
             remaining -= n
         self.structure.positions = pos_local
         self.velocities_vap = np.asarray(vel)

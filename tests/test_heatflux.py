@@ -267,3 +267,42 @@ def test_atomic_virials_sum_to_total():
     # identical up to fp64 summation-order noise (~4e-15 measured)
     np.testing.assert_allclose(
         w, np.broadcast_to(w[0], w.shape), atol=1e-13)
+
+
+def test_md_onscan_heat_flux_matches_host_path():
+    """record_heat_flux=True: the chunk-end J computed INSIDE the
+    jitted MD kernel (on skinned features) equals the host-path
+    recomputation on exact-rcut features — the on-device r<rcut mask
+    zeroes every skin pair's gradient."""
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    s = _fcc_ni(rattle=0.0)
+    model, params, fz = _models(s)[0]
+    md = VelocityVerlet(model, params, s, timestep=2.0, chunk_size=5,
+                        temperature=350.0, seed=4,
+                        record_heat_flux=True)
+    hist = md.run(15, record_trajectory=True)
+    assert len(hist["heat_flux"]) == 3
+    J_scan = np.stack(hist["heat_flux"])
+    J_host = trajectory_heat_flux(
+        md.model, params, md.structure,
+        np.stack(hist["positions"]), np.stack(hist["velocities"]),
+        cells=np.stack(hist["cells"]))
+    np.testing.assert_allclose(J_scan, J_host, rtol=1e-8, atol=1e-10)
+    assert np.any(np.abs(J_scan) > 0)
+
+
+def test_md_onscan_heat_flux_device_nl():
+    """The on-scan flux composes with the fully on-device neighbor
+    list: J from a device-NL run matches the host-NL run frame by
+    frame (same trajectory by determinism of NVE)."""
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    s = _fcc_ni(rattle=0.0)
+    model, params, fz = _models(s)[0]
+    runs = {}
+    for dev in (False, True):
+        md = VelocityVerlet(model, params, s, timestep=2.0,
+                            chunk_size=5, temperature=350.0, seed=4,
+                            device_nl=dev, record_heat_flux=True)
+        runs[dev] = np.stack(md.run(15)["heat_flux"])
+    np.testing.assert_allclose(runs[True], runs[False],
+                               rtol=1e-7, atol=1e-9)
