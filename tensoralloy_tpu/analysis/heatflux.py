@@ -44,7 +44,8 @@ from ..dynamics import FORCE_TO_ACC, KB
 from ..ops.pairs import pair_vectors
 
 __all__ = ["make_heat_flux_fn", "make_atomic_virial_fn",
-           "trajectory_heat_flux", "green_kubo"]
+           "trajectory_heat_flux", "green_kubo",
+           "green_kubo_viscosity"]
 
 # 1 eV/(A fs K) in W/(m K): eV->J, A->m, fs->s
 EV_A_FS_TO_W_MK = 1.602176634e-19 / (1e-10 * 1e-15)
@@ -226,6 +227,43 @@ def trajectory_heat_flux(model, params, structure, positions, velocities,
                    jnp.asarray(v_vap), masses)
         out[t] = np.asarray(res["J"])
     return out
+
+
+# 1 eV*fs/A^3 in Pa*s
+EV_FS_A3_TO_PA_S = 1.602176634e-19 / 1e-30 * 1e-15
+
+
+def green_kubo_viscosity(stress: np.ndarray, dt: float, volume: float,
+                         temperature: float,
+                         max_lag: Optional[int] = None
+                         ) -> Dict[str, np.ndarray]:
+    """Green-Kubo shear viscosity from an instantaneous-stress series:
+    eta = V / (kB T) * int <sigma_ab(0) sigma_ab(t)> dt, ACF averaged
+    over the three off-diagonal components and all time origins.
+
+    `stress` [n_frames, 3, 3] in eV/A^3 (FULL microscopic stress incl.
+    the kinetic part, e.g. `dynamics.VelocityVerlet(record_stress=
+    True)`), `dt` fs between frames, `volume` A^3, `temperature` K.
+
+    Returns {"lags" fs, "sacf" (eV/A^3)^2, "eta_running" Pa*s,
+    "eta" float}.
+    """
+    s = np.asarray(stress, dtype=np.float64)
+    comps = np.stack([s[:, 0, 1], s[:, 0, 2], s[:, 1, 2]], axis=1)
+    comps = comps - comps.mean(axis=0, keepdims=True)
+    n = len(comps)
+    if max_lag is None:
+        max_lag = n // 2
+    max_lag = int(min(max_lag, n - 1))
+    acf = np.empty(max_lag + 1)
+    for lag in range(max_lag + 1):
+        acf[lag] = np.mean(comps[:n - lag] * comps[lag:])
+    lags = np.arange(max_lag + 1) * dt
+    integ = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (acf[1:] + acf[:-1]) * dt)])
+    pref = EV_FS_A3_TO_PA_S * volume / (KB * temperature)
+    return {"lags": lags, "sacf": acf, "eta_running": pref * integ,
+            "eta": float(pref * integ[-1])}
 
 
 def green_kubo(J: np.ndarray, dt: float, volume: float,

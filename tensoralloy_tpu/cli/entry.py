@@ -262,6 +262,32 @@ def main(argv=None):
     c_gk.add_argument("-o", "--output", default="kappa.csv",
                       help="CSV: lag_fs, hcacf, kappa_running")
 
+    c_visc = comp_sub.add_parser(
+        "visc", help="Green-Kubo shear viscosity: NVT equilibration "
+                     "-> production with the full instantaneous "
+                     "stress recorded inside the jitted MD chunk -> "
+                     "stress-ACF integral (for liquids; no reference "
+                     "analog)")
+    c_visc.add_argument("model")
+    c_visc.add_argument("structure", help="extxyz of the LIQUID (or "
+                                          "built-in crystal to melt "
+                                          "at high --temp)")
+    c_visc.add_argument("--temp", type=float, default=2000.0)
+    c_visc.add_argument("--equil-steps", type=int, default=4000)
+    c_visc.add_argument("--steps", type=int, default=40000)
+    c_visc.add_argument("--timestep", type=float, default=2.0)
+    c_visc.add_argument("--sample", type=int, default=5)
+    c_visc.add_argument("--max-lag", type=int, default=None)
+    c_visc.add_argument("--supercell", type=int, nargs=3, default=None)
+    c_visc.add_argument("--friction", type=float, default=0.05)
+    c_visc.add_argument("--nvt-production", action="store_true",
+                        help="keep the thermostat on during "
+                             "production (default: NVE)")
+    c_visc.add_argument("--skin", type=float, default=1.0)
+    c_visc.add_argument("--seed", type=int, default=0)
+    c_visc.add_argument("--device-nl", action="store_true")
+    c_visc.add_argument("-o", "--output", default="visc.csv")
+
     c_surf = comp_sub.add_parser(
         "surface", help="surface energy gamma(hkl): Miller-index slab "
                         "built by integer lattice algebra, relaxed "
@@ -588,6 +614,8 @@ def _cmd_compute(args):
         return _compute_md(args)
     if args.task == "kappa":
         return _compute_kappa(args)
+    if args.task == "visc":
+        return _compute_visc(args)
     if args.task == "rdf":
         return _compute_rdf(args)
     if args.task == "qha":
@@ -817,6 +845,60 @@ def _compute_kappa(args):
     print(f"<T> = {t_mean:.1f} K over {len(J)} frames")
     print(f"kappa(max lag) = {gk['kappa']:.3f} W/m/K; "
           f"plateau mean (last half of lags) = {plateau:.3f} W/m/K")
+    print(f"wrote {args.output}")
+    return 0
+
+
+
+def _compute_visc(args):
+    """Green-Kubo shear viscosity: stress recorded inside the jitted
+    chunk (`record_stress=True`), off-diagonal ACF integral."""
+    import numpy as np
+    from ..dynamics import VelocityVerlet
+    from ..io.model import load_model
+    from ..analysis.heatflux import green_kubo_viscosity
+    model, params, _ = load_model(args.model)
+    s = _load_crystal(args.structure)
+    if args.supercell:
+        s = s.repeat(tuple(args.supercell))
+    print(f"equilibration: NVT {args.temp} K, {args.equil_steps} "
+          f"steps @ {args.timestep} fs ({len(s)} atoms)")
+    md_eq = VelocityVerlet(
+        model, params, s, timestep=args.timestep, skin=args.skin,
+        chunk_size=max(args.sample, 20), temperature=args.temp,
+        seed=args.seed, target_temperature=args.temp,
+        friction=args.friction)
+    md_eq.run(args.equil_steps)
+    print(f"  T after equilibration: {md_eq.temperature:.1f} K")
+    kw = {}
+    if args.nvt_production:
+        kw = dict(target_temperature=args.temp,
+                  friction=args.friction)
+    md = VelocityVerlet(model, params, md_eq.structure,
+                        timestep=args.timestep, skin=args.skin,
+                        chunk_size=args.sample, seed=args.seed,
+                        device_nl=args.device_nl, record_stress=True,
+                        **kw)
+    md.velocities_vap = md_eq.velocities_vap.copy()
+    regime = "NVT" if args.nvt_production else "NVE"
+    print(f"production: {regime} {args.steps} steps, stress sampled "
+          f"every {args.sample * args.timestep} fs")
+    hist = md.run(args.steps)
+    t_mean = float(np.mean(hist["temperature"]))
+    sig = np.stack(hist["stress_tensor"])
+    gk = green_kubo_viscosity(sig, dt=args.sample * args.timestep,
+                              volume=md.structure.volume,
+                              temperature=t_mean,
+                              max_lag=args.max_lag)
+    with open(args.output, "w") as fh:
+        fh.write("lag_fs,sacf_eVA3_sq,eta_running_Pa_s\n")
+        for row in zip(gk["lags"], gk["sacf"], gk["eta_running"]):
+            fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+    er = gk["eta_running"]
+    plateau = float(np.mean(er[len(er) // 2:]))
+    print(f"<T> = {t_mean:.1f} K over {len(sig)} frames")
+    print(f"eta(max lag) = {gk['eta'] * 1e3:.4f} mPa s; plateau mean "
+          f"(last half of lags) = {plateau * 1e3:.4f} mPa s")
     print(f"wrote {args.output}")
     return 0
 

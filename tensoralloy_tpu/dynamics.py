@@ -57,7 +57,8 @@ class VelocityVerlet:
                  target_pressure: Optional[float] = None,
                  pressure_tau: float = 1000.0,
                  compressibility: float = 5e-3,
-                 record_heat_flux: bool = False):
+                 record_heat_flux: bool = False,
+                 record_stress: bool = False):
         """`temperature` seeds Maxwell-Boltzmann initial velocities
         (NVE). Setting BOTH `target_temperature` (K) and `friction`
         (1/fs) switches the integrator to the BAOAB Langevin
@@ -77,6 +78,11 @@ class VelocityVerlet:
         jitted kernel — with `device_nl` a Green-Kubo production run
         never featurizes on the host at all. One extra backward pass
         per chunk, not per step.
+
+        `record_stress=True` records the FULL instantaneous stress
+        tensor (potential virial + kinetic part, eV/A^3) at every
+        chunk end inside the jitted kernel — feeds the Green-Kubo
+        shear viscosity (`analysis.heatflux.green_kubo_viscosity`).
 
         `target_pressure` (GPa) switches on the isotropic Berendsen
         barostat (NPT when combined with the Langevin thermostat):
@@ -108,6 +114,7 @@ class VelocityVerlet:
 
         self.model = model.clone_for(Counter(structure.symbols))
         self.record_heat_flux = bool(record_heat_flux)
+        self.record_stress = bool(record_stress)
         self._flux_fn = None
         if self.record_heat_flux:
             from .analysis.heatflux import make_heat_flux_fn
@@ -241,7 +248,17 @@ class VelocityVerlet:
                     vel, masses[:, 0])["J"]
             else:
                 j = jnp.zeros(3, pos.dtype)
-            return energy, ke, p_inst, j
+            if self.record_stress:
+                def e_of(p, h):
+                    return model.variational_energy(
+                        self.params, dict(feats, positions=p, cell=h))
+                gpos, gcell = jax.grad(e_of, argnums=(0, 1))(pos, cell)
+                virial = gpos.T @ pos + gcell.T @ cell
+                mv = vel * masses * mask
+                sigma = (virial - mv.T @ vel / FORCE_TO_ACC) / vol
+            else:
+                sigma = jnp.zeros((3, 3), pos.dtype)
+            return energy, ke, p_inst, j, sigma
 
         return forces_of, step, finish
 
@@ -255,9 +272,9 @@ class VelocityVerlet:
             (pos, vel, _, p_pot, cell, key, _), _ = jax.lax.scan(
                 step, (pos, vel, acc0, p0, cell, key, feats), None,
                 length=n)
-            energy, ke, p_inst, j = finish(pos, vel, cell, p_pot,
-                                           feats)
-            return pos, vel, cell, key, energy, ke, p_inst, j
+            energy, ke, p_inst, j, sig = finish(pos, vel, cell,
+                                                 p_pot, feats)
+            return pos, vel, cell, key, energy, ke, p_inst, j, sig
 
         return jax.jit(chunk, static_argnames="n")
 
@@ -277,17 +294,20 @@ class VelocityVerlet:
             (pos, vel, _, p_pot, cell, key, _), _ = jax.lax.scan(
                 step, (pos, vel, acc0, p0, cell, key, feats), None,
                 length=n)
-            energy, ke, p_inst, j = finish(pos, vel, cell, p_pot,
-                                           feats)
-            return pos, vel, cell, key, energy, ke, p_inst, j, diag
+            energy, ke, p_inst, j, sig = finish(pos, vel, cell,
+                                                 p_pot, feats)
+            return (pos, vel, cell, key, energy, ke, p_inst, j, sig,
+                    diag)
 
         return jax.jit(chunk, static_argnames="n")
 
     def _record(self, history, pe, ke, p_inst, cell,
-                pos=None, vel=None, jflux=None):
+                pos=None, vel=None, jflux=None, sigma=None):
         ndof = 3 * len(self.structure)
         if "heat_flux" in history:
             history["heat_flux"].append(np.asarray(jflux).copy())
+        if "stress_tensor" in history:
+            history["stress_tensor"].append(np.asarray(sigma).copy())
         history["potential"].append(float(pe))
         history["kinetic"].append(float(ke))
         history["total"].append(float(pe) + float(ke))
@@ -314,6 +334,8 @@ class VelocityVerlet:
             h["positions"], h["velocities"], h["cells"] = [], [], []
         if self.record_heat_flux:
             h["heat_flux"] = []
+        if self.record_stress:
+            h["stress_tensor"] = []
         return h
 
     def _run_device(self, n_steps: int, record_trajectory=False):
@@ -330,7 +352,7 @@ class VelocityVerlet:
         while remaining > 0:
             n = min(self.chunk_size, remaining)
             out = self._scan(pos, vel, cell, self._key, n)
-            diag = jax.device_get(out[8])
+            diag = jax.device_get(out[9])
             try:
                 self._nl.check(diag)
             except RuntimeError:
@@ -340,9 +362,10 @@ class VelocityVerlet:
                 self._nl = self._nl.grow(diag)
                 self._scan = self._make_scan_device()
                 continue
-            pos, vel, cell, self._key, pe, ke, p_inst, jflux, _ = out
+            (pos, vel, cell, self._key, pe, ke, p_inst, jflux,
+             sig, _) = out
             self._record(history, pe, ke, p_inst, cell, pos, vel,
-                         jflux)
+                         jflux, sig)
             remaining -= n
             if self.target_pressure is not None:
                 # the grid is static in FRACTIONAL space: a barostat
@@ -405,12 +428,12 @@ class VelocityVerlet:
             feats["positions"] = pos_vap
             cell = jnp.asarray(self.structure.cell.astype(dtype))
             (pos_vap, vel, cell, self._key, pe, ke, p_inst,
-             jflux) = self._scan(
+             jflux, sig) = self._scan(
                 pos_vap, vel, cell, self._key, feats, n)
             pos_local = np.asarray(pos_vap)[self.vap.local_to_vap]
             self.structure.cell = np.asarray(cell)
             self._record(history, pe, ke, p_inst, cell, pos_vap, vel,
-                         jflux)
+                         jflux, sig)
             remaining -= n
         self.structure.positions = pos_local
         self.velocities_vap = np.asarray(vel)

@@ -306,3 +306,95 @@ def test_md_onscan_heat_flux_device_nl():
         runs[dev] = np.stack(md.run(15)["heat_flux"])
     np.testing.assert_allclose(runs[True], runs[False],
                                rtol=1e-7, atol=1e-9)
+
+
+def test_record_stress_identity():
+    """Chunk-end stress recorded inside the kernel == potential stress
+    from the standard EFS pass + the kinetic term computed from the
+    recorded velocities."""
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    s = _fcc_ni(rattle=0.0)
+    model, params, fz = _models(s)[0]
+    md = VelocityVerlet(model, params, s, timestep=2.0, chunk_size=5,
+                        temperature=350.0, seed=4, record_stress=True)
+    hist = md.run(10, record_trajectory=True)
+    assert len(hist["stress_tensor"]) == 2
+    vap = fz.make_vap(s, model.max_occurs)
+    for frame in range(2):
+        s_t = Structure(s.numbers, hist["positions"][frame],
+                        hist["cells"][frame], s.pbc)
+        feats = _feats(fz, s_t, vap)
+        efs = jax.jit(make_efs_fn(model.energy))(params, feats)
+        v = hist["velocities"][frame]
+        mv = v * s.masses[:, None]
+        sig_kin = -(mv.T @ v) / FORCE_TO_ACC / s_t.volume
+        expect = np.asarray(efs["stress"]) + sig_kin
+        np.testing.assert_allclose(hist["stress_tensor"][frame],
+                                   expect, rtol=1e-7, atol=1e-12)
+
+
+def test_record_stress_ideal_gas_limit():
+    """Non-interacting atoms (far beyond rcut): the recorded stress is
+    purely kinetic, trace = -2 KE / V (i.e. P = +2KE/3V)."""
+    from tensoralloy_tpu.dynamics import VelocityVerlet
+    pos = np.array([[5.0, 5.0, 5.0], [25.0, 25.0, 25.0]])
+    s = Structure.from_symbols(["Ni"] * 2, pos, np.eye(3) * 40.0,
+                               pbc=[True] * 3)
+    model, params, fz = _models(s)[0]
+    md = VelocityVerlet(model, params, s, timestep=1.0, chunk_size=2,
+                        temperature=500.0, seed=1, record_stress=True)
+    hist = md.run(2, record_trajectory=True)
+    sig = hist["stress_tensor"][0]
+    v = hist["velocities"][0]
+    ke = 0.5 * np.sum(s.masses[:, None] * v ** 2) / FORCE_TO_ACC
+    assert np.trace(sig) == pytest.approx(-2 * ke / s.volume,
+                                          rel=1e-8)
+
+
+def test_green_kubo_viscosity_prefactor():
+    """sigma_xy(t) = A cos(w t): sacf -> A^2 cos(w L)/6 (component
+    average over 3 off-diagonals) and the running integral carries the
+    hand-computed V/(kB T) prefactor."""
+    from tensoralloy_tpu.analysis.heatflux import (
+        green_kubo_viscosity, EV_FS_A3_TO_PA_S)
+    w, A = 0.04, 2e-3
+    t = np.arange(6000) * 1.0
+    sig = np.zeros((len(t), 3, 3))
+    sig[:, 0, 1] = A * np.cos(w * t)
+    gk = green_kubo_viscosity(sig, dt=1.0, volume=2000.0,
+                              temperature=500.0, max_lag=300)
+    expect = A ** 2 * np.cos(w * gk["lags"]) / 2.0 / 3.0
+    np.testing.assert_allclose(gk["sacf"], expect,
+                               atol=3e-3 * A ** 2)
+    pref = EV_FS_A3_TO_PA_S * 2000.0 / (KB * 500.0)
+    # analytic integral of the cosine ACF
+    expect_eta = pref * A ** 2 * np.sin(w * gk["lags"][-1]) / (2 * 3 * w)
+    assert gk["eta"] == pytest.approx(expect_eta, rel=0.02)
+    assert np.isfinite(gk["eta_running"]).all()
+
+
+def test_cli_compute_visc(tmp_path):
+    """`compute visc` end-to-end: tiny hot run, finite eta, CSV."""
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out_csv = tmp_path / "visc.csv"
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "visc", str(mpath), "Ni", "--supercell", "2", "2", "2",
+         "--temp", "800", "--equil-steps", "20", "--steps", "60",
+         "--sample", "5", "--timestep", "2.0", "--nvt-production",
+         "-o", str(out_csv)],
+        capture_output=True, text=True, check=True)
+    assert "eta(max lag)" in out.stdout
+    eta = float(out.stdout.split("eta(max lag) = ")[1].split()[0])
+    assert np.isfinite(eta)
+    rows = open(out_csv).readlines()
+    assert rows[0].startswith("lag_fs,")
