@@ -230,6 +230,13 @@ def main(argv=None):
     c_md.add_argument("--traj", default=None,
                       help="write one trajectory frame per chunk "
                            "(extxyz, unwrapped positions)")
+    c_md.add_argument("--save-state", default=None,
+                      help="checkpoint the integrator state "
+                           "(positions/velocities/cell/RNG) to this "
+                           "npz at the end of the run")
+    c_md.add_argument("--restart", default=None,
+                      help="resume from a --save-state checkpoint "
+                           "(bit-exact when chunk boundaries align)")
 
     c_gk = comp_sub.add_parser(
         "kappa", help="Green-Kubo lattice thermal conductivity: NVT "
@@ -752,6 +759,9 @@ def _compute_md(args):
         friction=args.friction if args.nvt is not None else None,
         device_nl=args.device_nl,
         target_pressure=args.npt, pressure_tau=args.pressure_tau)
+    if args.restart:
+        md.load_state(args.restart)
+        print(f"restarted from {args.restart}")
     regime = ("NPT" if args.npt is not None
               else "NVT" if args.nvt is not None else "NVE")
     print(f"{regime}: {len(s)} atoms, {args.steps} steps @ "
@@ -787,6 +797,9 @@ def _compute_md(args):
             for row in zip(*(history[k] for k in keys)):
                 fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
         print(f"wrote {args.thermo}")
+    if args.save_state:
+        md.save_state(args.save_state)
+        print(f"saved integrator state to {args.save_state}")
     final = md.structure
     final.info["energy"] = float(history["potential"][-1])
     write_extxyz(args.output, [final])

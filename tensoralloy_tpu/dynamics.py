@@ -439,6 +439,33 @@ class VelocityVerlet:
         self.velocities_vap = np.asarray(vel)
         return history
 
+
+    # ------------------------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Checkpoint the integrator state (positions, velocities,
+        cell, thermostat RNG key) to one npz — `load_state` resumes a
+        production run BIT-EXACTLY as long as the chunk boundaries
+        line up (run(10)+run(10) == run(20) for chunk_size dividing
+        both)."""
+        np.savez(path,
+                 positions=self.structure.positions,
+                 cell=self.structure.cell,
+                 velocities_vap=self.velocities_vap,
+                 key=np.asarray(self._key))
+
+    def load_state(self, path: str) -> None:
+        """Restore a `save_state` checkpoint (same structure/model)."""
+        d = np.load(path)
+        if d["velocities_vap"].shape != self.velocities_vap.shape:
+            raise ValueError(
+                "state file does not match this system: velocities "
+                f"{d['velocities_vap'].shape} vs "
+                f"{self.velocities_vap.shape}")
+        self.structure.positions = d["positions"].copy()
+        self.structure.cell = d["cell"].copy()
+        self.velocities_vap = d["velocities_vap"].copy()
+        self._key = jnp.asarray(d["key"])
+
     @property
     def temperature(self) -> float:
         """Instantaneous temperature (K)."""

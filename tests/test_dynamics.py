@@ -186,3 +186,46 @@ def test_cli_compute_md_npt_rejects_without_nvt(tmp_path):
         capture_output=True, text=True)
     assert out.returncode != 0
     assert "--npt needs --nvt" in out.stderr
+
+
+def test_md_save_load_state_bit_exact(tmp_path):
+    """run(10); save; fresh integrator; load; run(10) == run(20)
+    straight — bit-exact for Langevin NVT too (the RNG key is part of
+    the state)."""
+    s = _fcc(3.52, reps=2) if "_fcc" in dir() else None
+    from collections import Counter as _C
+    import numpy as _np
+    base = _np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5],
+                      [0, .5, .5]])
+    frac = _np.concatenate([base + [i, j, k] for i in range(2)
+                            for j in range(2) for k in range(2)])
+    s = Structure.from_symbols(["Ni"] * 32, frac * 3.52,
+                               _np.eye(3) * 7.04, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, _C({"Ni": 32}), custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    kw = dict(timestep=2.0, chunk_size=5, temperature=300.0, seed=7,
+              target_temperature=300.0, friction=0.1)
+    md_a = VelocityVerlet(model, params, s, **kw)
+    md_a.run(20)
+
+    md_b1 = VelocityVerlet(model, params, s, **kw)
+    md_b1.run(10)
+    state = tmp_path / "md_state.npz"
+    md_b1.save_state(str(state))
+    md_b2 = VelocityVerlet(model, params, s, **kw)
+    md_b2.load_state(str(state))
+    md_b2.run(10)
+
+    np.testing.assert_array_equal(md_b2.structure.positions,
+                                  md_a.structure.positions)
+    np.testing.assert_array_equal(md_b2.velocities_vap,
+                                  md_a.velocities_vap)
+
+    # mismatched system rejected
+    s3 = Structure.from_symbols(["Ni"], [[0, 0, 0]],
+                                np.eye(3) * 3.52, pbc=[True] * 3)
+    md_c = VelocityVerlet(model, params, s3)
+    with pytest.raises(ValueError, match="does not match"):
+        md_c.load_state(str(state))
