@@ -269,6 +269,25 @@ def main(argv=None):
     c_gk.add_argument("-o", "--output", default="kappa.csv",
                       help="CSV: lag_fs, hcacf, kappa_running")
 
+    c_fe = comp_sub.add_parser(
+        "fe", help="ABSOLUTE Helmholtz free energy by Frenkel-Ladd "
+                   "thermodynamic integration from an Einstein "
+                   "crystal (device-resident lambda runs, exact COM "
+                   "separation; no reference analog)")
+    c_fe.add_argument("model")
+    c_fe.add_argument("structure")
+    c_fe.add_argument("--temp", type=float, default=300.0)
+    c_fe.add_argument("--supercell", type=int, nargs=3, default=None)
+    c_fe.add_argument("--k-spring", type=float, default=None,
+                      help="eV/A^2 (default: matched to the thermal "
+                           "cloud by a pilot run)")
+    c_fe.add_argument("--n-lambda", type=int, default=8)
+    c_fe.add_argument("--equil-steps", type=int, default=1500)
+    c_fe.add_argument("--steps", type=int, default=3000,
+                      help="production steps per lambda")
+    c_fe.add_argument("--timestep", type=float, default=2.0)
+    c_fe.add_argument("--seed", type=int, default=0)
+
     c_visc = comp_sub.add_parser(
         "visc", help="Green-Kubo shear viscosity: NVT equilibration "
                      "-> production with the full instantaneous "
@@ -623,6 +642,8 @@ def _cmd_compute(args):
         return _compute_kappa(args)
     if args.task == "visc":
         return _compute_visc(args)
+    if args.task == "fe":
+        return _compute_fe(args)
     if args.task == "rdf":
         return _compute_rdf(args)
     if args.task == "qha":
@@ -861,6 +882,39 @@ def _compute_kappa(args):
     print(f"wrote {args.output}")
     return 0
 
+
+
+
+def _compute_fe(args):
+    """Frenkel-Ladd absolute free energy (analysis/ti.py)."""
+    from ..io.model import load_model
+    from ..analysis.ti import frenkel_ladd
+    model, params, _ = load_model(args.model)
+    s = _load_crystal(args.structure)
+    if args.supercell:
+        s = s.repeat(tuple(args.supercell))
+    print(f"Frenkel-Ladd TI: {len(s)} atoms at {args.temp} K, "
+          f"{args.n_lambda} Gauss-Legendre lambdas x {args.steps} "
+          f"production steps")
+    res = frenkel_ladd(model, params, s, args.temp,
+                       k_spring=args.k_spring,
+                       n_lambda=args.n_lambda,
+                       equil_steps=args.equil_steps,
+                       prod_steps=args.steps,
+                       timestep=args.timestep, seed=args.seed)
+    print(f"spring constant k = {res['k_spring']:.4f} eV/A^2")
+    print("lambda   <U_model - U_E> (eV)   stderr")
+    for lam, du, se in zip(res["lambdas"], res["du_mean"],
+                           res["du_stderr"]):
+        print(f"{lam:7.4f} {du:18.6f} {se:12.6f}")
+    print(f"F_Einstein(3N-3) = "
+          f"{res['f_einstein'] - res['f_einstein_com']:.6f} eV; "
+          f"dF_int = {res['delta_f']:.6f} eV; "
+          f"F_COM(free) = {res['f_com_free']:.6f} eV")
+    print(f"F = {res['free_energy']:.6f} eV "
+          f"({res['free_energy_per_atom'] * 1000:.3f} meV/atom... "
+          f"{res['free_energy_per_atom']:.6f} eV/atom)")
+    return 0
 
 
 def _compute_visc(args):
