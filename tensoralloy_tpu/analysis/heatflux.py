@@ -62,6 +62,18 @@ def _trip_vectors(features):
     return dij, dik
 
 
+
+def _site_energy_fn(model):
+    """Per-atom site energies CONSISTENT with the forces: finite-T
+    models differentiate the free energy F = U - T S (reference
+    `basic.py:190-202` variational_energy), so the transported site
+    energy on the ionic surface is F_i, not U_i."""
+    if hasattr(model, "_atomic_heads"):
+        return lambda params, feats: \
+            model._atomic_heads(params, feats)["free_energy"]
+    return model.atomic_energies
+
+
 def make_heat_flux_fn(model) -> Callable:
     """-> fn(params, features, velocities, masses) -> dict.
 
@@ -80,7 +92,7 @@ def make_heat_flux_fn(model) -> Callable:
             "heat flux needs the flat segment descriptor backend "
             f"(owner-anchored rij-fed gradients); got {backend!r}")
 
-    site_energies = model.atomic_energies
+    site_energies = _site_energy_fn(model)
 
     def flux(params, features, velocities, masses
              ) -> Dict[str, jnp.ndarray]:
@@ -146,7 +158,7 @@ def make_atomic_virial_fn(model) -> Callable:
             "atomic virials need the flat segment descriptor backend "
             f"(owner-anchored rij-fed gradients); got {backend!r}")
 
-    site_energies = model.atomic_energies
+    site_energies = _site_energy_fn(model)
 
     def virials(params, features) -> Dict[str, jnp.ndarray]:
         feats = dict(features)

@@ -398,3 +398,42 @@ def test_cli_compute_visc(tmp_path):
     assert np.isfinite(eta)
     rows = open(out_csv).readlines()
     assert rows[0].startswith("lag_fs,")
+
+
+def test_heat_flux_finite_temperature_model():
+    """Finite-T models transport per-atom FREE energies (consistent
+    with forces = -dF/dR): the uniform-velocity identity must hold
+    against the variational-energy EFS pass."""
+    from tensoralloy_tpu.nn.finite_temperature import (
+        TemperatureDependentAtomicNN)
+    from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+
+    s = _fcc_ni()
+    s.info["etemperature"] = 0.35
+    fz = Featurizer(["Ni"], rcut=4.5)
+    grap = GenericRadialAtomicPotential(
+        ["Ni"], algorithm="pexp",
+        parameters={"rl": [1.0, 2.5], "pl": [3.0, 2.0]},
+        moment_tensors=[0, 1])
+    m = TemperatureDependentAtomicNN(fz, Counter({"Ni": len(s)}),
+                                     grap, hidden_sizes=[8],
+                                     minmax_scale=False)
+    params = m.init_params(jax.random.PRNGKey(2))
+    vap = fz.make_vap(s, m.max_occurs)
+    feats = _feats(fz, s, vap)
+    masses = jnp.asarray(vap.map_array(s.masses))
+    v = np.array([0.011, 0.004, -0.017])
+    vel = jnp.asarray(vap.map_array(np.tile(v, (len(s), 1))))
+
+    res = jax.jit(make_heat_flux_fn(m))(params, feats, vel, masses)
+    efs = jax.jit(make_efs_fn(m.variational_energy))(params, feats)
+    ke = float(0.5 * np.sum(np.asarray(masses)
+                            * np.sum(np.asarray(vel) ** 2, -1))
+               / FORCE_TO_ACC)
+    f_total = float(jnp.sum(
+        m._atomic_heads(params, feats)["free_energy"]))
+    expect = (f_total + ke) * v - np.asarray(efs["virial"]).T @ v
+    np.testing.assert_allclose(np.asarray(res["J"]), expect,
+                               rtol=1e-9, atol=1e-12)
+    # and the convective term uses F, not U
+    assert abs(float(res["energy"]) - f_total) < 1e-10
