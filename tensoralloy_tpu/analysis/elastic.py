@@ -305,7 +305,8 @@ def relax_positions(calc, structure: Structure, fmax: float = 0.02,
 def relax_cell(calc, structure: Structure, fmax: float = 0.02,
                smax: float = 0.05, steps: int = 500, dt: float = 0.08,
                pressure: float = 0.0,
-               hydrostatic: bool = False) -> Structure:
+               hydrostatic: bool = False,
+               strain_mask: Optional[np.ndarray] = None) -> Structure:
     """Combined position + cell relaxation (UnitCellFilter-style
     damped dynamics; ref analog: `analysis/lammps` LatticeConstant,
     which shells out to LAMMPS `fix box/relax`).
@@ -321,7 +322,11 @@ def relax_cell(calc, structure: Structure, fmax: float = 0.02,
     Converged when max|F| < `fmax` (eV/A) AND every deviatoric +
     pressure-shifted stress component is under `smax` (GPa).
     `hydrostatic=True` restricts the cell motion to isotropic scaling
-    (shape-preserving, volume-only).
+    (shape-preserving, volume-only). `strain_mask` ([3, 3] of {0, 1},
+    symmetric) frees only the selected strain components — e.g.
+    `diag(1, 1, 0)` relaxes the transverse response under a FIXED
+    axial stretch (the constrained mode an ideal-strength scan needs);
+    masked components also drop out of the stress convergence test.
     """
     from ..nn.fields import EV_ANGSTROM3_TO_GPA
     s = structure.copy()
@@ -346,8 +351,12 @@ def relax_cell(calc, structure: Structure, fmax: float = 0.02,
         g_eps = 0.5 * (g_eps + g_eps.T)
         if hydrostatic:
             g_eps = np.eye(3) * np.trace(g_eps) / 3.0
+        if strain_mask is not None:
+            g_eps = g_eps * strain_mask
         s_gpa = (sigma + p_ev * np.eye(3)) * EV_ANGSTROM3_TO_GPA
-        if np.abs(f).max() < fmax and np.abs(s_gpa).max() < smax:
+        s_conv = (s_gpa if strain_mask is None
+                  else s_gpa * strain_mask)
+        if np.abs(f).max() < fmax and np.abs(s_conv).max() < smax:
             break
         # FIRE-lite mixing over the CONCATENATED dof vector
         power = float(np.vdot(f, v_pos)) + float(np.vdot(g_eps, v_eps))
@@ -456,3 +465,62 @@ def shear_modulus_voigt(c: np.ndarray) -> float:
     return float(((c[0, 0] + c[1, 1] + c[2, 2]) -
                   (c[0, 1] + c[0, 2] + c[1, 2]) +
                   3.0 * (c[3, 3] + c[4, 4] + c[5, 5])) / 15.0)
+
+
+def ideal_strength(calc, structure: Structure, axis: int = 2,
+                   max_strain: float = 0.30, n_points: int = 16,
+                   fmax: float = 0.02, smax: float = 0.1,
+                   steps: int = 300) -> dict:
+    """Ideal (theoretical) tensile strength along a cell axis.
+
+    The cell is stretched by a FIXED axial strain along `axis` while
+    the positions and every OTHER strain component relax
+    (`relax_cell(strain_mask=...)` with the axial row/column frozen —
+    the standard uniaxial-stress protocol). The axial true stress
+    sigma(eps) rises to the ideal strength and falls past the
+    instability; the scan stops once the peak is clearly passed.
+
+    Returns {"strain", "stress_gpa" (axial), "energy_per_atom",
+    "sigma_max_gpa", "eps_at_max", "youngs_modulus_gpa" (small-strain
+    secant)}. Ref: no analog (the reference delegates every deformed-
+    cell calculation to exported LAMMPS potentials).
+    """
+    mask = np.ones((3, 3))
+    mask[axis, :] = 0.0
+    mask[:, axis] = 0.0
+    base = structure.copy()
+    strains = np.linspace(0.0, max_strain, n_points)
+    stresses, energies = [], []
+    s_prev = base
+    for eps in strains:
+        # warm-start from the previous relaxed state, but pin the
+        # axial vector to the PRISTINE one stretched by the total
+        # strain (so eps is exact, not accumulated)
+        stretched = s_prev.copy()
+        frac = s_prev.positions @ np.linalg.inv(s_prev.cell)
+        stretched.cell = s_prev.cell.copy()
+        stretched.cell[axis] = base.cell[axis] * (1.0 + eps)
+        stretched.positions = frac @ stretched.cell
+        relaxed = relax_cell(calc, stretched, fmax=fmax, smax=smax,
+                             steps=steps, strain_mask=mask)
+        sv = np.asarray(calc.get_stress(relaxed))
+        sigma_ax = float(sv[axis]) * EV_ANGSTROM3_TO_GPA
+        stresses.append(sigma_ax)
+        energies.append(float(calc.get_potential_energy(relaxed))
+                        / len(relaxed))
+        s_prev = relaxed
+        if (len(stresses) > 3 and sigma_ax < 0.5 * max(stresses)
+                and max(stresses) > 0):
+            strains = strains[:len(stresses)]
+            break
+    stresses = np.asarray(stresses)
+    energies = np.asarray(energies)
+    i_max = int(np.argmax(stresses))
+    young = (stresses[1] / strains[1] if len(stresses) > 1
+             and strains[1] > 0 else float("nan"))
+    return {"strain": strains[:len(stresses)],
+            "stress_gpa": stresses,
+            "energy_per_atom": energies,
+            "sigma_max_gpa": float(stresses[i_max]),
+            "eps_at_max": float(strains[i_max]),
+            "youngs_modulus_gpa": float(young)}

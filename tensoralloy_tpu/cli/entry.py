@@ -269,6 +269,19 @@ def main(argv=None):
     c_gk.add_argument("-o", "--output", default="kappa.csv",
                       help="CSV: lag_fs, hcacf, kappa_running")
 
+    c_str = comp_sub.add_parser(
+        "strength", help="ideal tensile strength: fixed axial strain "
+                         "scan with positions + transverse strains "
+                         "relaxed (uniaxial-stress protocol)")
+    c_str.add_argument("model")
+    c_str.add_argument("crystal")
+    c_str.add_argument("--axis", type=int, default=2, choices=[0, 1, 2])
+    c_str.add_argument("--max-strain", type=float, default=0.7)
+    c_str.add_argument("--n-points", type=int, default=15)
+    c_str.add_argument("--fmax", type=float, default=0.02)
+    c_str.add_argument("-o", "--output", default=None,
+                       help="CSV: strain, stress_gpa, e_per_atom")
+
     c_fe = comp_sub.add_parser(
         "fe", help="ABSOLUTE Helmholtz free energy by Frenkel-Ladd "
                    "thermodynamic integration from an Einstein "
@@ -644,6 +657,8 @@ def _cmd_compute(args):
         return _compute_visc(args)
     if args.task == "fe":
         return _compute_fe(args)
+    if args.task == "strength":
+        return _compute_strength(args)
     if args.task == "rdf":
         return _compute_rdf(args)
     if args.task == "qha":
@@ -883,6 +898,32 @@ def _compute_kappa(args):
     return 0
 
 
+
+
+
+def _compute_strength(args):
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.elastic import ideal_strength
+    calc = TensorAlloyCalculator(args.model)
+    s = _load_crystal(args.crystal)
+    res = ideal_strength(calc, s, axis=args.axis,
+                         max_strain=args.max_strain,
+                         n_points=args.n_points, fmax=args.fmax)
+    print("strain   sigma_axial (GPa)")
+    for e, st in zip(res["strain"], res["stress_gpa"]):
+        print(f"{e:6.3f} {st:12.3f}")
+    print(f"E(small-strain secant) = "
+          f"{res['youngs_modulus_gpa']:.1f} GPa")
+    print(f"ideal strength = {res['sigma_max_gpa']:.2f} GPa at "
+          f"strain {res['eps_at_max']:.3f}")
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write("strain,stress_gpa,e_per_atom\n")
+            for row in zip(res["strain"], res["stress_gpa"],
+                           res["energy_per_atom"]):
+                fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+        print(f"wrote {args.output}")
+    return 0
 
 
 def _compute_fe(args):

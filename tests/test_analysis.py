@@ -494,3 +494,43 @@ def test_quasi_harmonic_thermal_expansion(ni_calc, ni_primitive):
     assert b[0] > b[1] > b[2]                       # softening
     f = out["free_energy"]
     assert f[0] > f[1] > f[2]
+
+
+def test_ideal_strength_zjw04_ni():
+    """<100> uniaxial tension of zjw04 Ni with transverse relaxation:
+    the small-strain secant reproduces the Young's modulus from the
+    elastic constants, E<100> = (C11-C12)(C11+2C12)/(C11+C12), the
+    stress rises to a peak in a physical window and falls past it."""
+    import numpy as np
+    from collections import Counter
+    import jax
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    from tensoralloy_tpu.analysis.elastic import (ideal_strength,
+                                                  fit_elastic_tensor)
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5],
+                     [0, .5, .5]])
+    s = Structure.from_symbols(["Ni"] * 4, base * a0, np.eye(3) * a0,
+                               pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    calc = TensorAlloyCalculator(model,
+                                 model.init_params(jax.random.PRNGKey(0)))
+    res = ideal_strength(calc, s, axis=2, max_strain=0.7,
+                         n_points=15)
+    c, _ = fit_elastic_tensor(calc, s)
+    c11, c12 = c[0, 0], c[0, 1]
+    e100 = (c11 - c12) * (c11 + 2 * c12) / (c11 + c12)
+    assert res["youngs_modulus_gpa"] == pytest.approx(e100, rel=0.25)
+    # zjw04 Ni <100>: 31.9 GPa at eps = 0.45 (DFT ~26 at ~0.36 --
+    # EAM hardens at large strain); generous physical window
+    assert 10.0 < res["sigma_max_gpa"] < 45.0
+    assert 0.2 < res["eps_at_max"] < 0.65
+    st = res["stress_gpa"]
+    i = int(np.argmax(st))
+    assert 0 < i < len(st) - 1          # peak is interior (rose, fell)
+    assert st[0] == pytest.approx(0.0, abs=0.3)
