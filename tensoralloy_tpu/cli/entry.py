@@ -269,6 +269,20 @@ def main(argv=None):
     c_gk.add_argument("-o", "--output", default="kappa.csv",
                       help="CSV: lag_fs, hcacf, kappa_running")
 
+    c_dd = comp_sub.add_parser(
+        "dedup", help="near-duplicate frames in a database by "
+                      "Valle-Oganov fingerprint distance (the "
+                      "reference's FingerprintsComparator use case, "
+                      "as a CLI)")
+    c_dd.add_argument("db", help="sqlite db or extxyz")
+    c_dd.add_argument("--threshold", type=float, default=0.01,
+                      help="cosine-distance threshold")
+    c_dd.add_argument("--rmax", type=float, default=6.0)
+    c_dd.add_argument("--keep", default=None,
+                      help="write the de-duplicated frames here "
+                           "(extxyz; first of each duplicate group "
+                           "kept)")
+
     c_str = comp_sub.add_parser(
         "strength", help="ideal tensile strength: fixed axial strain "
                          "scan with positions + transverse strains "
@@ -659,6 +673,8 @@ def _cmd_compute(args):
         return _compute_fe(args)
     if args.task == "strength":
         return _compute_strength(args)
+    if args.task == "dedup":
+        return _compute_dedup(args)
     if args.task == "rdf":
         return _compute_rdf(args)
     if args.task == "qha":
@@ -899,6 +915,37 @@ def _compute_kappa(args):
 
 
 
+
+
+
+def _compute_dedup(args):
+    """Fingerprint near-duplicate report + optional pruned output."""
+    from ..analysis.fingerprints import FingerprintsComparator
+    if args.db.endswith(".db"):
+        from ..io.sqlite import connect
+        frames = list(connect(args.db))
+    else:
+        from ..io.extxyz import read_extxyz
+        frames = read_extxyz(args.db)
+    comp = FingerprintsComparator(frames, rmax=args.rmax)
+    pairs = comp.find_duplicates(args.threshold)
+    print(f"{len(frames)} frames; {len(pairs)} near-duplicate pairs "
+          f"at cosine distance < {args.threshold}")
+    drop = set()
+    for i, j in pairs:
+        if i not in drop:
+            drop.add(j)
+    for i, j in pairs[:20]:
+        print(f"  {i:5d} ~ {j:5d}")
+    if len(pairs) > 20:
+        print(f"  ... {len(pairs) - 20} more")
+    print(f"unique frames: {len(frames) - len(drop)}")
+    if args.keep:
+        from ..io.extxyz import write_extxyz
+        kept = [f for k, f in enumerate(frames) if k not in drop]
+        write_extxyz(args.keep, kept)
+        print(f"wrote {args.keep} ({len(kept)} frames)")
+    return 0
 
 
 def _compute_strength(args):

@@ -534,3 +534,34 @@ def test_ideal_strength_zjw04_ni():
     i = int(np.argmax(st))
     assert 0 < i < len(st) - 1          # peak is interior (rose, fell)
     assert st[0] == pytest.approx(0.0, abs=0.3)
+
+
+def test_cli_compute_dedup(tmp_path):
+    """`compute dedup`: identical frames flagged, rattled distinct
+    frames kept, pruned extxyz written."""
+    import subprocess
+    import sys
+    import numpy as np
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.io.extxyz import write_extxyz, read_extxyz
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5],
+                     [0, .5, .5]]) * a0
+    perfect = Structure.from_symbols(["Ni"] * 4, base, np.eye(3) * a0,
+                                     pbc=[True] * 3)
+    rng = np.random.RandomState(0)
+    rattled = perfect.copy()
+    rattled.positions = rattled.positions + rng.normal(
+        scale=0.25, size=(4, 3))
+    frames = [perfect, perfect.copy(), rattled]
+    src = tmp_path / "frames.extxyz"
+    write_extxyz(str(src), frames)
+    kept = tmp_path / "unique.extxyz"
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "dedup", str(src), "--threshold", "0.01",
+         "--keep", str(kept)],
+        capture_output=True, text=True, check=True)
+    assert "near-duplicate pairs" in out.stdout
+    assert "unique frames: 2" in out.stdout
+    assert len(read_extxyz(str(kept))) == 2
