@@ -15,13 +15,15 @@ from __future__ import annotations
 
 from itertools import product
 from math import gcd
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..atoms import Structure
 
-__all__ = ["make_slab", "surface_energy", "stacking_fault_energy"]
+__all__ = ["make_slab", "surface_energy", "stacking_fault_energy",
+           "gamma_line", "gamma_surface", "make_tilt_bicrystal",
+           "grain_boundary_energy"]
 
 
 def _in_plane_basis(cell: np.ndarray, hkl: Tuple[int, int, int],
@@ -439,3 +441,133 @@ def gamma_surface(calc, bulk: Structure,
     return {"u": us, "v": vs, "gamma_mj_m2": grid,
             "gamma_max_mj_m2": float(grid.max()),
             "area_a2": gsf.area, "n_atoms": gsf.n_atoms}
+
+
+def make_tilt_bicrystal(bulk: Structure, miller: Tuple[int, int, int],
+                        layers: int = 8,
+                        translation: Tuple[float, float] = (0.0, 0.0),
+                        plane_centered: bool = True, search: int = 3,
+                        min_dist: Optional[float] = None) -> Structure:
+    """Symmetric (mirror) tilt bicrystal with TWO equivalent grain
+    boundaries per periodic cell.
+
+    Grain A is the (hkl)-oriented supercell (`layers` planes); grain B
+    is its mirror image across the boundary plane, optionally shifted
+    in-plane by `translation` (units of the two in-plane cell vectors
+    — the microscopic GB translation). `plane_centered=True` puts the
+    mirror ON the top atomic plane (shared plane de-duplicated; the
+    fcc (111) case IS the coherent twin), else midway between planes.
+    Because grain B's stacking tilt is the exact opposite of grain A's,
+    the combined stack closes periodically under a PURE-normal third
+    cell vector. The structure is returned rotated so the boundary
+    normal is Cartesian z (so `relax_cell(strain_mask=diag(0,0,1))`
+    relaxes the GB excess volume). `min_dist` optionally deletes one
+    atom of any cross-boundary pair closer than it (fused sites of
+    unlucky translations).
+    """
+    cell = np.asarray(bulk.cell, float)
+    u, v, w = _in_plane_basis(cell, miller, search=search)
+    m = np.stack([u, v, w * layers])
+    sym, frac, pc = _fill_supercell(bulk, m)
+    pos = frac @ pc
+    n_hat = np.cross(pc[0], pc[1])
+    n_hat /= np.linalg.norm(n_hat)
+    if pc[2] @ n_hat < 0:
+        n_hat = -n_hat
+    d = float(pc[2] @ n_hat) / layers          # interplanar advance
+    z = pos @ n_hat
+    z_m = ((layers - 1) * d if plane_centered
+           else (layers - 0.5) * d)
+    shift = translation[0] * pc[0] + translation[1] * pc[1]
+    mirrored = pos + 2.0 * (z_m - z)[:, None] * n_hat[None] + shift
+    height = 2.0 * z_m
+    cell_gb = np.stack([pc[0], pc[1], height * n_hat])
+
+    all_pos = np.concatenate([pos, mirrored])
+    all_sym = list(sym) + list(sym)
+    inv = np.linalg.inv(cell_gb)
+    fr = all_pos @ inv
+    fr -= np.floor(fr + 1e-9)
+    # drop exact duplicates (shared mirror plane, wrapped bottom plane)
+    keep, kept_fr, kept_sym = [], [], []
+    for i, (f, s_i) in enumerate(zip(fr, all_sym)):
+        dup = False
+        for q, s_q in zip(kept_fr, kept_sym):
+            if s_q != s_i:
+                continue
+            df = f - q
+            df -= np.round(df)
+            if np.max(np.abs(df @ cell_gb)) < 1e-6:
+                dup = True
+                break
+        if not dup:
+            keep.append(i)
+            kept_fr.append(f)
+            kept_sym.append(s_i)
+    fr = np.asarray(kept_fr)
+    pos_gb = fr @ cell_gb
+    sym_gb = kept_sym
+    if min_dist is not None:
+        # delete one of each too-close pair (periodic)
+        alive = np.ones(len(pos_gb), bool)
+        for i in range(len(pos_gb)):
+            if not alive[i]:
+                continue
+            df = (pos_gb[i + 1:] - pos_gb[i]) @ inv
+            df -= np.round(df)
+            r = np.linalg.norm(df @ cell_gb, axis=1)
+            for j_rel in np.nonzero(r < min_dist)[0]:
+                alive[i + 1 + j_rel] = False
+        pos_gb, sym_gb = pos_gb[alive], \
+            [s for s, a in zip(sym_gb, alive) if a]
+    # rotate boundary normal -> z
+    e3 = n_hat
+    e1 = pc[0] / np.linalg.norm(pc[0])
+    e2 = np.cross(e3, e1)
+    rot = np.stack([e1, e2, e3])
+    return Structure.from_symbols(sym_gb, pos_gb @ rot.T,
+                                  cell_gb @ rot.T, pbc=[True] * 3)
+
+
+def grain_boundary_energy(calc, bulk: Structure,
+                          miller: Tuple[int, int, int],
+                          layers: int = 8,
+                          translations: Optional[Sequence] = None,
+                          plane_centered: bool = True,
+                          relax: bool = True, fmax: float = 0.03,
+                          steps: int = 300,
+                          min_dist: Optional[float] = None
+                          ) -> Dict[str, object]:
+    """gamma_GB = (E_bicrystal - N e_bulk) / (2 A), minimized over the
+    microscopic in-plane translations, with positions AND the normal
+    cell expansion relaxed (`relax_cell` with only the zz strain
+    free). Ref: no analog (every deformed-cell physics in the
+    reference shells out to LAMMPS)."""
+    from .elastic import relax_cell
+    e_bulk = calc.get_potential_energy(bulk) / len(bulk)
+    if translations is None:
+        translations = [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5),
+                        (0.5, 0.5)]
+    mask = np.zeros((3, 3))
+    mask[2, 2] = 1.0
+    best = None
+    for tau in translations:
+        gb = make_tilt_bicrystal(bulk, miller, layers=layers,
+                                 translation=tau,
+                                 plane_centered=plane_centered,
+                                 min_dist=min_dist)
+        if relax:
+            gb = relax_cell(calc, gb, fmax=fmax, smax=0.15,
+                            steps=steps, strain_mask=mask)
+        e = float(calc.get_potential_energy(gb))
+        area = float(np.linalg.norm(np.cross(gb.cell[0], gb.cell[1])))
+        gamma = (e - len(gb) * e_bulk) / (2.0 * area)
+        entry = {"translation": tuple(tau),
+                 "gamma_j_m2": gamma * 16.02176634,
+                 "gamma_mj_m2": gamma * 16021.76634,
+                 "n_atoms": len(gb), "area_a2": area,
+                 "structure": gb}
+        if best is None or entry["gamma_j_m2"] < best["gamma_j_m2"]:
+            best = entry
+    best["e_bulk_per_atom"] = e_bulk
+    return best

@@ -354,6 +354,25 @@ def main(argv=None):
     c_surf.add_argument("--no-relax", action="store_true")
     c_surf.add_argument("--fmax", type=float, default=0.02)
 
+    c_gb = comp_sub.add_parser(
+        "gb", help="symmetric tilt grain-boundary energy: mirror "
+                   "bicrystal via integer lattice algebra, "
+                   "microscopic-translation scan, positions + "
+                   "GB excess volume relaxed")
+    c_gb.add_argument("model")
+    c_gb.add_argument("crystal")
+    c_gb.add_argument("miller", type=int, nargs=3)
+    c_gb.add_argument("--layers", type=int, default=8)
+    c_gb.add_argument("--mid-plane", action="store_true",
+                      help="mirror BETWEEN atomic planes instead of "
+                           "on one")
+    c_gb.add_argument("--min-dist", type=float, default=1.8,
+                      help="delete one of any cross-boundary atom "
+                           "pair closer than this (A)")
+    c_gb.add_argument("--no-relax", action="store_true")
+    c_gb.add_argument("-o", "--output", default=None,
+                      help="write the relaxed bicrystal (extxyz)")
+
     c_sfe = comp_sub.add_parser(
         "sfe", help="stacking-fault energy gamma(hkl, shift): "
                     "tilted-cell method, normal-constrained "
@@ -683,6 +702,8 @@ def _cmd_compute(args):
         return _compute_surface(args)
     if args.task == "sfe":
         return _compute_sfe(args)
+    if args.task == "gb":
+        return _compute_gb(args)
     if args.task == "neb":
         return _compute_neb(args)
     if args.task == "defect":
@@ -1072,6 +1093,29 @@ def _compute_surface(args):
           f"surface relaxation {r['relaxation_ev'] * 1000:.2f} meV")
     print(f"gamma({h}{k}{l}) = {r['gamma_j_m2']:.4f} J/m^2 "
           f"({r['gamma_ev_a2']:.6f} eV/A^2)")
+    return 0
+
+
+
+def _compute_gb(args):
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.surface import grain_boundary_energy
+    calc = TensorAlloyCalculator(args.model)
+    bulk = _load_crystal(args.crystal)
+    r = grain_boundary_energy(
+        calc, bulk, tuple(args.miller), layers=args.layers,
+        plane_centered=not args.mid_plane, relax=not args.no_relax,
+        min_dist=args.min_dist)
+    h, k, l = args.miller
+    print(f"({h}{k}{l}) symmetric tilt bicrystal: {r['n_atoms']} "
+          f"atoms, area {r['area_a2']:.2f} A^2, best translation "
+          f"{r['translation']}")
+    print(f"gamma_GB = {r['gamma_j_m2']:.4f} J/m^2 "
+          f"({r['gamma_mj_m2']:.1f} mJ/m^2)")
+    if args.output:
+        from ..io.extxyz import write_extxyz
+        write_extxyz(args.output, [r["structure"]])
+        print(f"wrote {args.output}")
     return 0
 
 

@@ -197,3 +197,42 @@ def test_cli_sfe_line_and_grid(tmp_path, ni_bulk):
         capture_output=True, text=True, check=True)
     assert "gamma-surface 2x2" in out.stdout
     assert len(open(grid_csv).readlines()) == 5
+
+
+def test_gb_mirror_100_is_perfect_crystal(ni_bulk, ni_calc_s):
+    """Exactness oracle: fcc has a mirror symmetry through (100)
+    atomic planes, so the plane-centered (100) 'bicrystal' IS the
+    perfect crystal -- gamma = 0 to machine precision and the atom
+    count matches the dedup arithmetic (2 layers shared)."""
+    from tensoralloy_tpu.analysis.surface import grain_boundary_energy
+    r = grain_boundary_energy(ni_calc_s, ni_bulk, (1, 0, 0), layers=6,
+                              translations=[(0.0, 0.0)], relax=False)
+    assert r["gamma_mj_m2"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_gb_coherent_twin_111(ni_bulk, ni_calc_s):
+    """The plane-centered (111) mirror bicrystal IS the coherent twin;
+    zjw04 Ni: gamma_twin ~ gamma_isf / 2 (textbook fcc relation;
+    measured 50.3 vs ISF 100.5 mJ/m^2)."""
+    from tensoralloy_tpu.analysis.surface import (grain_boundary_energy,
+                                                  stacking_fault_energy)
+    r = grain_boundary_energy(ni_calc_s, ni_bulk, (1, 1, 1), layers=8,
+                              translations=[(0.0, 0.0)])
+    assert 20.0 < r["gamma_mj_m2"] < 90.0
+    isf = stacking_fault_energy(ni_calc_s, ni_bulk, (1, 1, 1),
+                                (1 / 3, 1 / 3), layers=8)
+    ratio = r["gamma_mj_m2"] / isf["gamma_mj_m2"]
+    assert 0.35 < ratio < 0.7
+
+
+def test_gb_sigma5_tilt_energies(ni_bulk, ni_calc_s):
+    """Sigma5 [001] symmetric tilt boundaries of zjw04 Ni land in the
+    published EAM windows: (310) ~1.1-1.4, (210) ~1.1-1.6 J/m^2, both
+    far above the twin and far below a free surface."""
+    from tensoralloy_tpu.analysis.surface import grain_boundary_energy
+    g310 = grain_boundary_energy(ni_calc_s, ni_bulk, (3, 1, 0),
+                                 layers=8, min_dist=1.8)
+    g210 = grain_boundary_energy(ni_calc_s, ni_bulk, (2, 1, 0),
+                                 layers=8, min_dist=1.8)
+    assert 0.9 < g310["gamma_j_m2"] < 1.5
+    assert 0.9 < g210["gamma_j_m2"] < 1.7
