@@ -261,6 +261,9 @@ def main(argv=None):
     c_gk.add_argument("--friction", type=float, default=0.05)
     c_gk.add_argument("--skin", type=float, default=1.0)
     c_gk.add_argument("--seed", type=int, default=0)
+    c_gk.add_argument("--seeds", type=int, default=1,
+                      help="independent replicas (seed, seed+1, ...); "
+                           "kappa reported as mean +/- std")
     c_gk.add_argument("--device-nl", action="store_true",
                       help="rebuild neighbor lists ON DEVICE during "
                            "production (J is computed inside the "
@@ -887,8 +890,43 @@ def _compute_md(args):
 
 def _compute_kappa(args):
     """Green-Kubo kappa: Langevin-NVT equilibration, NVE production
-    with per-chunk trajectory recording, exact autodiff heat flux per
-    frame (`analysis.heatflux`), HCACF running integral."""
+    with the heat flux inside the jitted chunk, HCACF running
+    integral; `--seeds N` averages independent replicas."""
+    import numpy as np
+    from ..dynamics import VelocityVerlet
+    from ..io.model import load_model
+    from ..analysis.heatflux import green_kubo
+    model, params, _ = load_model(args.model)
+    s = _load_crystal(args.structure)
+    if args.supercell:
+        s = s.repeat(tuple(args.supercell))
+    if args.seeds > 1:
+        kappas, runnings, gk = [], [], None
+        for k in range(args.seeds):
+            sub = argparse.Namespace(**vars(args))
+            sub.seeds, sub.seed = 1, args.seed + k
+            sub.output = (args.output + f".s{sub.seed}"
+                          if args.output else None)
+            print(f"--- replica seed {sub.seed} ---")
+            gk = _compute_kappa_single(sub)
+            kappas.append(gk["kappa"])
+            runnings.append(gk["kappa_running"])
+        n = min(len(r) for r in runnings)
+        mean_r = np.mean([r[:n] for r in runnings], axis=0)
+        std_r = np.std([r[:n] for r in runnings], axis=0)
+        with open(args.output, "w") as fh:
+            fh.write("lag_fs,kappa_mean_W_mK,kappa_std_W_mK\n")
+            for row in zip(gk["lags"][:n], mean_r, std_r):
+                fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+        print(f"kappa over {args.seeds} replicas: "
+              f"{np.mean(kappas):.3f} +/- {np.std(kappas):.3f} W/m/K")
+        print(f"wrote {args.output}")
+        return 0
+    _compute_kappa_single(args)
+    return 0
+
+
+def _compute_kappa_single(args):
     import numpy as np
     from ..dynamics import VelocityVerlet
     from ..io.model import load_model
@@ -922,17 +960,20 @@ def _compute_kappa(args):
     gk = green_kubo(J, dt=args.sample * args.timestep,
                     volume=md.structure.volume, temperature=t_mean,
                     max_lag=args.max_lag)
-    with open(args.output, "w") as fh:
-        fh.write("lag_fs,hcacf_eVA_fs_sq,kappa_running_W_mK\n")
-        for row in zip(gk["lags"], gk["hcacf"], gk["kappa_running"]):
-            fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write("lag_fs,hcacf_eVA_fs_sq,kappa_running_W_mK\n")
+            for row in zip(gk["lags"], gk["hcacf"],
+                           gk["kappa_running"]):
+                fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
     kr = gk["kappa_running"]
     plateau = float(np.mean(kr[len(kr) // 2:]))
     print(f"<T> = {t_mean:.1f} K over {len(J)} frames")
     print(f"kappa(max lag) = {gk['kappa']:.3f} W/m/K; "
           f"plateau mean (last half of lags) = {plateau:.3f} W/m/K")
-    print(f"wrote {args.output}")
-    return 0
+    if args.output:
+        print(f"wrote {args.output}")
+    return gk
 
 
 

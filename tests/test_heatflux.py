@@ -437,3 +437,30 @@ def test_heat_flux_finite_temperature_model():
                                rtol=1e-9, atol=1e-12)
     # and the convective term uses F, not U
     assert abs(float(res["energy"]) - f_total) < 1e-10
+
+
+def test_cli_compute_kappa_multiseed(tmp_path):
+    """--seeds 2: replica-averaged CSV with mean +/- std columns."""
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out_csv = tmp_path / "kappa.csv"
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "kappa", str(mpath), "Ni", "--supercell", "2", "2", "2",
+         "--temp", "300", "--equil-steps", "10", "--steps", "40",
+         "--sample", "5", "--seeds", "2", "-o", str(out_csv)],
+        capture_output=True, text=True, check=True)
+    assert "kappa over 2 replicas:" in out.stdout
+    assert "+/-" in out.stdout
+    rows = open(out_csv).readlines()
+    assert rows[0].strip() == "lag_fs,kappa_mean_W_mK,kappa_std_W_mK"
+    assert (tmp_path / "kappa.csv.s0").exists()
+    assert (tmp_path / "kappa.csv.s1").exists()
