@@ -571,3 +571,172 @@ def grain_boundary_energy(calc, bulk: Structure,
             best = entry
     best["e_bulk_per_atom"] = e_bulk
     return best
+
+
+def _rotation_about(axis: np.ndarray, angle_rad: float) -> np.ndarray:
+    n = axis / np.linalg.norm(axis)
+    c, s = np.cos(angle_rad), np.sin(angle_rad)
+    k = np.array([[0, -n[2], n[1]], [n[2], 0, -n[0]],
+                  [-n[1], n[0], 0]])
+    return np.eye(3) * c + s * k + (1 - c) * np.outer(n, n)
+
+
+def make_twist_bicrystal(bulk: Structure,
+                         miller: Tuple[int, int, int],
+                         angle_deg: float, layers: int = 6,
+                         translation: Tuple[float, float] = (0.0, 0.0),
+                         search: int = 3, csl_search: int = 6,
+                         csl_tol: float = 1e-5,
+                         min_dist: Optional[float] = None) -> Structure:
+    """Twist bicrystal: grain B is grain A rotated by `angle_deg`
+    about the (hkl) plane normal, stacked along it (two equivalent
+    twist boundaries per periodic cell).
+
+    Requirements checked explicitly: (a) a PURELY NORMAL stacking
+    vector must exist (it does for cubic (001)/(111): [001] advances
+    2 planes, [111] advances 3 — axes without one cannot close a
+    twist cell periodically); (b) the rotation must map the in-plane
+    lattice onto itself over some coincidence-site (CSL) supercell,
+    found by testing rotated integer in-plane vectors as crystal
+    translations of the BULK (handles centering exactly). Raises if
+    no CSL cell exists within `csl_search`.
+    """
+    cell = np.asarray(bulk.cell, float)
+    u, v, _ = _in_plane_basis(cell, miller, search=search)
+    n_vec = np.cross(u @ cell, v @ cell)
+    n_hat = n_vec / np.linalg.norm(n_vec)
+    # (a) shortest integer lattice vector PARALLEL to the normal
+    w_n, w_len = None, np.inf
+    for t in product(range(-search, search + 1), repeat=3):
+        t = np.array(t, int)
+        if not t.any():
+            continue
+        vec = t @ cell
+        if np.linalg.norm(vec - (vec @ n_hat) * n_hat) < 1e-9 \
+                and vec @ n_hat > 0 and np.linalg.norm(vec) < w_len:
+            w_n, w_len = t, float(np.linalg.norm(vec))
+    if w_n is None:
+        raise ValueError(
+            f"no purely-normal stacking vector for {tuple(miller)}: "
+            "this axis cannot close a periodic twist cell")
+    theta = np.deg2rad(angle_deg)
+    rot = _rotation_about(n_hat, theta)
+    # (b) in-plane CSL vectors: the bicrystal cell vector c must be a
+    # period of BOTH grains — c is in grain A's lattice by integer
+    # construction, and in grain B's lattice (= R L) iff R^-1 c is a
+    # crystal translation of the bulk
+    frac_bulk = bulk.positions @ np.linalg.inv(cell)
+    inv_cell = np.linalg.inv(cell)
+    matches = []
+    for i in range(-csl_search, csl_search + 1):
+        for j in range(-csl_search, csl_search + 1):
+            if i == 0 and j == 0:
+                continue
+            vec = (i * u + j * v) @ cell
+            rv = rot.T @ vec
+            if _is_crystal_translation(frac_bulk, bulk.symbols,
+                                       rv @ inv_cell, tol=csl_tol):
+                matches.append(((i, j), float(np.linalg.norm(vec))))
+    matches.sort(key=lambda x: x[1])
+    c1 = c2 = None
+    for (i, j), _ln in matches:
+        cand = np.array(i, int), np.array(j, int)
+        if c1 is None:
+            c1 = (i, j)
+            continue
+        v1 = (c1[0] * u + c1[1] * v) @ cell
+        v2 = (i * u + j * v) @ cell
+        if np.linalg.norm(np.cross(v1, v2)) > 1e-6:
+            c2 = (i, j)
+            break
+    if c1 is None or c2 is None:
+        raise ValueError(
+            f"no in-plane CSL cell for {tuple(miller)} twist "
+            f"{angle_deg} deg within csl_search={csl_search}")
+    m1 = c1[0] * u + c1[1] * v
+    m2 = c2[0] * u + c2[1] * v
+    m = np.stack([m1, m2, w_n * layers])
+    if np.linalg.det(m @ cell) < 0:
+        m[1] = -m[1]
+        c2 = (-c2[0], -c2[1])
+        m2 = -m2
+    sym, frac, pc = _fill_supercell(bulk, m)
+    pos = frac @ pc
+    t_stack = float(pc[2] @ n_hat)             # pure normal by (a)
+    shift = translation[0] * pc[0] + translation[1] * pc[1]
+    # grain B must be the ROTATED CRYSTAL filled into the SAME cell:
+    # rotating the grain-A supercell would double-cover sites (R maps
+    # A-lattice vectors outside the cell span onto cell vectors). The
+    # pre-images R^T c1/c2 are integer lattice vectors by the CSL
+    # test; fill that supercell and rotate it.
+    q1 = np.round((rot.T @ (m1 @ cell)) @ inv_cell).astype(int)
+    q2 = np.round((rot.T @ (m2 @ cell)) @ inv_cell).astype(int)
+    m_b = np.stack([q1, q2, w_n * layers])
+    sym_b, frac_b, pc_b = _fill_supercell(bulk, m_b)
+    pos_b = ((frac_b @ pc_b) @ rot.T
+             + t_stack * n_hat[None] + shift[None])
+    sym = list(sym) + list(sym_b)
+    cell_gb = np.stack([pc[0], pc[1], 2.0 * t_stack * n_hat])
+    all_pos = np.concatenate([pos, pos_b])
+    all_sym = sym
+    inv_gb = np.linalg.inv(cell_gb)
+    fr = all_pos @ inv_gb
+    fr -= np.floor(fr + 1e-9)
+    pos_gb = fr @ cell_gb
+    if min_dist is not None:
+        alive = np.ones(len(pos_gb), bool)
+        for i in range(len(pos_gb)):
+            if not alive[i]:
+                continue
+            df = (pos_gb[i + 1:] - pos_gb[i]) @ inv_gb
+            df -= np.round(df)
+            r = np.linalg.norm(df @ cell_gb, axis=1)
+            for j_rel in np.nonzero(r < min_dist)[0]:
+                alive[i + 1 + j_rel] = False
+        pos_gb = pos_gb[alive]
+        all_sym = [s for s, a in zip(all_sym, alive) if a]
+    e3 = n_hat
+    e1 = pc[0] / np.linalg.norm(pc[0])
+    e2 = np.cross(e3, e1)
+    rmat = np.stack([e1, e2, e3])
+    return Structure.from_symbols(all_sym, pos_gb @ rmat.T,
+                                  cell_gb @ rmat.T, pbc=[True] * 3)
+
+
+def twist_boundary_energy(calc, bulk: Structure,
+                          miller: Tuple[int, int, int],
+                          angle_deg: float, layers: int = 6,
+                          translations: Optional[Sequence] = None,
+                          relax: bool = True, fmax: float = 0.03,
+                          steps: int = 300,
+                          min_dist: Optional[float] = None
+                          ) -> Dict[str, object]:
+    """gamma of a twist boundary, minimized over microscopic in-plane
+    translations, positions + GB excess volume relaxed."""
+    from .elastic import relax_cell
+    e_bulk = calc.get_potential_energy(bulk) / len(bulk)
+    if translations is None:
+        translations = [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5),
+                        (0.5, 0.5)]
+    mask = np.zeros((3, 3))
+    mask[2, 2] = 1.0
+    best = None
+    for tau in translations:
+        gb = make_twist_bicrystal(bulk, miller, angle_deg,
+                                  layers=layers, translation=tau,
+                                  min_dist=min_dist)
+        if relax:
+            gb = relax_cell(calc, gb, fmax=fmax, smax=0.15,
+                            steps=steps, strain_mask=mask)
+        e = float(calc.get_potential_energy(gb))
+        area = float(np.linalg.norm(np.cross(gb.cell[0], gb.cell[1])))
+        gamma = (e - len(gb) * e_bulk) / (2.0 * area)
+        entry = {"translation": tuple(tau),
+                 "gamma_j_m2": gamma * 16.02176634,
+                 "gamma_mj_m2": gamma * 16021.76634,
+                 "n_atoms": len(gb), "area_a2": area,
+                 "structure": gb}
+        if best is None or entry["gamma_j_m2"] < best["gamma_j_m2"]:
+            best = entry
+    best["e_bulk_per_atom"] = e_bulk
+    return best

@@ -366,6 +366,12 @@ def main(argv=None):
     c_gb.add_argument("crystal")
     c_gb.add_argument("miller", type=int, nargs=3)
     c_gb.add_argument("--layers", type=int, default=8)
+    c_gb.add_argument("--twist", type=float, default=None,
+                      metavar="DEG",
+                      help="TWIST boundary: rotate grain B by this "
+                           "angle about the plane normal (CSL cell "
+                           "found automatically) instead of the "
+                           "mirror tilt")
     c_gb.add_argument("--mid-plane", action="store_true",
                       help="mirror BETWEEN atomic planes instead of "
                            "on one")
@@ -1140,15 +1146,24 @@ def _compute_surface(args):
 
 def _compute_gb(args):
     from ..calculator import TensorAlloyCalculator
-    from ..analysis.surface import grain_boundary_energy
+    from ..analysis.surface import (grain_boundary_energy,
+                                    twist_boundary_energy)
     calc = TensorAlloyCalculator(args.model)
     bulk = _load_crystal(args.crystal)
-    r = grain_boundary_energy(
-        calc, bulk, tuple(args.miller), layers=args.layers,
-        plane_centered=not args.mid_plane, relax=not args.no_relax,
-        min_dist=args.min_dist)
     h, k, l = args.miller
-    print(f"({h}{k}{l}) symmetric tilt bicrystal: {r['n_atoms']} "
+    if args.twist is not None:
+        r = twist_boundary_energy(
+            calc, bulk, tuple(args.miller), args.twist,
+            layers=args.layers, relax=not args.no_relax,
+            min_dist=args.min_dist if args.min_dist > 0 else None)
+        kind = f"{args.twist:.2f}-degree twist"
+    else:
+        r = grain_boundary_energy(
+            calc, bulk, tuple(args.miller), layers=args.layers,
+            plane_centered=not args.mid_plane,
+            relax=not args.no_relax, min_dist=args.min_dist)
+        kind = "symmetric tilt"
+    print(f"({h}{k}{l}) {kind} bicrystal: {r['n_atoms']} "
           f"atoms, area {r['area_a2']:.2f} A^2, best translation "
           f"{r['translation']}")
     print(f"gamma_GB = {r['gamma_j_m2']:.4f} J/m^2 "

@@ -236,3 +236,42 @@ def test_gb_sigma5_tilt_energies(ni_bulk, ni_calc_s):
                                  layers=8, min_dist=1.8)
     assert 0.9 < g310["gamma_j_m2"] < 1.5
     assert 0.9 < g210["gamma_j_m2"] < 1.7
+
+
+def test_twist_gb_90deg_is_perfect_crystal(ni_bulk, ni_calc_s):
+    """Exactness oracle: a 90-degree twist about [001] is the 4-fold
+    symmetry of fcc -- the 'bicrystal' is the perfect crystal."""
+    from tensoralloy_tpu.analysis.surface import twist_boundary_energy
+    r = twist_boundary_energy(ni_calc_s, ni_bulk, (0, 0, 1), 90.0,
+                              layers=4, translations=[(0.0, 0.0)],
+                              relax=False)
+    assert r["gamma_mj_m2"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_twist_gb_sigma5_001(ni_bulk, ni_calc_s):
+    """Sigma5 (001) twist (36.87 deg): zjw04 Ni lands in the published
+    EAM window, below the Sigma5 tilts and far above the twin; the
+    CSL cell is the exact sqrt(5) x sqrt(5) (10 atoms/plane, healthy
+    interface distances)."""
+    from tensoralloy_tpu.analysis.surface import (twist_boundary_energy,
+                                                  make_twist_bicrystal)
+    gb = make_twist_bicrystal(ni_bulk, (0, 0, 1), 36.8698976458,
+                              layers=6)
+    assert len(gb) == 240                      # 24 planes x 10 atoms
+    inv = np.linalg.inv(gb.cell)
+    fr = gb.positions @ inv
+    d = fr[:, None, :] - fr[None, :, :]
+    d -= np.round(d)
+    r = np.linalg.norm(d @ gb.cell, axis=-1) + np.eye(len(gb)) * 10
+    assert r.min() > 1.7                       # no fused sites
+    res = twist_boundary_energy(ni_calc_s, ni_bulk, (0, 0, 1),
+                                36.8698976458, layers=6)
+    assert 0.6 < res["gamma_j_m2"] < 1.4
+
+
+def test_twist_gb_rejects_axis_without_normal_stacking(ni_bulk):
+    """(310) has no purely-normal stacking vector within the search
+    range -- the builder must refuse rather than emit a broken cell."""
+    from tensoralloy_tpu.analysis.surface import make_twist_bicrystal
+    with pytest.raises(ValueError, match="purely-normal|CSL"):
+        make_twist_bicrystal(ni_bulk, (3, 1, 0), 36.87, layers=4)
