@@ -291,6 +291,11 @@ def green_kubo(J: np.ndarray, dt: float, volume: float,
     integral, "kappa" its final value}.
     """
     J = np.asarray(J, dtype=np.float64)
+    # remove <J>: a residual center-of-mass drift (e.g. the random
+    # momentum a Langevin equilibration leaves behind) rides the
+    # convective term as a CONSTANT enthalpy flux, whose ACF offset
+    # integrates to a spurious linear kappa(t)
+    J = J - J.mean(axis=0, keepdims=True)
     n = len(J)
     if max_lag is None:
         max_lag = n // 2

@@ -957,6 +957,7 @@ def _compute_kappa_single(args):
                         device_nl=args.device_nl,
                         record_heat_flux=True)
     md.velocities_vap = md_eq.velocities_vap.copy()
+    md.zero_com_velocity()     # Langevin leaves a random COM drift
     print(f"production: NVE {args.steps} steps, J sampled every "
           f"{args.sample * args.timestep} fs (flux inside the "
           f"jitted chunk)")
@@ -1103,6 +1104,7 @@ def _compute_visc(args):
                         device_nl=args.device_nl, record_stress=True,
                         **kw)
     md.velocities_vap = md_eq.velocities_vap.copy()
+    md.zero_com_velocity()     # Langevin leaves a random COM drift
     regime = "NVT" if args.nvt_production else "NVE"
     print(f"production: {regime} {args.steps} steps, stress sampled "
           f"every {args.sample * args.timestep} fs")

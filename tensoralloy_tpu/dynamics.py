@@ -441,6 +441,17 @@ class VelocityVerlet:
 
 
     # ------------------------------------------------------------------
+    def zero_com_velocity(self) -> None:
+        """Remove the center-of-mass drift (mass-weighted). A Langevin
+        thermostat random-walks the total momentum; call this before
+        an NVE production run whose observables are drift-sensitive
+        (heat flux, MSD)."""
+        m = self.masses_vap[:, None] * self.vap.atom_masks[:, None]
+        v_com = (m * self.velocities_vap).sum(0) / m.sum()
+        self.velocities_vap = (self.velocities_vap - v_com[None]) \
+            * self.vap.atom_masks[:, None]
+
+    # ------------------------------------------------------------------
     def save_state(self, path: str) -> None:
         """Checkpoint the integrator state (positions, velocities,
         cell, thermostat RNG key) to one npz — `load_state` resumes a
