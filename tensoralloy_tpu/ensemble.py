@@ -48,7 +48,7 @@ class EnsembleCalculator(TensorAlloyCalculator):
     """
 
     def __init__(self, model_or_paths, params_list: Sequence[dict] = None,
-                 **kwargs):
+                 n_shards: int = 1, **kwargs):
         if isinstance(model_or_paths, (list, tuple)):
             from .io.model import load_model
             models, plist = [], []
@@ -70,6 +70,26 @@ class EnsembleCalculator(TensorAlloyCalculator):
                 raise ValueError("pass params_list with a model object")
         super().__init__(model, stack_params(params_list), **kwargs)
         self.n_members = len(params_list)
+        if n_shards > 1:
+            # shard the MEMBER axis over a 1-D device mesh: committee
+            # members are embarrassingly parallel (no cross-member
+            # coupling until the host-side mean/std), so a
+            # NamedSharding on every stacked-parameter leaf is the
+            # whole implementation — XLA replicates the shared
+            # features and partitions the vmapped K-axis
+            if self.n_members % n_shards:
+                raise ValueError(
+                    f"{self.n_members} members not divisible by "
+                    f"n_shards={n_shards}")
+            if n_shards > len(jax.devices()):
+                raise ValueError(
+                    f"n_shards={n_shards} > available devices")
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec)
+            mesh = Mesh(np.array(jax.devices()[:n_shards]),
+                        ("member",))
+            sharding = NamedSharding(mesh, PartitionSpec("member"))
+            self.params = jax.device_put(self.params, sharding)
 
     @staticmethod
     def _jit_efs(fn):

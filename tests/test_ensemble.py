@@ -198,3 +198,34 @@ def test_active_learning_loop_end_to_end(tmp_path):
     assert db2.elements == ["Ni"]
     got = db2.get(1)
     assert len(got) == len(s)
+
+
+def test_ensemble_member_sharding_parity():
+    """K=4 committee members sharded over a 4-device mesh: identical
+    mean/std results to the single-device ensemble, with the stacked
+    parameters actually living on 4 devices."""
+    import jax
+    s, model, plist = _setup(n_members=4)
+    res = {}
+    for shards in (1, 4):
+        calc = EnsembleCalculator(model, plist, n_shards=shards)
+        res[shards] = {
+            "e": calc.get_potential_energy(s),
+            "f": np.asarray(calc.get_forces(s)),
+            "estd": calc.get_energy_std(s),
+            "fstd": np.asarray(calc.get_forces_std(s)),
+        }
+        if shards == 4:
+            leaf = jax.tree_util.tree_leaves(calc.params)[0]
+            assert len(leaf.sharding.device_set) == 4
+    assert res[1]["e"] == pytest.approx(res[4]["e"], abs=1e-10)
+    np.testing.assert_allclose(res[1]["f"], res[4]["f"], atol=1e-10)
+    assert res[1]["estd"] == pytest.approx(res[4]["estd"], abs=1e-10)
+    np.testing.assert_allclose(res[1]["fstd"], res[4]["fstd"],
+                               atol=1e-10)
+
+
+def test_ensemble_shard_validation():
+    s, model, plist = _setup(n_members=3)
+    with pytest.raises(ValueError, match="divisible"):
+        EnsembleCalculator(model, plist, n_shards=2)
