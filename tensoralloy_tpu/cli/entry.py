@@ -272,6 +272,20 @@ def main(argv=None):
     c_gk.add_argument("-o", "--output", default="kappa.csv",
                       help="CSV: lag_fs, hcacf, kappa_running")
 
+    c_dif = comp_sub.add_parser(
+        "diffusion", help="vacancy hop kinetics by harmonic TST: "
+                          "CI-NEB saddle + Vineyard prefactor from "
+                          "exact autodiff Hessians -> jump rates and "
+                          "D_v(T)")
+    c_dif.add_argument("model")
+    c_dif.add_argument("crystal")
+    c_dif.add_argument("--supercell", type=int, nargs=3,
+                       default=[3, 3, 3])
+    c_dif.add_argument("--temps", default="600,900,1200",
+                       help="comma-separated temperatures (K)")
+    c_dif.add_argument("--site", type=int, default=0)
+    c_dif.add_argument("--n-images", type=int, default=7)
+
     c_dd = comp_sub.add_parser(
         "dedup", help="near-duplicate frames in a database by "
                       "Valle-Oganov fingerprint distance (the "
@@ -703,6 +717,8 @@ def _cmd_compute(args):
         return _compute_strength(args)
     if args.task == "dedup":
         return _compute_dedup(args)
+    if args.task == "diffusion":
+        return _compute_diffusion(args)
     if args.task == "rdf":
         return _compute_rdf(args)
     if args.task == "qha":
@@ -985,6 +1001,33 @@ def _compute_kappa_single(args):
 
 
 
+
+
+
+def _compute_diffusion(args):
+    from ..calculator import TensorAlloyCalculator
+    from ..analysis.kinetics import vacancy_diffusivity
+    calc = TensorAlloyCalculator(args.model)
+    bulk = _load_crystal(args.crystal)
+    temps = tuple(float(x) for x in args.temps.split(","))
+    out = vacancy_diffusivity(calc, bulk,
+                              supercell=tuple(args.supercell),
+                              temperatures=temps, site=args.site,
+                              n_images=args.n_images)
+    print(f"vacancy formation  E_f = {out['formation_energy']:.4f} eV")
+    print(f"migration barrier  E_m = {out['migration_energy']:.4f} eV"
+          f"  (NEB {'converged' if out['neb']['converged'] else 'NOT '
+          'converged'})")
+    print(f"activation energy  Q   = "
+          f"{out['activation_energy']:.4f} eV")
+    print(f"Vineyard attempt frequency nu* = "
+          f"{out['nu_star_thz']:.3f} THz; jump d = "
+          f"{out['jump_distance']:.4f} A")
+    print("   T (K)     k (1/s)       D_v (m^2/s)")
+    for t_k, k, d in zip(out["temperatures"], out["jump_rate_hz"],
+                         out["d_vacancy_m2_s"]):
+        print(f"{t_k:8.0f}  {k:12.4e}  {d:12.4e}")
+    return 0
 
 
 def _compute_dedup(args):
