@@ -275,3 +275,25 @@ def test_twist_gb_rejects_axis_without_normal_stacking(ni_bulk):
     from tensoralloy_tpu.analysis.surface import make_twist_bicrystal
     with pytest.raises(ValueError, match="purely-normal|CSL"):
         make_twist_bicrystal(ni_bulk, (3, 1, 0), 36.87, layers=4)
+
+
+def test_cli_compute_gb(tmp_path):
+    """`compute gb` end-to-end: the (111) mirror (coherent twin)
+    through the real CLI."""
+    import subprocess
+    import sys
+    from tensoralloy_tpu.io.model import save_model
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "gb", str(mpath), "Ni", "1", "1", "1", "--layers", "6",
+         "--no-relax"],
+        capture_output=True, text=True, check=True)
+    assert "symmetric tilt bicrystal" in out.stdout
+    gamma = float(out.stdout.split("gamma_GB = ")[1].split()[0])
+    assert 0.01 < gamma < 0.12        # unrelaxed twin, J/m^2
