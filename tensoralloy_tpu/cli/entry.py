@@ -272,6 +272,16 @@ def main(argv=None):
     c_gk.add_argument("-o", "--output", default="kappa.csv",
                       help="CSV: lag_fs, hcacf, kappa_running")
 
+    c_vd = comp_sub.add_parser(
+        "vdos", help="vibrational DOS from an MD trajectory "
+                     "(mass-weighted VACF cosine transform; "
+                     "`compute md --traj` output carries velocities)")
+    c_vd.add_argument("trajectory")
+    c_vd.add_argument("--dt", type=float, default=None,
+                      help="fs between frames (default: the "
+                           "frame_interval_fs header)")
+    c_vd.add_argument("-o", "--output", default="vdos.csv")
+
     c_dif = comp_sub.add_parser(
         "diffusion", help="vacancy hop kinetics by harmonic TST: "
                           "CI-NEB saddle + Vineyard prefactor from "
@@ -719,6 +729,8 @@ def _cmd_compute(args):
         return _compute_dedup(args)
     if args.task == "diffusion":
         return _compute_diffusion(args)
+    if args.task == "vdos":
+        return _compute_vdos(args)
     if args.task == "rdf":
         return _compute_rdf(args)
     if args.task == "qha":
@@ -879,11 +891,16 @@ def _compute_md(args):
         print(line)
     if args.traj:
         frames = []
-        for p, c, pe in zip(history["positions"], history["cells"],
-                            history["potential"]):
+        for p, c, v, pe in zip(history["positions"],
+                               history["cells"],
+                               history["velocities"],
+                               history["potential"]):
             frame = s.copy()
             frame.positions, frame.cell = p, c
             frame.info["energy"] = float(pe)
+            frame.info["velocities"] = v
+            frame.info["frame_interval_fs"] = (args.chunk_size
+                                               * args.timestep)
             frames.append(frame)
         write_extxyz(args.traj, frames)
         print(f"wrote {args.traj} ({len(frames)} frames)")
@@ -1002,6 +1019,32 @@ def _compute_kappa_single(args):
 
 
 
+
+
+
+def _compute_vdos(args):
+    import numpy as np
+    from ..io.extxyz import read_extxyz
+    from ..analysis.trajectory import vibrational_dos
+    frames = read_extxyz(args.trajectory)
+    if "velocities" not in frames[0].info:
+        raise SystemExit("trajectory has no velocities column (write "
+                         "it with `compute md --traj`)")
+    vel = np.stack([np.asarray(f.info["velocities"]) for f in frames])
+    dt = args.dt or float(frames[0].info.get("frame_interval_fs", 0))
+    if not dt:
+        raise SystemExit("frame interval unknown: pass --dt")
+    out = vibrational_dos(vel, timestep=dt,
+                          masses=frames[0].masses)
+    with open(args.output, "w") as fh:
+        fh.write("freq_thz,dos\n")
+        for row in zip(out["freq_thz"], out["dos"]):
+            fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+    peak = out["freq_thz"][np.argmax(out["dos"])]
+    print(f"{len(frames)} frames @ {dt} fs; VDOS peak at "
+          f"{peak:.2f} THz (Nyquist {500.0 / dt:.1f} THz)")
+    print(f"wrote {args.output}")
+    return 0
 
 
 def _compute_diffusion(args):

@@ -152,9 +152,13 @@ def write_extxyz(path: str, structures, append: bool = False):
             forces = s.forces
             if forces is not None:
                 props += ":forces:R:3"
+            velocities = s.info.get("velocities")
+            if velocities is not None:
+                velocities = np.asarray(velocities)
+                props += ":velocities:R:3"
             keys["Properties"] = props
             for k, v in s.info.items():
-                if k in ("forces",):
+                if k in ("forces", "velocities"):
                     continue
                 if k == "stress" and v is not None:
                     v = voigt_to_full_3x3(np.asarray(v))
@@ -169,4 +173,7 @@ def write_extxyz(path: str, structures, append: bool = False):
                 row = f"{sym:2s} " + " ".join(f"{x:16.8f}" for x in pos)
                 if forces is not None:
                     row += " " + " ".join(f"{x:16.8f}" for x in forces[i])
+                if velocities is not None:
+                    row += " " + " ".join(f"{x:16.10f}"
+                                          for x in velocities[i])
                 fh.write(row + "\n")

@@ -222,3 +222,43 @@ def test_vibrational_dos_vs_harmonic_band(ni_eam=None):
     assert above < 0.1 * in_band
     peak = f[np.argmax(d)]
     assert 1.0 < peak < 1.1 * nu_max
+
+
+def test_cli_md_traj_to_vdos(tmp_path):
+    """`compute md --traj` carries velocities + frame interval through
+    extxyz; `compute vdos` turns them into a spectrum whose peak sits
+    in the phonon band."""
+    import subprocess
+    import sys
+    from collections import Counter
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.io.model import save_model
+    from tensoralloy_tpu.io.extxyz import read_extxyz
+
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    mpath = tmp_path / "ni.npz"
+    save_model(str(mpath), model, jax.device_get(params))
+    traj = tmp_path / "traj.extxyz"
+    subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute", "md",
+         str(mpath), "Ni", "--supercell", "2", "2", "2",
+         "--steps", "300", "--chunk-size", "3", "--timestep", "2.0",
+         "--temp", "300", "--traj", str(traj),
+         "-o", str(tmp_path / "f.extxyz")],
+        capture_output=True, text=True, check=True)
+    frames = read_extxyz(str(traj))
+    assert "velocities" in frames[0].info
+    assert np.asarray(frames[0].info["velocities"]).shape == (32, 3)
+    out_csv = tmp_path / "vdos.csv"
+    out = subprocess.run(
+        [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
+         "vdos", str(traj), "-o", str(out_csv)],
+        capture_output=True, text=True, check=True)
+    assert "VDOS peak at" in out.stdout
+    peak = float(out.stdout.split("VDOS peak at ")[1].split()[0])
+    assert 1.0 < peak < 12.0           # inside the Ni phonon band
+    assert open(out_csv).readline().strip() == "freq_thz,dos"
