@@ -229,7 +229,10 @@ def trajectory_heat_flux(model, params, structure, positions, velocities,
         for k, v in feats.items():
             n = np.asarray(v).shape[0] if np.ndim(v) else 0
             if k.startswith(("pair_", "trip_")) and np.ndim(v):
-                cap[k] = max(cap.get(k, 0), int(1.25 * n) + 8)
+                # grow the padded capacity only when exceeded so
+                # every frame within it reuses one executable
+                if n > cap.get(k, 0):
+                    cap[k] = int(1.25 * n) + 8
                 pad = cap[k] - n
                 if pad > 0:
                     width = [(0, pad)] + [(0, 0)] * (np.ndim(v) - 1)

@@ -23,7 +23,8 @@ from ..atoms import Structure
 
 __all__ = ["make_slab", "surface_energy", "stacking_fault_energy",
            "gamma_line", "gamma_surface", "make_tilt_bicrystal",
-           "grain_boundary_energy"]
+           "grain_boundary_energy", "make_twist_bicrystal",
+           "twist_boundary_energy"]
 
 
 def _in_plane_basis(cell: np.ndarray, hkl: Tuple[int, int, int],
@@ -443,6 +444,23 @@ def gamma_surface(calc, bulk: Structure,
             "area_a2": gsf.area, "n_atoms": gsf.n_atoms}
 
 
+def _prune_close_pairs(pos: np.ndarray, sym: list,
+                       cell: np.ndarray, min_dist: float):
+    """Delete one atom of every periodic pair closer than `min_dist`
+    (fused cross-boundary sites of unlucky microscopic translations)."""
+    inv = np.linalg.inv(cell)
+    alive = np.ones(len(pos), bool)
+    for i in range(len(pos)):
+        if not alive[i]:
+            continue
+        df = (pos[i + 1:] - pos[i]) @ inv
+        df -= np.round(df)
+        r = np.linalg.norm(df @ cell, axis=1)
+        for j_rel in np.nonzero(r < min_dist)[0]:
+            alive[i + 1 + j_rel] = False
+    return pos[alive], [s for s, a in zip(sym, alive) if a]
+
+
 def make_tilt_bicrystal(bulk: Structure, miller: Tuple[int, int, int],
                         layers: int = 8,
                         translation: Tuple[float, float] = (0.0, 0.0),
@@ -479,12 +497,24 @@ def make_tilt_bicrystal(bulk: Structure, miller: Tuple[int, int, int],
     z_m = ((layers - 1) * d if plane_centered
            else (layers - 0.5) * d)
     shift = translation[0] * pc[0] + translation[1] * pc[1]
-    mirrored = pos + 2.0 * (z_m - z)[:, None] * n_hat[None] + shift
+    # grain B excludes the source planes whose mirror images land ON
+    # the shared mirror plane (plane-centered) or wrap onto grain A's
+    # bottom plane: relying on exact-duplicate removal instead is
+    # correct ONLY at zero translation — with a microscopic shift the
+    # copies are displaced, not identical, and the bicrystal gains a
+    # spurious doubled plane of fused atoms
+    tol = 1e-6 * d
+    keep_b = z > tol                            # drop z = 0 sources
+    if plane_centered:
+        keep_b &= z < z_m - tol                 # drop the shared plane
+    mirrored = (pos[keep_b]
+                + 2.0 * (z_m - z[keep_b])[:, None] * n_hat[None]
+                + shift)
     height = 2.0 * z_m
     cell_gb = np.stack([pc[0], pc[1], height * n_hat])
 
     all_pos = np.concatenate([pos, mirrored])
-    all_sym = list(sym) + list(sym)
+    all_sym = list(sym) + [s for s, k in zip(sym, keep_b) if k]
     inv = np.linalg.inv(cell_gb)
     fr = all_pos @ inv
     fr -= np.floor(fr + 1e-9)
@@ -508,18 +538,8 @@ def make_tilt_bicrystal(bulk: Structure, miller: Tuple[int, int, int],
     pos_gb = fr @ cell_gb
     sym_gb = kept_sym
     if min_dist is not None:
-        # delete one of each too-close pair (periodic)
-        alive = np.ones(len(pos_gb), bool)
-        for i in range(len(pos_gb)):
-            if not alive[i]:
-                continue
-            df = (pos_gb[i + 1:] - pos_gb[i]) @ inv
-            df -= np.round(df)
-            r = np.linalg.norm(df @ cell_gb, axis=1)
-            for j_rel in np.nonzero(r < min_dist)[0]:
-                alive[i + 1 + j_rel] = False
-        pos_gb, sym_gb = pos_gb[alive], \
-            [s for s, a in zip(sym_gb, alive) if a]
+        pos_gb, sym_gb = _prune_close_pairs(pos_gb, sym_gb, cell_gb,
+                                            min_dist)
     # rotate boundary normal -> z
     e3 = n_hat
     e1 = pc[0] / np.linalg.norm(pc[0])
@@ -529,20 +549,13 @@ def make_tilt_bicrystal(bulk: Structure, miller: Tuple[int, int, int],
                                   cell_gb @ rot.T, pbc=[True] * 3)
 
 
-def grain_boundary_energy(calc, bulk: Structure,
-                          miller: Tuple[int, int, int],
-                          layers: int = 8,
-                          translations: Optional[Sequence] = None,
-                          plane_centered: bool = True,
-                          relax: bool = True, fmax: float = 0.03,
-                          steps: int = 300,
-                          min_dist: Optional[float] = None
-                          ) -> Dict[str, object]:
-    """gamma_GB = (E_bicrystal - N e_bulk) / (2 A), minimized over the
+def _boundary_energy(calc, bulk: Structure, builder,
+                     translations: Optional[Sequence],
+                     relax: bool, fmax: float, steps: int
+                     ) -> Dict[str, object]:
+    """Shared scan: gamma = (E - N e_bulk) / (2 A) minimized over the
     microscopic in-plane translations, with positions AND the normal
-    cell expansion relaxed (`relax_cell` with only the zz strain
-    free). Ref: no analog (every deformed-cell physics in the
-    reference shells out to LAMMPS)."""
+    (zz) cell expansion relaxed."""
     from .elastic import relax_cell
     e_bulk = calc.get_potential_energy(bulk) / len(bulk)
     if translations is None:
@@ -552,10 +565,7 @@ def grain_boundary_energy(calc, bulk: Structure,
     mask[2, 2] = 1.0
     best = None
     for tau in translations:
-        gb = make_tilt_bicrystal(bulk, miller, layers=layers,
-                                 translation=tau,
-                                 plane_centered=plane_centered,
-                                 min_dist=min_dist)
+        gb = builder(tau)
         if relax:
             gb = relax_cell(calc, gb, fmax=fmax, smax=0.15,
                             steps=steps, strain_mask=mask)
@@ -571,6 +581,25 @@ def grain_boundary_energy(calc, bulk: Structure,
             best = entry
     best["e_bulk_per_atom"] = e_bulk
     return best
+
+
+def grain_boundary_energy(calc, bulk: Structure,
+                          miller: Tuple[int, int, int],
+                          layers: int = 8,
+                          translations: Optional[Sequence] = None,
+                          plane_centered: bool = True,
+                          relax: bool = True, fmax: float = 0.03,
+                          steps: int = 300,
+                          min_dist: Optional[float] = None
+                          ) -> Dict[str, object]:
+    """Symmetric-tilt (mirror) GB energy. Ref: no analog (every
+    deformed-cell physics in the reference shells out to LAMMPS)."""
+    return _boundary_energy(
+        calc, bulk,
+        lambda tau: make_tilt_bicrystal(
+            bulk, miller, layers=layers, translation=tau,
+            plane_centered=plane_centered, min_dist=min_dist),
+        translations, relax, fmax, steps)
 
 
 def _rotation_about(axis: np.ndarray, angle_rad: float) -> np.ndarray:
@@ -684,17 +713,8 @@ def make_twist_bicrystal(bulk: Structure,
     fr -= np.floor(fr + 1e-9)
     pos_gb = fr @ cell_gb
     if min_dist is not None:
-        alive = np.ones(len(pos_gb), bool)
-        for i in range(len(pos_gb)):
-            if not alive[i]:
-                continue
-            df = (pos_gb[i + 1:] - pos_gb[i]) @ inv_gb
-            df -= np.round(df)
-            r = np.linalg.norm(df @ cell_gb, axis=1)
-            for j_rel in np.nonzero(r < min_dist)[0]:
-                alive[i + 1 + j_rel] = False
-        pos_gb = pos_gb[alive]
-        all_sym = [s for s, a in zip(all_sym, alive) if a]
+        pos_gb, all_sym = _prune_close_pairs(pos_gb, all_sym, cell_gb,
+                                             min_dist)
     e3 = n_hat
     e1 = pc[0] / np.linalg.norm(pc[0])
     e2 = np.cross(e3, e1)
@@ -713,30 +733,9 @@ def twist_boundary_energy(calc, bulk: Structure,
                           ) -> Dict[str, object]:
     """gamma of a twist boundary, minimized over microscopic in-plane
     translations, positions + GB excess volume relaxed."""
-    from .elastic import relax_cell
-    e_bulk = calc.get_potential_energy(bulk) / len(bulk)
-    if translations is None:
-        translations = [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5),
-                        (0.5, 0.5)]
-    mask = np.zeros((3, 3))
-    mask[2, 2] = 1.0
-    best = None
-    for tau in translations:
-        gb = make_twist_bicrystal(bulk, miller, angle_deg,
-                                  layers=layers, translation=tau,
-                                  min_dist=min_dist)
-        if relax:
-            gb = relax_cell(calc, gb, fmax=fmax, smax=0.15,
-                            steps=steps, strain_mask=mask)
-        e = float(calc.get_potential_energy(gb))
-        area = float(np.linalg.norm(np.cross(gb.cell[0], gb.cell[1])))
-        gamma = (e - len(gb) * e_bulk) / (2.0 * area)
-        entry = {"translation": tuple(tau),
-                 "gamma_j_m2": gamma * 16.02176634,
-                 "gamma_mj_m2": gamma * 16021.76634,
-                 "n_atoms": len(gb), "area_a2": area,
-                 "structure": gb}
-        if best is None or entry["gamma_j_m2"] < best["gamma_j_m2"]:
-            best = entry
-    best["e_bulk_per_atom"] = e_bulk
-    return best
+    return _boundary_energy(
+        calc, bulk,
+        lambda tau: make_twist_bicrystal(
+            bulk, miller, angle_deg, layers=layers, translation=tau,
+            min_dist=min_dist),
+        translations, relax, fmax, steps)

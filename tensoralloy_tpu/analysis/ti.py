@@ -160,6 +160,12 @@ def frenkel_ladd(model, params, structure: Structure,
         wts = 0.5 * weights
     else:
         lams = np.asarray(lambdas, dtype=np.float64)
+        if np.any(lams <= 0.0) or np.any(lams >= 1.0):
+            raise ValueError(
+                "lambdas must lie strictly inside (0, 1): lam=0 "
+                "cannot recover U_model from the recorded mixed "
+                "potential, and lam=1 makes the analytic COM term "
+                "1/(1-lam) singular (use interior quadrature nodes)")
         wts = None
 
     du_mean = np.empty(len(lams))
@@ -186,12 +192,11 @@ def frenkel_ladd(model, params, structure: Structure,
             vals.append(u_e)
         u_lambda = np.asarray(hist["potential"])
         u_e = np.asarray(vals)
-        u_model = (u_lambda - (1.0 - lam) * u_e) / max(lam, 1e-300) \
-            if lam > 0 else None
-        if lam > 0:
-            du = u_model - u_e
-        else:   # pure Einstein sampling; U_model must be evaluated
-            raise RuntimeError("Gauss-Legendre nodes exclude lam=0")
+        # exact algebra: U_model = (U(lam) - (1-lam) U_E) / lam
+        # (lam > 0 guaranteed: GL nodes are interior, and explicit
+        # lambdas are validated to (0, 1))
+        u_model = (u_lambda - (1.0 - lam) * u_e) / lam
+        du = u_model - u_e
         du_mean[i] = float(np.mean(du))
         du_std[i] = float(np.std(du) / np.sqrt(len(du)))
 

@@ -175,6 +175,9 @@ def vibrational_dos(velocities: np.ndarray, timestep: float = 1.0,
     """
     v = np.asarray(velocities, dtype=np.float64)
     t_frames = v.shape[0]
+    if t_frames < 2:
+        raise ValueError("vibrational_dos needs at least 2 frames "
+                         f"(got {t_frames})")
     lmax = min(max_lag or (t_frames - 1), t_frames - 1)
     w = (np.ones(v.shape[1]) if masses is None
          else np.asarray(masses, np.float64))

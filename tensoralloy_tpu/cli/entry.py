@@ -947,7 +947,7 @@ def _compute_kappa(args):
             sub.output = (args.output + f".s{sub.seed}"
                           if args.output else None)
             print(f"--- replica seed {sub.seed} ---")
-            gk = _compute_kappa_single(sub)
+            gk = _compute_kappa_single(sub, model, params, s)
             kappas.append(gk["kappa"])
             runnings.append(gk["kappa_running"])
         n = min(len(r) for r in runnings)
@@ -961,19 +961,20 @@ def _compute_kappa(args):
               f"{np.mean(kappas):.3f} +/- {np.std(kappas):.3f} W/m/K")
         print(f"wrote {args.output}")
         return 0
-    _compute_kappa_single(args)
+    _compute_kappa_single(args, model, params, s)
     return 0
 
 
-def _compute_kappa_single(args):
+def _compute_kappa_single(args, model=None, params=None, s=None):
     import numpy as np
     from ..dynamics import VelocityVerlet
     from ..io.model import load_model
     from ..analysis.heatflux import green_kubo
-    model, params, _ = load_model(args.model)
-    s = _load_crystal(args.structure)
-    if args.supercell:
-        s = s.repeat(tuple(args.supercell))
+    if model is None:
+        model, params, _ = load_model(args.model)
+        s = _load_crystal(args.structure)
+        if args.supercell:
+            s = s.repeat(tuple(args.supercell))
     print(f"equilibration: NVT {args.temp} K, {args.equil_steps} "
           f"steps @ {args.timestep} fs ({len(s)} atoms)")
     md_eq = VelocityVerlet(
@@ -1058,9 +1059,10 @@ def _compute_diffusion(args):
                               temperatures=temps, site=args.site,
                               n_images=args.n_images)
     print(f"vacancy formation  E_f = {out['formation_energy']:.4f} eV")
+    neb_state = ("converged" if out["neb"]["converged"]
+                 else "NOT converged")
     print(f"migration barrier  E_m = {out['migration_energy']:.4f} eV"
-          f"  (NEB {'converged' if out['neb']['converged'] else 'NOT '
-          'converged'})")
+          f"  (NEB {neb_state})")
     print(f"activation energy  Q   = "
           f"{out['activation_energy']:.4f} eV")
     print(f"Vineyard attempt frequency nu* = "
