@@ -524,3 +524,73 @@ def ideal_strength(calc, structure: Structure, axis: int = 2,
             "sigma_max_gpa": float(stresses[i_max]),
             "eps_at_max": float(strains[i_max]),
             "youngs_modulus_gpa": float(young)}
+
+
+def ideal_shear_strength(calc, structure: Structure,
+                         plane_axis: int = 2, shear_dir: int = 0,
+                         max_strain: float = 0.4, n_points: int = 17,
+                         fmax: float = 0.02, smax: float = 0.1,
+                         steps: int = 300) -> dict:
+    """Ideal (affine) shear strength: simple shear of the `plane_axis`
+    cell vector along `shear_dir` (engineering gamma), with positions
+    and every OTHER strain component relaxed — the relaxed ideal-shear
+    protocol. For an fcc conventional cell sheared on (001) along
+    [100] there are no internal modes, so the small-strain slope is
+    exactly C44.
+
+    Returns {"strain" (gamma), "stress_gpa" (the sheared component),
+    "energy_per_atom", "tau_max_gpa", "gamma_at_max",
+    "shear_modulus_gpa" (small-strain secant)}.
+    """
+    if plane_axis == shear_dir:
+        raise ValueError("plane_axis and shear_dir must differ")
+    # Voigt index of the sheared component
+    pair = tuple(sorted((plane_axis, shear_dir)))
+    voigt_idx = {(1, 2): 3, (0, 2): 4, (0, 1): 5}[pair]
+    mask = np.ones((3, 3))
+    mask[plane_axis, shear_dir] = 0.0
+    mask[shear_dir, plane_axis] = 0.0
+    base = structure.copy()
+    e_s = base.cell[shear_dir] / np.linalg.norm(base.cell[shear_dir])
+    other = [i for i in range(3) if i != plane_axis]
+    n_hat = np.cross(base.cell[other[0]], base.cell[other[1]])
+    n_hat /= np.linalg.norm(n_hat)
+    height = float(base.cell[plane_axis] @ n_hat)
+    strains = np.linspace(0.0, max_strain, n_points)
+    stresses, energies = [], []
+    s_prev = base
+    for gam in strains:
+        stretched = s_prev.copy()
+        frac = s_prev.positions @ np.linalg.inv(s_prev.cell)
+        row = s_prev.cell[plane_axis].copy()
+        # replace the shear-direction component with the exact total
+        # applied shear (everything else carries over from relaxation)
+        row = row - (row @ e_s) * e_s \
+            + (float(base.cell[plane_axis] @ e_s)
+               + gam * abs(height)) * e_s
+        stretched.cell = s_prev.cell.copy()
+        stretched.cell[plane_axis] = row
+        stretched.positions = frac @ stretched.cell
+        relaxed = relax_cell(calc, stretched, fmax=fmax, smax=smax,
+                             steps=steps, strain_mask=mask)
+        sv = np.asarray(calc.get_stress(relaxed))
+        tau = float(sv[voigt_idx]) * EV_ANGSTROM3_TO_GPA
+        stresses.append(tau)
+        energies.append(float(calc.get_potential_energy(relaxed))
+                        / len(relaxed))
+        s_prev = relaxed
+        if (len(stresses) > 3
+                and abs(tau) < 0.5 * max(np.abs(stresses))
+                and max(np.abs(stresses)) > 0):
+            strains = strains[:len(stresses)]
+            break
+    stresses = np.asarray(stresses)
+    i_max = int(np.argmax(np.abs(stresses)))
+    mu = (stresses[1] / strains[1] if len(stresses) > 1
+          and strains[1] > 0 else float("nan"))
+    return {"strain": strains[:len(stresses)],
+            "stress_gpa": stresses,
+            "energy_per_atom": np.asarray(energies),
+            "tau_max_gpa": float(abs(stresses[i_max])),
+            "gamma_at_max": float(strains[i_max]),
+            "shear_modulus_gpa": float(mu)}

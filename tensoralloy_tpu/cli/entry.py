@@ -320,6 +320,12 @@ def main(argv=None):
     c_str.add_argument("--max-strain", type=float, default=0.7)
     c_str.add_argument("--n-points", type=int, default=15)
     c_str.add_argument("--fmax", type=float, default=0.02)
+    c_str.add_argument("--shear", type=int, default=None,
+                       metavar="DIR",
+                       help="ideal SHEAR strength instead: simple "
+                            "shear of the --axis cell vector along "
+                            "this direction (0/1/2), transverse "
+                            "strains relaxed")
     c_str.add_argument("-o", "--output", default=None,
                        help="CSV: strain, stress_gpa, e_per_atom")
 
@@ -1107,9 +1113,33 @@ def _compute_dedup(args):
 
 def _compute_strength(args):
     from ..calculator import TensorAlloyCalculator
-    from ..analysis.elastic import ideal_strength
+    from ..analysis.elastic import (ideal_strength,
+                                    ideal_shear_strength)
     calc = TensorAlloyCalculator(args.model)
     s = _load_crystal(args.crystal)
+    if args.shear is not None:
+        res = ideal_shear_strength(
+            calc, s, plane_axis=args.axis, shear_dir=args.shear,
+            max_strain=args.max_strain, n_points=args.n_points,
+            fmax=args.fmax)
+        res["sigma_max_gpa"] = res["tau_max_gpa"]
+        res["eps_at_max"] = res["gamma_at_max"]
+        print("gamma    tau (GPa)")
+        for e, st in zip(res["strain"], res["stress_gpa"]):
+            print(f"{e:6.3f} {st:12.3f}")
+        print(f"mu(small-strain secant) = "
+              f"{res['shear_modulus_gpa']:.1f} GPa")
+        print(f"ideal shear strength = {res['tau_max_gpa']:.2f} GPa "
+              f"at gamma {res['gamma_at_max']:.3f}")
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write("strain,stress_gpa,e_per_atom\n")
+                for row in zip(res["strain"], res["stress_gpa"],
+                               res["energy_per_atom"]):
+                    fh.write(",".join(f"{x:.8g}" for x in row)
+                             + "\n")
+            print(f"wrote {args.output}")
+        return 0
     res = ideal_strength(calc, s, axis=args.axis,
                          max_strain=args.max_strain,
                          n_points=args.n_points, fmax=args.fmax)

@@ -565,3 +565,36 @@ def test_cli_compute_dedup(tmp_path):
     assert "near-duplicate pairs" in out.stdout
     assert "unique frames: 2" in out.stdout
     assert len(read_extxyz(str(kept))) == 2
+
+
+def test_ideal_shear_strength_zjw04_ni():
+    """(001)[100] simple shear of fcc Ni: the small-strain secant IS
+    C44 (no internal modes in the conventional cell), and the stress
+    peaks at the ideal shear strength in a physical window (DFT/EAM
+    fcc metals: tau_max ~ mu/10, gamma ~ 0.1-0.35)."""
+    import numpy as np
+    from collections import Counter
+    import jax
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    from tensoralloy_tpu.analysis.elastic import (ideal_shear_strength,
+                                                  fit_elastic_tensor)
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5],
+                     [0, .5, .5]])
+    s = Structure.from_symbols(["Ni"] * 4, base * a0, np.eye(3) * a0,
+                               pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 4}),
+                       custom_potentials="zjw04")
+    calc = TensorAlloyCalculator(model,
+                                 model.init_params(jax.random.PRNGKey(0)))
+    res = ideal_shear_strength(calc, s, plane_axis=2, shear_dir=0,
+                               max_strain=0.45, n_points=10)
+    c, _ = fit_elastic_tensor(calc, s)
+    assert res["shear_modulus_gpa"] == pytest.approx(c[3, 3],
+                                                     rel=0.2)
+    assert 2.0 < res["tau_max_gpa"] < 25.0
+    assert 0.05 < res["gamma_at_max"] < 0.45
