@@ -27,11 +27,129 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_STRUCTURES_PER_S = 2328.0  # QM7 angular SF bs=50, GTX 1080Ti
+
+# The one JSON record this script ALWAYS prints exactly once, even when
+# the remote TPU backend is down or a stage dies mid-run (VERDICT r3
+# item 4: a driver-invoked bench must degrade, never traceback).
+RECORD = {
+    "metric": "qm7_train_throughput_angular_sf_bs50",
+    "value": None,
+    "unit": "structures/s",
+    "vs_baseline": None,
+    "extras": {"ok": False, "stage": "init"},
+}
+_EMITTED = False
+
+
+def _emit():
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(RECORD), flush=True)
+
+
+def _probe_backend(timeout_s: int = 240) -> bool:
+    """True iff the default JAX backend answers a trivial program.
+
+    Runs in a SUBPROCESS with a hard timeout: the axon tunnel can hang
+    a single in-flight request for 25+ minutes, and an in-process probe
+    would take the whole bench down with it."""
+    if os.environ.get("TA_BENCH_FORCE_OUTAGE"):
+        return False   # simulated-outage path for tests
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0 and b"64.0" in r.stdout
+    except Exception:
+        return False
+
+
+def _cpu_env():
+    """Env for a CPU-only subprocess: JAX_PLATFORMS=cpu alone is NOT
+    enough — the axon plugin on PYTHONPATH retry-sleeps on the tunnel
+    at import time for minutes, so strip it."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
+    return env
+
+
+def cpu_selfcheck() -> dict:
+    """Tiny correctness record proving the framework itself is healthy
+    when the chip is not: a machine-precision empirical-EAM oracle and
+    a short real training run whose loss must fall."""
+    from collections import Counter
+    import jax
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.nn.sf import SymmetryFunction
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+    from tensoralloy_tpu.nn import losses as L
+    from tensoralloy_tpu.train.trainer import (Trainer, OptParameters,
+                                               TrainParameters)
+
+    out = {}
+    # 1. zjw04 Ni cohesive energy at the published fcc minimum
+    s = _fcc_ni(2)
+    fz = Featurizer(["Ni"], rcut=6.5)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    vap = fz.make_vap(s)
+    feats = fz.featurize(s, vap)
+    e = float(model.energy(params, feats)) / len(s)
+    out["zjw04_ni_ecoh_ev"] = round(e, 4)
+    out["zjw04_ni_ecoh_abs_err_ev"] = round(abs(e - (-4.45)), 4)
+    # 2. short QM7-scale training run: loss must decrease
+    structures = make_synthetic_qm7(24)
+    max_occurs = Counter()
+    for st in structures:
+        for el, c in st.count().items():
+            max_occurs[el] = max(max_occurs[el], c)
+    fzq = Featurizer(sorted(max_occurs), rcut=6.5, angular=True)
+    feats_b, labels_b = featurize_all(structures, fzq, max_occurs)
+    sf = SymmetryFunction(sorted(max_occurs), backend="dense")
+    m = AtomicNN(fzq, max_occurs, sf, hidden_sizes=[16, 16],
+                 minmax_scale=False)
+    trainer = Trainer(m, L.LossParameters(),
+                      OptParameters(learning_rate=1e-2),
+                      TrainParameters(batch_size=8, train_steps=40,
+                                      scan_steps=1),
+                      minimize_properties=("energy", "forces"),
+                      n_devices=1)
+    from tensoralloy_tpu.parallel.mesh import replicate
+    import jax.numpy as jnp
+    state = replicate(trainer.init_state(m.init_params(
+        jax.random.PRNGKey(1))), trainer.mesh)
+    step = trainer._build_train_step()
+    rng = np.random.RandomState(0)
+    first = last = None
+    for i in range(40):
+        sel = rng.randint(0, len(labels_b["energy"]), size=8)
+        bf = {k: jnp.asarray(v[sel]) for k, v in feats_b.items()}
+        bl = {k: jnp.asarray(v[sel]) for k, v in labels_b.items()}
+        state, mtr = step(state, bf, bl)
+        v = float(mtr["loss/total"])
+        if first is None:
+            first = v
+        last = v
+    out["train_loss_first"] = round(first, 4)
+    out["train_loss_last"] = round(last, 4)
+    out["train_loss_decreased"] = bool(last < first)
+    return out
 
 
 def make_synthetic_qm7(n_structures: int, seed: int = 611):
@@ -457,14 +575,24 @@ def measure_peak_tflops():
     return 2 * 4096 ** 3 / per / 1e12
 
 
-def main():
+def run_bench():
+    """Run every stage, filling RECORD incrementally so a mid-run
+    backend death still leaves a partial-but-parseable record."""
     from collections import Counter
+    import jax
     from tensoralloy_tpu.transform import Featurizer
     from tensoralloy_tpu.nn.sf import SymmetryFunction
     from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
     from tensoralloy_tpu.nn.atomic import AtomicNN
 
+    ex = RECORD["extras"]
+    ex["backend"] = jax.default_backend()
+    ex["timing"] = ("marginal K-vs-2 fused scan, host-fetch forced "
+                    "(block_until_ready does not block on this "
+                    "backend); full optimizer step incl adam+EMA")
+
     # ---- QM7-scale headline (reference-comparable task) ----
+    ex["stage"] = "qm7"
     structures = make_synthetic_qm7(120)
     max_occurs = Counter()
     for s in structures:
@@ -478,8 +606,13 @@ def main():
     qm7_step, qm7_fps, _, _ = measure_train(model, feats, labels,
                                             batch_size=50, k_hi=66)
     qm7_throughput = 50.0 / qm7_step
+    RECORD["value"] = round(qm7_throughput, 1)
+    RECORD["vs_baseline"] = round(
+        qm7_throughput / BASELINE_STRUCTURES_PER_S, 3)
+    ex["qm7_achieved_tflops"] = round(qm7_fps / 1e12, 2)
 
     # ---- SNAP-scale flagship (BASELINE.md padding regime) ----
+    ex["stage"] = "snap"
     snap = make_snap_ni(32)
     mo = Counter({"Ni": 108})
     fzs = Featurizer(["Ni"], rcut=6.0)
@@ -496,22 +629,53 @@ def main():
     snap_step, snap_fps, snap_bps, snap_stream = measure_train(
         smodel, sfeats, slabels, batch_size=32, k_hi=10)
     snap_throughput = 32.0 / snap_step
+    ex["snap_grap_train_structs_per_s"] = round(snap_throughput, 1)
+    ex["snap_grap_train_ms_per_step_bs32"] = round(snap_step * 1e3, 3)
+    ex["snap_grap_achieved_tflops"] = round(snap_fps / 1e12, 2)
 
+    ex["stage"] = "anchors"
     peak = measure_peak_tflops()
     peak_bw = measure_peak_bandwidth()
+    ex["measured_peak_tflops_matmul_anchor"] = round(peak, 1)
+    ex["snap_mfu_vs_measured_peak"] = round(
+        snap_fps / 1e12 / max(peak, 1e-9), 4)
+    # this op class is bandwidth-bound (tiny matmuls, big gathers):
+    # the roofline axis that binds is HBM bytes. HLO 'bytes accessed'
+    # counts each op's logical traffic BEFORE fusion, so it is an
+    # UPPER bound — a ratio > 1 vs the copy anchor means XLA fused
+    # away materializations, not a violation. The batch-stream rate
+    # is the matching LOWER bound (inputs actually read).
+    ex["snap_grap_hlo_gbps_prefusion_upper"] = round(snap_bps / 1e9, 1)
+    ex["snap_grap_batch_stream_gbps_lower"] = round(snap_stream / 1e9, 1)
+    ex["measured_peak_gbps_copy_anchor"] = round(peak_bw, 1)
+    ex["snap_hlo_bytes_vs_peak"] = round(
+        snap_bps / max(peak_bw * 1e9, 1e-9), 4)
+
+    ex["stage"] = "md"
     md_atoms, md_sps, md_aps = measure_md(10)
+    ex["md_nve_eam_atoms"] = md_atoms
+    ex["md_nve_eam_steps_per_s"] = round(md_sps, 1)
+    ex["md_nve_eam_atom_steps_per_s"] = round(md_aps, 0)
     try:
         _, mdn_sps, mdn_aps = measure_md_device_nl(10)
     except Exception:
         mdn_sps, mdn_aps = -1.0, -1.0
+    # fully on-device MD: neighbor rebuild INSIDE the jitted chunk
+    # (every 32 steps) — end-to-end honest, no host work
+    ex["md_device_nl_steps_per_s"] = round(mdn_sps, 1)
+    ex["md_device_nl_atom_steps_per_s"] = round(mdn_aps, 0)
     try:
         nl_atoms, nl_dev_ms, nl_host_ms = measure_device_nl_build(16)
     except Exception:
         nl_atoms, nl_dev_ms, nl_host_ms = -1, -1.0, -1.0
+    ex["device_nl_atoms"] = nl_atoms
+    ex["device_nl_build_ms"] = round(nl_dev_ms, 2)
+    ex["host_featurize_ms_same_system"] = round(nl_host_ms, 1)
 
     # backend matrix + descriptor roofline bracket + bs scaling
     # (soft deadline: a slow remote-compile day must not kill the
     # whole bench — skipped entries report -1)
+    ex["stage"] = "backend_matrix"
     deadline = time.perf_counter() + 1500
     backend_ms = measure_backend_matrix(fzs, sfeats, slabels,
                                         batch_size=32,
@@ -520,6 +684,17 @@ def main():
     d5 = backend_ms.get("m0-5_dense_desc_ms", -1.0)
     winner = ("unmeasured" if p5 <= 0 or d5 <= 0
               else ("pallas" if p5 < d5 else "dense"))
+    # per-workload descriptor backends actually measured here;
+    # `backend_matrix` carries pallas-vs-dense ms + the compulsory-
+    # traffic (post-fusion lower-bound) GB/s. A device-side op
+    # profiler cannot run through this remote tunnel (jax.profiler
+    # traces only host RPC waits), so the roofline bracket is
+    # [compulsory bytes, pre-fusion HLO bytes], both reported.
+    ex["descriptor_backend"] = {"qm7": "dense", "snap_train": "dense",
+                                "measured_winner_m05": winner}
+    ex["backend_matrix"] = backend_ms
+
+    ex["stage"] = "bs_scaling"
 
     def snap_model():
         g = GenericRadialAtomicPotential(
@@ -533,62 +708,57 @@ def main():
         return AtomicNN(fzs, mo, g, hidden_sizes=[128, 128],
                         minmax_scale=False)
 
-    bs_scaling = measure_bs_scaling(fzs, sfeats, slabels, snap_model,
-                                    deadline=deadline + 600)
-    print(json.dumps({
-        "metric": "qm7_train_throughput_angular_sf_bs50",
-        "value": round(qm7_throughput, 1),
-        "unit": "structures/s",
-        "vs_baseline": round(qm7_throughput / BASELINE_STRUCTURES_PER_S, 3),
-        "extras": {
-            "snap_grap_train_structs_per_s": round(snap_throughput, 1),
-            "snap_grap_train_ms_per_step_bs32": round(snap_step * 1e3, 3),
-            "snap_grap_achieved_tflops": round(snap_fps / 1e12, 2),
-            "qm7_achieved_tflops": round(qm7_fps / 1e12, 2),
-            "measured_peak_tflops_matmul_anchor": round(peak, 1),
-            "snap_mfu_vs_measured_peak": round(
-                snap_fps / 1e12 / max(peak, 1e-9), 4),
-            # this op class is bandwidth-bound (tiny matmuls, big
-            # gathers): the roofline axis that binds is HBM bytes.
-            # HLO 'bytes accessed' counts each op's logical traffic
-            # BEFORE fusion, so it is an UPPER bound — a ratio > 1 vs
-            # the copy anchor means XLA fused away materializations,
-            # not a violation. The batch-stream rate is the matching
-            # LOWER bound (input features/labels actually read).
-            "snap_grap_hlo_gbps_prefusion_upper": round(
-                snap_bps / 1e9, 1),
-            "snap_grap_batch_stream_gbps_lower": round(
-                snap_stream / 1e9, 1),
-            "measured_peak_gbps_copy_anchor": round(peak_bw, 1),
-            "snap_hlo_bytes_vs_peak": round(
-                snap_bps / max(peak_bw * 1e9, 1e-9), 4),
-            "md_nve_eam_atoms": md_atoms,
-            "md_nve_eam_steps_per_s": round(md_sps, 1),
-            "md_nve_eam_atom_steps_per_s": round(md_aps, 0),
-            # fully on-device MD: neighbor rebuild INSIDE the jitted
-            # chunk (every 32 steps) — end-to-end honest, no host work
-            "md_device_nl_steps_per_s": round(mdn_sps, 1),
-            "md_device_nl_atom_steps_per_s": round(mdn_aps, 0),
-            "device_nl_atoms": nl_atoms,
-            "device_nl_build_ms": round(nl_dev_ms, 2),
-            "host_featurize_ms_same_system": round(nl_host_ms, 1),
-            # per-workload descriptor backends actually measured here;
-            # `backend_matrix` carries pallas-vs-dense ms + the
-            # compulsory-traffic (post-fusion lower-bound) GB/s. A
-            # device-side op profiler cannot run through this remote
-            # tunnel (jax.profiler traces only host RPC waits), so the
-            # roofline bracket is [compulsory bytes, pre-fusion HLO
-            # bytes] with both endpoints reported.
-            "descriptor_backend": {"qm7": "dense", "snap_train": "dense",
-                                   "measured_winner_m05": winner},
-            "backend_matrix": backend_ms,
-            "bs_scaling": bs_scaling,
-            "timing": "marginal K-vs-2 fused scan, host-fetch forced "
-                      "(block_until_ready does not block on this "
-                      "backend); full optimizer step incl adam+EMA",
-        },
-    }))
+    ex["bs_scaling"] = measure_bs_scaling(fzs, sfeats, slabels,
+                                          snap_model,
+                                          deadline=deadline + 600)
+    ex["stage"] = "done"
+    ex["ok"] = True
+
+
+def main():
+    if "--cpu-selfcheck" in sys.argv:
+        # child mode: CPU-only correctness record on stdout
+        print(json.dumps(cpu_selfcheck()), flush=True)
+        return
+
+    # Hang watchdog: a wedged tunnel request cannot be caught by
+    # try/except — force the partial record out and exit 0.
+    import threading
+    budget = float(os.environ.get("TA_BENCH_BUDGET_S", "3300"))
+
+    def _watchdog():
+        RECORD["extras"].setdefault("reason", "watchdog_timeout")
+        _emit()
+        os._exit(0)
+
+    wd = threading.Timer(budget, _watchdog)
+    wd.daemon = True
+    wd.start()
+
+    if not _probe_backend():
+        RECORD["extras"]["reason"] = "backend_unavailable"
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--cpu-selfcheck"],
+                env=_cpu_env(), timeout=1200, capture_output=True)
+            RECORD["extras"]["cpu_selfcheck"] = json.loads(
+                r.stdout.decode().strip().splitlines()[-1])
+        except Exception as e:
+            RECORD["extras"]["cpu_selfcheck"] = {"error": repr(e)[:300]}
+        _emit()
+        return
+
+    try:
+        run_bench()
+    except Exception as e:
+        import traceback
+        RECORD["extras"]["reason"] = "".join(
+            traceback.format_exception_only(type(e), e))[-300:].strip()
+    _emit()
 
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()
+    os._exit(0)  # never let a stuck backend thread hang the exit

@@ -1,0 +1,32 @@
+"""bench.py must degrade, never traceback (VERDICT r3 item 4).
+
+A driver-invoked bench gets exactly one slot per round; when the remote
+TPU pool is down it must emit a complete parseable JSON record with a
+CPU-correctness self-check and exit 0 — BENCH_r03.json (`rc=1`,
+`parsed: null`) is the regression this pins.
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_simulated_outage_emits_parseable_record():
+    env = dict(os.environ)
+    env["TA_BENCH_FORCE_OUTAGE"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, timeout=900, cwd=REPO)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    rec = json.loads(r.stdout.decode().strip().splitlines()[-1])
+    assert rec["metric"] == "qm7_train_throughput_angular_sf_bs50"
+    assert rec["value"] is None and rec["vs_baseline"] is None
+    ex = rec["extras"]
+    assert ex["ok"] is False
+    assert ex["reason"] == "backend_unavailable"
+    sc = ex["cpu_selfcheck"]
+    assert sc["zjw04_ni_ecoh_abs_err_ev"] < 0.05
+    assert sc["train_loss_decreased"] is True
