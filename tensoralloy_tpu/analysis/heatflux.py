@@ -217,26 +217,27 @@ def trajectory_heat_flux(model, params, structure, positions, velocities,
     masses = jnp.asarray(vap.map_array(structure.masses))
 
     n_frames = len(positions)
-    cap: Dict[str, int] = {}
-    out = np.zeros((n_frames, 3))
+    # One host pre-scan sizes the padded pair/triple capacity over the
+    # WHOLE trajectory before the first device compile: a melting or
+    # expanding trajectory previously grew the capacity mid-run and
+    # re-entered XLA compilation (5-15 min each through a remote
+    # tunnel).  The host arrays are already in memory, so the extra
+    # neighbor-count pass is cheap by comparison.
+    frames = []
+    nij_max = nijk_max = 0
     for t in range(n_frames):
         s = Structure(structure.numbers, np.asarray(positions[t]),
                       structure.cell if cells is None
                       else np.asarray(cells[t]), structure.pbc)
-        feats = fz.featurize(s, vap, layout="segment")
-        # pad pair/triple arrays up to a persistent capacity so every
-        # frame hits the same compiled executable
-        for k, v in feats.items():
-            n = np.asarray(v).shape[0] if np.ndim(v) else 0
-            if k.startswith(("pair_", "trip_")) and np.ndim(v):
-                # grow the padded capacity only when exceeded so
-                # every frame within it reuses one executable
-                if n > cap.get(k, 0):
-                    cap[k] = int(1.25 * n) + 8
-                pad = cap[k] - n
-                if pad > 0:
-                    width = [(0, pad)] + [(0, 0)] * (np.ndim(v) - 1)
-                    feats[k] = np.pad(np.asarray(v), width)
+        frames.append(s)
+        ns = fz.neighbor_size(s)
+        nij_max = max(nij_max, ns.nij)
+        nijk_max = max(nijk_max, ns.nijk)
+    out = np.zeros((n_frames, 3))
+    for t, s in enumerate(frames):
+        feats = fz.featurize(s, vap, layout="segment",
+                             nij_max=nij_max,
+                             nijk_max=nijk_max or None)
         v_vap = vap.map_array(np.asarray(velocities[t]))
         res = flux(params, {k: jnp.asarray(v) for k, v in feats.items()},
                    jnp.asarray(v_vap), masses)

@@ -397,10 +397,15 @@ def gamma_line(calc, bulk: Structure,
     # gamma_us = the FIRST barrier along the path (the unstable SFE
     # between perfect crystal and the first metastable fault), not the
     # global maximum — on the fcc <112> line the run-on (AA-stacking)
-    # peak beyond the intrinsic fault is much higher
+    # peak beyond the intrinsic fault is much higher.  The drop must
+    # exceed a tolerance (a fraction of the running maximum, floored at
+    # a few mJ/m^2): finite-fmax constrained relaxations leave
+    # mJ/m^2-scale noise that would otherwise mark a spurious early
+    # bump as the peak.
     first_peak = len(gammas) - 1
     for i in range(1, len(gammas) - 1):
-        if gammas[i + 1] < gammas[i]:
+        tol = max(5.0, 0.02 * float(np.max(gammas[:i + 1])))
+        if gammas[i + 1] < gammas[i] - tol:
             first_peak = i
             break
     out = {"t": ts, "gamma_mj_m2": gammas,

@@ -42,9 +42,13 @@ def _pair_histogram_fn(nbins: int, rmax: float):
         bins = jnp.floor(r / rmax * nbins).astype(jnp.int32)
         valid = (bins < nbins) & (pair_w > 0)
         bins = jnp.where(valid, bins, nbins)      # overflow bucket
-        return jnp.zeros(nbins + 1, pos.dtype).at[
+        # counts are exact integers (selections are {0,1} masks):
+        # accumulate int32, not pos.dtype — float32 scatter-adds lose
+        # +1 increments once a bin passes ~1.6e7 (large-N frames put
+        # N^2-scale counts in a bin) and silently underestimate g(r)
+        return jnp.zeros(nbins + 1, jnp.int32).at[
             bins.reshape(-1)].add(
-            jnp.where(valid, pair_w, 0.0).reshape(-1))[:nbins]
+            valid.astype(jnp.int32).reshape(-1))[:nbins]
 
     return jax.jit(hist)
 

@@ -215,13 +215,16 @@ class TensorAlloyCalculator:
     def _features_device(self, structure: Structure,
                          vap: VirtualAtomMap):
         """On-device neighbor list path (`device_nl=True`): cached
-        builder per (symbols, cell, pbc); overflow self-heals."""
+        builder per (symbols, pbc) — the cell is a TRACED argument of
+        the jitted build, so one builder serves every cell its stencil
+        still covers (variable-cell workloads: relax_cell scans,
+        strained sweeps, NPT frames reuse one executable instead of
+        recompiling per cell byte-pattern); overflow self-heals."""
         from .transform.device_nl import DeviceNeighborList
         key = (tuple(structure.symbols),
-               np.asarray(structure.cell).tobytes(),
                np.asarray(structure.pbc).tobytes())
         b = self._nl_cache.get(key)
-        if b is None:
+        if b is None or not b.covers(structure.cell):
             b = DeviceNeighborList(
                 self.featurizer, vap, structure,
                 layout=model_feature_layout(self.model))
@@ -230,9 +233,10 @@ class TensorAlloyCalculator:
                  else np.float32)
         pos = jnp.asarray(vap.map_positions(
             structure.positions).astype(dtype))
+        cell = jnp.asarray(np.asarray(structure.cell).astype(dtype))
         etemp = float(structure.info.get("etemperature", 0.0) or 0.0)
         for _ in range(8):
-            feats, diag = b.build(pos, etemperature=etemp)
+            feats, diag = b.build(pos, cell=cell, etemperature=etemp)
             diag = jax.device_get(diag)
             try:
                 b.check(diag)

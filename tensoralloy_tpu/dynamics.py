@@ -476,6 +476,15 @@ class VelocityVerlet:
         self.structure.cell = d["cell"].copy()
         self.velocities_vap = d["velocities_vap"].copy()
         self._key = jnp.asarray(d["key"])
+        # A device neighbor list keeps its grid sized for the
+        # construction-time cell; a checkpoint written at a different
+        # cell (e.g. an NPT run resumed as NVE) would otherwise run on
+        # a stencil that no longer spans the cutoff — mirror the
+        # barostat re-grid path here.
+        if self._nl is not None and not self._nl.covers(
+                self.structure.cell):
+            self._nl = self._nl.rebuilt_for(self.structure.copy())
+            self._scan = None
 
     @property
     def temperature(self) -> float:

@@ -258,6 +258,51 @@ def test_calculator_device_nl_matches_host_path():
     assert len(calc_d._nl_cache) == 1       # one builder reused
 
 
+def test_calculator_device_nl_variable_cell_reuses_builder():
+    """Variable-cell workloads (strain sweeps, NPT frames) through a
+    device_nl calculator: the cell is a TRACED argument of the jitted
+    build, so one builder serves every covered cell (ADVICE r3: the
+    cache used to key on exact cell bytes — fresh builder + XLA
+    recompile per strained frame, unbounded cache growth) — and a
+    shrink past the stencil's reach swaps in a re-gridded builder
+    rather than silently truncating the cutoff."""
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    rng = np.random.RandomState(7)
+    n = 16
+    cell0 = np.eye(3) * 9.0
+    base = rng.uniform(0, 9.0, (n, 3))
+    frac = base @ np.linalg.inv(cell0)
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    s0 = Structure.from_symbols(["Ni"] * 8 + ["Mo"] * 8, base, cell0,
+                                pbc=[True] * 3)
+    model, params = _grap_model(fz, s0)
+    calc_h = TensorAlloyCalculator(model, params)
+    calc_d = TensorAlloyCalculator(model, params, device_nl=True)
+    for eps in (0.0, -0.02, 0.015, 0.03, -0.01):
+        cell = cell0 * (1.0 + eps)
+        s = Structure.from_symbols(["Ni"] * 8 + ["Mo"] * 8,
+                                   frac @ cell, cell, pbc=[True] * 3)
+        np.testing.assert_allclose(calc_d.get_potential_energy(s),
+                                   calc_h.get_potential_energy(s),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(calc_d.get_forces(s),
+                                   calc_h.get_forces(s),
+                                   rtol=1e-8, atol=1e-10)
+    assert len(calc_d._nl_cache) == 1
+    b0 = next(iter(calc_d._nl_cache.values()))
+    # shrink far past the stencil reach: the builder must be replaced
+    # (covers() false), results still exact vs the host path
+    cell_s = cell0 * 0.45
+    s_sm = Structure.from_symbols(["Ni"] * 8 + ["Mo"] * 8,
+                                  frac @ cell_s, cell_s, pbc=[True] * 3)
+    assert not b0.covers(cell_s)
+    np.testing.assert_allclose(calc_d.get_potential_energy(s_sm),
+                               calc_h.get_potential_energy(s_sm),
+                               rtol=1e-10)
+    assert len(calc_d._nl_cache) == 1
+    assert next(iter(calc_d._nl_cache.values())) is not b0
+
+
 def test_overflow_diag_and_grow():
     s = _cases()["cubic"]
     fz = Featurizer(sorted(set(s.symbols)), rcut=4.5)

@@ -202,6 +202,42 @@ def test_green_kubo_cosine_acf():
     np.testing.assert_allclose(gk["hcacf"], expect, atol=1e-3)
 
 
+def test_trajectory_heat_flux_compiles_once(monkeypatch):
+    """The capacity pre-scan must hold the whole trajectory to ONE
+    compiled executable even when the pair count varies frame-to-frame
+    (an expanding cell previously re-entered XLA compilation on every
+    new running max — 5-15 min each through the remote tunnel)."""
+    import tensoralloy_tpu.analysis.heatflux as hf
+
+    s = _fcc_ni(rattle=0.0)
+    model, params, fz = _models(s)[0]
+    traces = []
+    orig = hf.make_heat_flux_fn
+
+    def counting(model_):
+        f = orig(model_)
+
+        def wrapper(*a, **k):
+            traces.append(1)       # jit runs the python fn once/trace
+            return f(*a, **k)
+        return wrapper
+
+    monkeypatch.setattr(hf, "make_heat_flux_fn", counting)
+    rng = np.random.RandomState(4)
+    n_frames = 5
+    # expanding cells: the neighbor count SHRINKS then grows depending
+    # on frame order; either direction must not retrace
+    scales = np.array([1.0, 1.06, 0.97, 1.12, 1.0])
+    pos = np.stack([s.positions * c for c in scales])
+    pos += rng.normal(scale=0.01, size=pos.shape)
+    cells = np.stack([s.cell * c for c in scales])
+    vel = rng.normal(scale=0.01, size=pos.shape)
+    J = hf.trajectory_heat_flux(model, params, s, pos, vel, cells=cells)
+    assert J.shape == (n_frames, 3)
+    assert np.all(np.isfinite(J))
+    assert len(traces) == 1, f"{len(traces)} compiles for one trajectory"
+
+
 def test_trajectory_heat_flux_runs():
     """End-to-end: short NVE trajectory -> J(t) -> finite kappa; the
     first frame's flux matches a direct make_heat_flux_fn call."""
