@@ -102,7 +102,13 @@ def rmse_loss(labels, predictions, sample_weight=None, normalized=False):
     return jnp.sqrt(mse + _eps(diff)), mae
 
 
-def rrmse_loss(labels, predictions):
+def rrmse_loss(labels, predictions, sample_weight=None):
+    """Mean per-structure relative row-norm error (reference
+    `losses.py:394-456`): right objective when label magnitudes span
+    decades (e.g. +-60 GPa strained frames next to ~0.5 GPa
+    equilibrium ones — an absolute loss optimizes only the big rows).
+    `sample_weight` masks structures out entirely (has_stress): a
+    frame without labels must not contribute a |pred|/eps blow-up."""
     if labels.ndim == 1:
         labels = labels[:, None]
         predictions = predictions[:, None]
@@ -110,7 +116,14 @@ def rrmse_loss(labels, predictions):
     upper = jnp.sqrt(jnp.sum(jnp.square(labels - predictions), axis=1)
                      + 1e-14)
     lower = jnp.maximum(jnp.linalg.norm(labels, axis=1), 1e-12)
-    return jnp.mean(upper / lower), jnp.mean(jnp.abs(labels - predictions))
+    ratio = upper / lower
+    adiff = jnp.abs(labels - predictions)
+    if sample_weight is not None:
+        w = sample_weight
+        wsum = jnp.maximum(jnp.sum(w), 1e-12)
+        return (jnp.sum(ratio * w) / wsum,
+                jnp.sum(adiff * w[:, None]) / (wsum * labels.shape[1]))
+    return jnp.mean(ratio), jnp.mean(adiff)
 
 
 def logcosh_loss(labels, predictions, sample_weight=None, normalized=False):
@@ -154,7 +167,7 @@ def scalar_property_loss(labels, predictions, options: LossOptions,
         labels = labels / n_atoms
         predictions = predictions / n_atoms
     if options.method == "rrmse":
-        return rrmse_loss(labels, predictions)
+        return rrmse_loss(labels, predictions, sample_weight)
     return _METHODS[options.method](labels, predictions, sample_weight,
                                     normalized)
 
@@ -194,7 +207,7 @@ def forces_loss(labels, predictions, atom_masks, options: LossOptions,
 def stress_loss(labels, predictions, options: LossOptions,
                 sample_weight=None, normalized=False):
     if options.method == "rrmse":
-        return rrmse_loss(labels, predictions)
+        return rrmse_loss(labels, predictions, sample_weight)
     return _METHODS[options.method](labels, predictions, sample_weight,
                                     normalized)
 
