@@ -3,31 +3,27 @@
 Reference baseline (BASELINE.md): 128,000-atom MoNi prediction took
 ~71.6 s end-to-end on the reference workstation (26.6 s neighbor list
 + 70.6 s feed-dict in Python + ~1.0 s GPU graph). Here featurization is
-a native C++ cell list and the whole property computation is ONE jitted
-TPU executable.
+a native C++ cell list (or fully on-device) and the whole property
+computation is ONE jitted TPU executable.
+
+Round-4 addition: the scatter-free analytic EFS
+(`nn/eam/fast_efs.py`) — the 2.63 s round-3 device time was XLA TPU
+scatters (forward segment_sum + gather-VJP of the autodiff backward),
+not compute or HBM; the fast path is gathers + dense row reductions
+with hand-derived forces, so this script now reports BOTH paths plus
+a stage breakdown (device-NL build alone vs build+EFS) to bracket
+where the remaining time goes.
 
 Prints one JSON line per size. Not the driver headline (see bench.py);
-run manually: `python bench_inference.py [natoms_per_axis]`.
-
-Measured on the v5e chip (round 3): n=32 -> 131,072 atoms, 11.3M
-pairs, device EFS 2.63 s with the full force/stress backward live,
-h2d 3.98 s, host featurize 76 s (this VM exposes ONE throttled vCPU —
-the threaded cell list cannot help here; on a real multi-core host
-featurization is the TA_NEIGH_THREADS-parallel part). The reference
-needed ~97 s end-to-end (26.6 s neighbor + 70.6 s feed + ~1.0 s GPU
-graph) for 128k atoms on a 36-core workstation + 1080Ti.
-
-Above ~60k atoms the monolithic backward no longer fits one chip
-(24.5 GB needed at 131k atoms vs 15.75 GB HBM), so large cells switch
-to the rematerialized pair-chunk scan (`EamNN.energy_chunked`): pairs
-are processed in `lax.scan` blocks with `jax.checkpoint`, per-atom
-accumulators (rho/phi) carried across blocks, and the backward pass
-recomputes one block at a time — peak memory O(natoms + chunk) instead
-of O(npairs). Bit-identical to the monolithic path (tests/test_eam.py).
+run manually:
+    python bench_inference.py [n_axis] [pair_chunk] [--device-nl]
+                              [--no-fast] [--autodiff]
 
 Note: this host's vCPU is heavily throttled and bursty — host-side
 featurization timings fluctuate by up to 10x between runs; the device
-execution time is stable.
+execution time is stable. `jax.block_until_ready` does not block on
+the remote axon backend, so every timed region forces a host fetch
+and uses marginal K-vs-1 fused scans.
 """
 import json
 import sys
@@ -36,72 +32,104 @@ import time
 import numpy as np
 
 
-def _main_device_nl(s, fz, vap, model, params, efs_raw, pair_chunk):
-    """Steady-state trajectory regime: neighbor list built ON DEVICE
-    (`transform/device_nl.py`), so each frame is ONE device call from
-    raw positions to E+F+S — no host featurization, no h2d beyond the
-    positions. The one-time census (host sizing pass) is reported
-    separately; the reference pays its full ~97 s host pipeline EVERY
-    frame."""
+def _marginal(run_k, lo=1, hi=5, reps=3):
+    """Marginal per-iteration seconds between a hi- and lo-fused
+    program, host-fetch forced by run_k itself."""
+    g_lo, g_hi = run_k(lo), run_k(hi)
+    g_lo(), g_hi()                       # compile both
+    def best(g):
+        b = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            g()
+            b = min(b, time.perf_counter() - t0)
+        return b
+    return max((best(g_hi) - best(g_lo)) / (hi - lo), 1e-9)
+
+
+def _main_device_nl(s, fz, vap, model, params, efs_raw, fast_fn,
+                    pair_chunk):
+    """Steady-state trajectory regime: neighbor list built ON DEVICE —
+    each frame is ONE device call from raw positions to E+F+S. Stage
+    breakdown: (a) NL build alone, (b) build + fast EFS, (c) build +
+    autodiff EFS (round-3 path)."""
     import jax
     import jax.numpy as jnp
     from tensoralloy_tpu.transform.device_nl import DeviceNeighborList
+    from tensoralloy_tpu.calculator import model_feature_layout
 
     t0 = time.perf_counter()
-    builder = DeviceNeighborList(fz, vap, s, layout="segment")
+    builder = DeviceNeighborList(
+        fz, vap, s, layout="dense" if fast_fn is not None else "segment")
     t_census = time.perf_counter() - t0
     pos0 = jnp.asarray(vap.map_positions(s.positions).astype(np.float32))
     cell = jnp.asarray(builder.cell0, pos0.dtype)
 
-    def run_k(k):
-        def f(p, pos):
-            def body(carry, _):
-                feats, diag = builder._build(pos + carry * 1e-12, cell,
-                                             jnp.zeros((), pos.dtype))
-                o = efs_raw(p, feats)
-                acc = (o["energy"] +
-                       1e-30 * jnp.sum(o["forces"]) +
-                       1e-30 * jnp.sum(o["stress"]) +
-                       1e-30 * diag["nnl_needed"].astype(pos.dtype))
-                return acc, None
-            acc, _ = jax.lax.scan(body, jnp.zeros((), pos.dtype), None,
-                                  length=k)
-            return acc
-        return jax.jit(f)
+    def make_run(consume):
+        """consume(feats, diag) -> scalar; returns k -> timed callable."""
+        def run_k(k):
+            def f(p, pos):
+                def body(carry, _):
+                    feats, diag = builder._build(
+                        pos + carry * 1e-12, cell,
+                        jnp.zeros((), pos.dtype))
+                    return consume(p, feats, diag, pos.dtype), None
+                acc, _ = jax.lax.scan(body, jnp.zeros((), pos.dtype),
+                                      None, length=k)
+                return acc
+            g = jax.jit(f)
+            return lambda: float(g(params, pos0))
+        return run_k
 
-    g1, g5 = run_k(1), run_k(5)
-    float(g1(params, pos0)), float(g5(params, pos0))   # compile
+    def eat_build(p, feats, diag, dt):
+        # touch every feature array so the build cannot be DCE'd
+        acc = diag["nnl_needed"].astype(dt)
+        for v in feats.values():
+            acc = acc + 1e-30 * jnp.sum(v.astype(dt) if v.dtype != dt
+                                        else v)
+        return acc
+
+    def eat_efs(efs):
+        def f(p, feats, diag, dt):
+            o = efs(p, feats)
+            return (o["energy"] + 1e-30 * jnp.sum(o["forces"]) +
+                    1e-30 * jnp.sum(o["stress"]) +
+                    1e-30 * diag["nnl_needed"].astype(dt))
+        return f
+
+    import jax.numpy as jnp  # noqa: F811 (used in closures above)
+    t_build = _marginal(make_run(eat_build))
+    out = {"metric": f"efs_device_nl_{len(s)}_atoms",
+           "unit": "s/frame (positions -> E+F+stress, one device call)",
+           "census_s_one_time": round(t_census, 3),
+           "nl_build_only_s": round(t_build, 4),
+           "nnl_cap": builder.nnl_cap}
+    if fast_fn is not None:
+        t_fast = _marginal(make_run(eat_efs(fast_fn)))
+        out["value"] = round(t_fast, 4)
+        out["efs_fast_minus_build_s"] = round(t_fast - t_build, 4)
+    else:
+        t_auto = _marginal(make_run(eat_efs(efs_raw)))
+        out["value"] = round(t_auto, 4)
+        out["efs_autodiff_minus_build_s"] = round(t_auto - t_build, 4)
+        out["pair_chunk"] = pair_chunk
     # overflow sanity once (outside the timed loop)
     feats, diag = builder.build(pos0)
     builder.check(jax.device_get(diag))
-
-    def best(g):
-        b = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(g(params, pos0))
-            b = min(b, time.perf_counter() - t0)
-        return b
-    t_frame = (best(g5) - best(g1)) / 4
     baseline_total = 71.6 * len(s) / 128000.0
-    print(json.dumps({
-        "metric": f"efs_device_nl_{len(s)}_atoms",
-        "value": round(t_frame, 4),
-        "unit": "s/frame (positions -> E+F+stress, one device call)",
-        "census_s_one_time": round(t_census, 3),
-        "nnl_cap": builder.nnl_cap,
-        "pair_chunk": pair_chunk,
-        "vs_baseline": round(baseline_total / max(t_frame, 1e-9), 2),
-    }))
+    out["vs_baseline"] = round(baseline_total / max(out["value"], 1e-9), 2)
+    print(json.dumps(out))
 
 
-def main(n: int = 20, pair_chunk: int = 0, device_nl: bool = False):
+def main(n: int = 20, pair_chunk: int = 0, device_nl: bool = False,
+         fast: bool = True, also_autodiff: bool = False):
     import jax
     import jax.numpy as jnp
     from collections import Counter
     from tensoralloy_tpu.atoms import Structure
     from tensoralloy_tpu.transform import Featurizer
     from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.nn.eam.fast_efs import make_fast_efs_fn
     from tensoralloy_tpu.nn.fields import make_efs_fn
 
     a0 = 3.52
@@ -119,20 +147,26 @@ def main(n: int = 20, pair_chunk: int = 0, device_nl: bool = False):
     params = model.init_params(jax.random.PRNGKey(0))
 
     if pair_chunk == 0 and len(s) > 60000:
-        # monolithic backward exceeds single-chip HBM: remat pair-chunks
+        # monolithic autodiff backward exceeds single-chip HBM above
+        # ~60k atoms: remat pair-chunks (fast path needs neither)
         pair_chunk = 1 << 21
     energy_fn = (model.make_chunked_energy_fn(pair_chunk)
                  if pair_chunk else model.variational_energy)
     efs_raw = make_efs_fn(energy_fn)
+    fast_fn = make_fast_efs_fn(model) if fast else None
     if device_nl:
         return _main_device_nl(s, fz, fz.make_vap(s), model, params,
-                               efs_raw, pair_chunk)
+                               efs_raw, fast_fn, pair_chunk)
 
     t0 = time.perf_counter()
     vap = fz.make_vap(s)
     feats = fz.featurize(s, vap,
                          pair_bucket=lambda m: 1 << (m - 1).bit_length(),
-                         dtype=np.float32)
+                         nnl_bucket=lambda m: max(
+                             32, 1 << (m - 1).bit_length()),
+                         dtype=np.float32,
+                         layout="dense" if fast and not also_autodiff
+                         else "both")
     t_feat = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -140,57 +174,51 @@ def main(n: int = 20, pair_chunk: int = 0, device_nl: bool = False):
     jax.block_until_ready(list(dfeats.values()))
     t_h2d = time.perf_counter() - t0
 
-    # marginal K-vs-1 timing with a FORCED HOST FETCH: on this remote
-    # backend block_until_ready returns before the device finishes, so
-    # fetch-based marginal timing is the only honest device number
-    def run_k(k):
-        def f(p, d):
-            def body(carry, _):
-                # thread the carry into the inputs so XLA cannot hoist
-                # the loop-invariant evaluation out of the scan
-                d2 = dict(d)
-                d2["positions"] = d["positions"] + carry * 1e-12
-                o = efs_raw(p, d2)
-                # the carry must depend on EVERY output (not just the
-                # energy) or XLA dead-code-eliminates the force/stress
-                # backward pass and this times a forward-only program
-                acc = (o["energy"] +
-                       1e-30 * jnp.sum(o["forces"]) +
-                       1e-30 * jnp.sum(o["stress"]))
-                return acc, None
-            acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=k)
-            return acc
-        return jax.jit(f)
+    def timed(efs):
+        def run_k(k):
+            def f(p, d):
+                def body(carry, _):
+                    d2 = dict(d)
+                    # thread the carry into the inputs so XLA cannot
+                    # hoist the loop-invariant evaluation out; the carry
+                    # must touch EVERY output or the force/stress part
+                    # is dead-code-eliminated
+                    d2["positions"] = d["positions"] + carry * 1e-12
+                    o = efs(p, d2)
+                    acc = (o["energy"] +
+                           1e-30 * jnp.sum(o["forces"]) +
+                           1e-30 * jnp.sum(o["stress"]))
+                    return acc, None
+                acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=k)
+                return acc
+            g = jax.jit(f)
+            return lambda: float(g(params, dfeats))
+        return _marginal(run_k, lo=1, hi=9)
 
-    efs = jax.jit(efs_raw)
-    g1, g9 = run_k(1), run_k(9)
-    float(g1(params, dfeats)), float(g9(params, dfeats))  # compile
-    def best(g):
-        b = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(g(params, dfeats))   # host fetch blocks for real
-            b = min(b, time.perf_counter() - t0)
-        return b
-    t_exec = (best(g9) - best(g1)) / 8
-    out = jax.device_get(efs(params, dfeats))  # for sanity + reuse
-
+    out = {"metric": f"efs_inference_{len(s)}_atoms",
+           "unit": "s (featurize+transfer+device)",
+           "featurize_s": round(t_feat, 3),
+           "h2d_s": round(t_h2d, 3)}
+    if fast:
+        t_exec = timed(fast_fn)
+        out["device_exec_fast_s"] = round(t_exec, 4)
+    if also_autodiff or not fast:
+        t_auto = timed(efs_raw)
+        out["device_exec_autodiff_s"] = round(t_auto, 4)
+        out["pair_chunk"] = pair_chunk
+        if not fast:
+            t_exec = t_auto
     total = t_feat + t_h2d + t_exec
     baseline_total = 71.6 * len(s) / 128000.0
-    print(json.dumps({
-        "metric": f"efs_inference_{len(s)}_atoms",
-        "value": round(total, 3),
-        "unit": "s (featurize+transfer+device)",
-        "featurize_s": round(t_feat, 3),
-        "h2d_s": round(t_h2d, 3),
-        "device_exec_s": round(t_exec, 4),
-        "pair_chunk": pair_chunk,
-        "vs_baseline": round(baseline_total / total, 2),
-    }))
+    out["value"] = round(total, 3)
+    out["vs_baseline"] = round(baseline_total / total, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     main(int(args[0]) if args else 20,
          int(args[1]) if len(args) > 1 else 0,
-         device_nl="--device-nl" in sys.argv)
+         device_nl="--device-nl" in sys.argv,
+         fast="--no-fast" not in sys.argv,
+         also_autodiff="--autodiff" in sys.argv)

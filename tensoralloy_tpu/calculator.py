@@ -27,13 +27,21 @@ from .nn.fields import make_efs_fn, make_hessian_fn
 from .vap import VirtualAtomMap
 
 
-def model_feature_layout(model) -> str:
+def model_feature_layout(model, fast: bool = False) -> str:
     """Which feature layout a model consumes: 'segment' for EAM-family
     models and segment-backend descriptors, 'dense' for dense/pallas
-    descriptor backends."""
+    descriptor backends. `fast=True` selects the dense layout for
+    EAM-family models too — the scatter-free analytic EFS
+    (`nn/eam/fast_efs.py`) reads it."""
+    if fast and is_eam_family(model):
+        return "dense"
     descriptor = getattr(model, "descriptor", None)
     backend = getattr(descriptor, "backend", "segment")
     return "segment" if backend == "segment" else "dense"
+
+
+def is_eam_family(model) -> bool:
+    return getattr(model, "tag", None) in ("alloy", "fs", "adp")
 
 
 def _bucket(n: int, minimum: int = 256) -> int:
@@ -52,7 +60,8 @@ class TensorAlloyCalculator:
     def __init__(self, model_or_path, params: Optional[dict] = None,
                  chunked: "bool | str" = "auto", chunk_size: int = 0,
                  chunk_auto_pairs: int = 3_000_000,
-                 device_nl: bool = False):
+                 device_nl: bool = False,
+                 fast_efs: "bool | str" = "auto"):
         """`chunked`: large-cell evaluation via the rematerialized
         chunk scan (`EamNN.energy_chunked` pair blocks /
         `AtomicNN.energy_chunked` atom-row blocks) — "auto" switches
@@ -81,6 +90,17 @@ class TensorAlloyCalculator:
         self.chunk_size = int(chunk_size)
         self.chunk_auto_pairs = int(chunk_auto_pairs)
         self.device_nl = bool(device_nl)
+        # Scatter-free analytic EFS for the EAM family
+        # (`nn/eam/fast_efs.py`): gathers + dense row reductions only —
+        # no XLA TPU scatters in forward or backward, no O(npairs)
+        # autodiff residuals, so large cells need no chunking either.
+        # "auto" = on whenever the model supports it, EXCEPT when the
+        # caller explicitly forced chunked=True (an explicit request
+        # for the rematerialized autodiff path wins).
+        if fast_efs == "auto":
+            self.fast_efs = is_eam_family(self.model) and chunked is not True
+        else:
+            self.fast_efs = bool(fast_efs) and is_eam_family(self.model)
         self._nl_cache: Dict[tuple, object] = {}
         self.featurizer = self.model.featurizer
         # per-layout caches: the model's VAP row layout is static under
@@ -142,13 +162,21 @@ class TensorAlloyCalculator:
                     out["free_energy_F"] = ops["free_energy"]
                 return out
 
-            efs = self._jit_efs(make_efs_fn(model.variational_energy,
-                                            extras))
+            if self.fast_efs:
+                from .nn.eam.fast_efs import make_fast_efs_fn
+                # analytic E+F+stress (atomic energies included) — no
+                # autodiff residuals, so no chunked variant is needed
+                efs = self._jit_efs(make_fast_efs_fn(model))
+            else:
+                efs = self._jit_efs(make_efs_fn(model.variational_energy,
+                                                extras))
             hess = self._jit_efs(make_hessian_fn(model.variational_energy))
             efs_chunked = None
-            layout = model_feature_layout(model)
+            layout = model_feature_layout(model, fast=self.fast_efs)
             desc = getattr(model, "descriptor", None)
-            if desc is None:    # EAM family: flat pair-block chunks
+            if self.fast_efs:
+                can_chunk = False
+            elif desc is None:  # EAM family: flat pair-block chunks
                 can_chunk = hasattr(model, "make_chunked_energy_fn")
             else:               # descriptor NNs: dense row blocks only
                 can_chunk = (layout == "dense" and
@@ -195,7 +223,8 @@ class TensorAlloyCalculator:
             self._vap_cache[key] = vap
         return vap
 
-    def _features(self, structure: Structure, vap: VirtualAtomMap):
+    def _features(self, structure: Structure, vap: VirtualAtomMap,
+                  layout: Optional[str] = None):
         fz = self.featurizer
         feats = fz.featurize(structure, vap,
                              pair_bucket=lambda n: _bucket(max(n, 1)),
@@ -209,7 +238,8 @@ class TensorAlloyCalculator:
                                                           minimum=64),
                              dtype=np.float64 if jax.config.jax_enable_x64
                              else np.float32,
-                             layout=model_feature_layout(self.model))
+                             layout=layout or model_feature_layout(
+                                 self.model, fast=self.fast_efs))
         return {k: jnp.asarray(v) for k, v in feats.items()}
 
     def _features_device(self, structure: Structure,
@@ -227,7 +257,8 @@ class TensorAlloyCalculator:
         if b is None or not b.covers(structure.cell):
             b = DeviceNeighborList(
                 self.featurizer, vap, structure,
-                layout=model_feature_layout(self.model))
+                layout=model_feature_layout(self.model,
+                                            fast=self.fast_efs))
             self._nl_cache[key] = b
         dtype = (np.float64 if jax.config.jax_enable_x64
                  else np.float32)
@@ -345,7 +376,11 @@ class TensorAlloyCalculator:
                     phonopy_format: bool = False) -> np.ndarray:
         vap = self._get_vap(structure)
         _, _, hess, _ = self._get_variant(structure)
-        feats = self._features(structure, vap)
+        # the Hessian differentiates the autodiff energy, which reads
+        # the layout the MODEL consumes (segment for EAM) even when the
+        # fast dense-layout EFS serves first derivatives
+        feats = self._features(structure, vap,
+                               layout=model_feature_layout(self.model))
         h = np.asarray(hess(self.params, feats))
         return vap.reverse_map_hessian(h, phonopy_format=phonopy_format)
 

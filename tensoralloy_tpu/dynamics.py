@@ -120,6 +120,15 @@ class VelocityVerlet:
             from .analysis.heatflux import make_heat_flux_fn
             # raises for dense-backend descriptors up front
             self._flux_fn = make_heat_flux_fn(self.model)
+        # Scatter-free analytic EFS for EAM-family models
+        # (`nn/eam/fast_efs.py`): the per-step force evaluation becomes
+        # gathers + dense row reductions instead of autodiff whose
+        # gather-VJPs lower to slow XLA TPU scatters. Heat-flux
+        # recording needs the segment layout (per-pair virials), so it
+        # keeps the autodiff path.
+        from .calculator import is_eam_family
+        self._use_fast_efs = (is_eam_family(self.model)
+                              and not self.record_heat_flux)
         self.fz = model.featurizer
         self.vap = self.fz.make_vap(structure,
                                     Counter(structure.symbols))
@@ -143,7 +152,8 @@ class VelocityVerlet:
             self._nl = DeviceNeighborList(
                 self.fz, self.vap, structure,
                 cutoff=self.fz.max_cutoff + self.skin,
-                layout=model_feature_layout(self.model))
+                layout=model_feature_layout(self.model,
+                                            fast=self._use_fast_efs))
 
     # ------------------------------------------------------------------
     def _build_features(self, positions_local: np.ndarray) -> Dict:
@@ -157,7 +167,8 @@ class VelocityVerlet:
             nnl_bucket=wpad, ntl_bucket=wpad,
             dtype=np.float64 if jax.config.jax_enable_x64
             else np.float32,
-            layout=model_feature_layout(self.model))
+            layout=model_feature_layout(self.model,
+                                        fast=self._use_fast_efs))
         return feats
 
     def _integrator(self):
@@ -177,9 +188,25 @@ class VelocityVerlet:
             sigma_v = jnp.sqrt(KB * self.target_temperature / masses *
                                FORCE_TO_ACC) * mask
 
+        fast_fn = None
+        if self._use_fast_efs:
+            from .nn.eam.fast_efs import make_fast_efs_fn
+            fast_fn = make_fast_efs_fn(model)
+
         def forces_of(feats, pos, cell):
             """-> (forces, potential pressure GPa). Under NPT the
-            pressure rides the SAME backward (grad over pos + cell)."""
+            pressure rides the SAME backward (grad over pos + cell);
+            the fast path reads both from one analytic pass."""
+            if fast_fn is not None:
+                out = fast_fn(self.params,
+                              dict(feats, positions=pos, cell=cell))
+                if not npt:
+                    return out["forces"] * mask, jnp.zeros((), pos.dtype)
+                vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
+                p_pot = -jnp.trace(out["virial"]) / vol / 3.0 \
+                    * EV_A3_TO_GPA
+                return out["forces"] * mask, p_pot
+
             def e_of(p, h):
                 return model.variational_energy(
                     self.params, dict(feats, positions=p, cell=h))
@@ -237,8 +264,14 @@ class VelocityVerlet:
             When `record_heat_flux` is on, the exact many-body heat
             flux rides the chunk-end evaluation (one extra backward,
             amortized over `chunk_size` steps)."""
-            energy = model.variational_energy(
-                self.params, dict(feats, positions=pos, cell=cell))
+            if fast_fn is not None:
+                out = fast_fn(self.params,
+                              dict(feats, positions=pos, cell=cell))
+                energy = out["energy"]
+            else:
+                out = None
+                energy = model.variational_energy(
+                    self.params, dict(feats, positions=pos, cell=cell))
             ke = kinetic(vel)
             vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
             p_inst = p_pot + (2.0 / 3.0) * ke / vol * EV_A3_TO_GPA
@@ -249,11 +282,14 @@ class VelocityVerlet:
             else:
                 j = jnp.zeros(3, pos.dtype)
             if self.record_stress:
-                def e_of(p, h):
-                    return model.variational_energy(
-                        self.params, dict(feats, positions=p, cell=h))
-                gpos, gcell = jax.grad(e_of, argnums=(0, 1))(pos, cell)
-                virial = gpos.T @ pos + gcell.T @ cell
+                if out is not None:
+                    virial = out["virial"]
+                else:
+                    def e_of(p, h):
+                        return model.variational_energy(
+                            self.params, dict(feats, positions=p, cell=h))
+                    gpos, gcell = jax.grad(e_of, argnums=(0, 1))(pos, cell)
+                    virial = gpos.T @ pos + gcell.T @ cell
                 mv = vel * masses * mask
                 sigma = (virial - mv.T @ vel / FORCE_TO_ACC) / vol
             else:

@@ -50,6 +50,39 @@ def test_nve_energy_conservation():
     assert hist["kinetic"][-1] < hist["kinetic"][0] * 1.5
 
 
+def test_fast_and_autodiff_md_trajectories_match():
+    """The scatter-free fast EFS drives plain EAM MD while heat-flux
+    recording keeps the autodiff path — a Green-Kubo workflow mixes
+    the two (equilibrate fast, produce with flux), so identical-seed
+    NVE trajectories through both paths must agree to f64 tightness."""
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(2)
+                           for j in range(2) for k in range(2)])
+    s = Structure.from_symbols(["Ni"] * len(frac), frac * a0,
+                               np.eye(3) * 2 * a0, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    md_fast = VelocityVerlet(model, params, s, timestep=1.0,
+                             chunk_size=5, temperature=400.0, seed=5)
+    assert md_fast._use_fast_efs
+    md_auto = VelocityVerlet(model, params, s, timestep=1.0,
+                             chunk_size=5, temperature=400.0, seed=5,
+                             record_heat_flux=True)
+    assert not md_auto._use_fast_efs
+    h_f = md_fast.run(15, record_trajectory=True)
+    h_a = md_auto.run(15, record_trajectory=True)
+    np.testing.assert_allclose(np.asarray(h_f["positions"]),
+                               np.asarray(h_a["positions"]),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(h_f["potential"]),
+                               np.asarray(h_a["potential"]),
+                               rtol=1e-10)
+
+
 def test_langevin_nvt_thermalizes():
     """BAOAB Langevin: starting from rest, the kinetic temperature
     must equilibrate to the target within sampling noise."""
