@@ -167,6 +167,16 @@ class TensorAlloyCalculator:
                 # analytic E+F+stress (atomic energies included) — no
                 # autodiff residuals, so no chunked variant is needed
                 efs = self._jit_efs(make_fast_efs_fn(model))
+            elif (model_feature_layout(model) == "dense"
+                    and not self.device_nl):
+                # dense descriptor models: differentiate w.r.t. the
+                # pair/triple VECTORS and assemble forces through the
+                # featurizer's transpose tables — the autodiff-vs-
+                # positions path's gather-VJP lowers to an XLA TPU
+                # scatter that dominates at large padding
+                from .ops.dense import make_dense_efs_fn
+                efs = self._jit_efs(make_dense_efs_fn(
+                    model.variational_energy, extras))
             else:
                 efs = self._jit_efs(make_efs_fn(model.variational_energy,
                                                 extras))
@@ -239,7 +249,13 @@ class TensorAlloyCalculator:
                              dtype=np.float64 if jax.config.jax_enable_x64
                              else np.float32,
                              layout=layout or model_feature_layout(
-                                 self.model, fast=self.fast_efs))
+                                 self.model, fast=self.fast_efs),
+                             # transpose tables feed the scatter-free
+                             # force assembly of dense descriptor EFS
+                             transpose=(layout is None
+                                        and not self.fast_efs
+                                        and model_feature_layout(
+                                            self.model) == "dense"))
         return {k: jnp.asarray(v) for k, v in feats.items()}
 
     def _features_device(self, structure: Structure,

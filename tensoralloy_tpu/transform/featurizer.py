@@ -144,7 +144,8 @@ class Featurizer:
                   nnl_max: Optional[int] = None,
                   ntl_max: Optional[int] = None,
                   layout: str = "both",
-                  nnl_bucket=None, ntl_bucket=None) -> Features:
+                  nnl_bucket=None, ntl_bucket=None,
+                  transpose: bool = False) -> Features:
         """Build the fixed-shape feature arrays for one structure.
 
         `pair_bucket`/`trip_bucket` round the exact pair/triple counts
@@ -245,6 +246,25 @@ class Featurizer:
             feats["pair_shift_d"] = psd
             feats["pair_mask_d"] = pmd
             feats["pair_islot_d"] = pisd
+            # Transpose table (opt-in: per-structure widths are not
+            # batch-stackable, so training caches skip them): for each
+            # atom a, the FLAT slot indices (into [n_vap * nnl]) of
+            # every pair whose NEIGHBOR is a. Full directed lists make
+            # in-degree == out-degree, so the same nnl width always
+            # fits. `ops/dense.transpose_reduce` turns the force
+            # backward's scatter-add into a gather + row reduction.
+            if not transpose:
+                tcols = None
+            else:
+                tcols, _ = _columns_of(jlist, len(structure))
+            if tcols is not None:
+                ptd = np.zeros((n_vap, nnl), np.int32)
+                ptm = np.zeros((n_vap, nnl), dtype)
+                jrows = vap.local_to_vap[jlist]
+                ptd[jrows, tcols] = rows * nnl + cols
+                ptm[jrows, tcols] = 1.0
+                feats["pair_trans_d"] = ptd
+                feats["pair_trans_mask_d"] = ptm
 
         if self.angular:
             a_i, a_j, a_s, a_d = all_pairs if all_pairs is not None else (
@@ -252,13 +272,13 @@ class Featurizer:
             self._build_triples(feats, structure, vap, a_i, a_j, a_s,
                                 a_d, elem_idx_local, nijk_max, dtype,
                                 trip_bucket, ntl_max, layout,
-                                ntl_bucket)
+                                ntl_bucket, transpose)
         return feats
 
     def _build_triples(self, feats, structure, vap, ilist, jlist, shift,
                        dists, elem_idx_local, nijk_max, dtype,
                        trip_bucket=None, ntl_max=None, layout="both",
-                       ntl_bucket=None):
+                       ntl_bucket=None, transpose=False):
         within = dists < self.acut
         ii, jj, ss = ilist[within], jlist[within], shift[within]
         # group pairs by center atom; emit j<k combinations
@@ -353,6 +373,26 @@ class Featurizer:
         feats["trip_shift_k_d"] = tskd
         feats["trip_mask_d"] = tmd
         feats["trip_aslot_d"] = tasd
+        # triple transpose tables (force assembly without scatter):
+        # for each atom a, the flat slot indices of every triple where
+        # a is the j (resp. k) neighbor — widths have their own maxima
+        # (an atom appears as a side of up to ~2x its own triple count)
+        if not transpose:
+            return
+        flat = (rows * ntl + tcols).astype(np.int64)
+        for side, t_side in (("j", t_j), ("k", t_k)):
+            scols, sw = _columns_of(np.asarray(t_side, np.int64),
+                                    len(structure))
+            sw = max(int(sw), 1)
+            if ntl_bucket is not None or trip_bucket is not None:
+                sw = int((ntl_bucket or trip_bucket)(sw))
+            std = np.zeros((n_vap, sw), np.int32)
+            stm = np.zeros((n_vap, sw), dtype)
+            srows = vap.local_to_vap[np.asarray(t_side, np.int64)]
+            std[srows, scols] = flat
+            stm[srows, scols] = 1.0
+            feats[f"trip_trans_{side}_d"] = std
+            feats[f"trip_trans_{side}_mask_d"] = stm
 
     # ------------------------------------------------------------------
     def as_dict(self) -> dict:
