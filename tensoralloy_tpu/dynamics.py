@@ -58,7 +58,8 @@ class VelocityVerlet:
                  pressure_tau: float = 1000.0,
                  compressibility: float = 5e-3,
                  record_heat_flux: bool = False,
-                 record_stress: bool = False):
+                 record_stress: bool = False,
+                 fast_efs: "bool | str" = "auto"):
         """`temperature` seeds Maxwell-Boltzmann initial velocities
         (NVE). Setting BOTH `target_temperature` (K) and `friction`
         (1/fs) switches the integrator to the BAOAB Langevin
@@ -115,20 +116,29 @@ class VelocityVerlet:
         self.model = model.clone_for(Counter(structure.symbols))
         self.record_heat_flux = bool(record_heat_flux)
         self.record_stress = bool(record_stress)
-        self._flux_fn = None
-        if self.record_heat_flux:
-            from .analysis.heatflux import make_heat_flux_fn
-            # raises for dense-backend descriptors up front
-            self._flux_fn = make_heat_flux_fn(self.model)
         # Scatter-free analytic EFS for EAM-family models
         # (`nn/eam/fast_efs.py`): the per-step force evaluation becomes
         # gathers + dense row reductions instead of autodiff whose
-        # gather-VJPs lower to slow XLA TPU scatters. Heat-flux
-        # recording needs the segment layout (per-pair virials), so it
-        # keeps the autodiff path.
+        # gather-VJPs lower to slow XLA TPU scatters — and the exact
+        # many-body heat flux has the same analytic form
+        # (make_fast_heat_flux_fn), so Green-Kubo production is
+        # scatter-free too. Descriptor models keep the autodiff path
+        # (their flux needs the segment layout's owner-anchored rij).
         from .calculator import is_eam_family
-        self._use_fast_efs = (is_eam_family(self.model)
-                              and not self.record_heat_flux)
+        if fast_efs == "auto":
+            self._use_fast_efs = is_eam_family(self.model)
+        else:
+            self._use_fast_efs = bool(fast_efs) and \
+                is_eam_family(self.model)
+        self._flux_fn = None
+        if self.record_heat_flux:
+            if self._use_fast_efs:
+                from .nn.eam.fast_efs import make_fast_heat_flux_fn
+                self._flux_fn = make_fast_heat_flux_fn(self.model)
+            else:
+                from .analysis.heatflux import make_heat_flux_fn
+                # raises for dense-backend descriptors up front
+                self._flux_fn = make_heat_flux_fn(self.model)
         self.fz = model.featurizer
         self.vap = self.fz.make_vap(structure,
                                     Counter(structure.symbols))

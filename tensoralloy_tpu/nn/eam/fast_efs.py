@@ -61,21 +61,18 @@ def _val_and_deriv(f: Callable, r: jnp.ndarray):
     return val, pullback(jnp.ones_like(val))[0]
 
 
-def make_fast_efs_fn(model, extras_fn: Callable = None) -> Callable:
-    """fn(params, features) -> same dict contract as `make_efs_fn`
-    (energy, forces, virial, stress, stress_voigt, total_pressure)
-    plus 'atomic_energies', computed WITHOUT autodiff over pair arrays.
-
-    Requires the dense layout ('pair_j_d' / 'pair_shift_d' /
-    'pair_mask_d'); raises KeyError otherwise.
-    """
+def _make_pass(model) -> Callable:
+    """Core analytic pass: (params, features) -> dict with
+    atomic_energies, forces, virial, and the OWNER-anchored per-slot
+    cotangents ct_self = dE/d v_kj through row k's accumulators
+    (exactly the g_q of `analysis/heatflux.py`'s operator), plus v —
+    shared by the EFS and heat-flux builders."""
     rcut = model.featurizer.rcut
     elements = model.elements
-    n_ut = len(model.unique_kbody_terms)
     is_adp = model.tag == "adp"
     is_fs = model.tag == "fs"
 
-    def efs(params, features) -> Dict[str, jnp.ndarray]:
+    def run(params, features) -> Dict[str, jnp.ndarray]:
         pos = features["positions"]            # [n_vap, 3]
         cell = features["cell"]
         jd = features["pair_j_d"]              # [n_vap, nnl] int32
@@ -154,23 +151,45 @@ def make_fast_efs_fn(model, extras_fn: Callable = None) -> Callable:
         w_rev = w_rev * mask
         # forces[k] = sum_row (w_self + w_rev) u ; ct_self = w_self u
         forces = jnp.sum((w_self + w_rev)[..., None] * u, axis=1)
-        # virial[a, b] = sum ct_self[a] v[b]
-        ct = w_self[..., None] * u
-        virial = jnp.einsum("kna,knb->ab", ct, v)
+        ct_self = w_self[..., None] * u
 
         if is_adp:
-            adp_e, f_adp, w_adp = _adp_terms(
+            adp_e, ct_a_self, ct_a_rev = _adp_terms(
                 model, params, features, v, r, u, mask, ut, am, jd,
                 n_vap)
             atomic_e = atomic_e + adp_e * am
-            forces = forces + f_adp
-            virial = virial + w_adp
+            forces = forces + jnp.sum(ct_a_self - ct_a_rev, axis=1)
+            ct_self = ct_self + ct_a_self
 
+        # virial[a, b] = sum ct_self[a] v[b]
+        virial = jnp.einsum("kna,knb->ab", ct_self, v)
         energy = jnp.sum(atomic_e)
         volume = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
         stress = virial / volume
-        out = {"energy": energy, "atomic_energies": atomic_e,
-               "forces": forces, "virial": virial, "stress": stress,
+        return {"energy": energy, "atomic_energies": atomic_e,
+                "forces": forces, "virial": virial, "stress": stress,
+                "ct_self": ct_self, "v": v}
+
+    return run
+
+
+def make_fast_efs_fn(model, extras_fn: Callable = None) -> Callable:
+    """fn(params, features) -> same dict contract as `make_efs_fn`
+    (energy, forces, virial, stress, stress_voigt, total_pressure)
+    plus 'atomic_energies', computed WITHOUT autodiff over pair arrays.
+
+    Requires the dense layout ('pair_j_d' / 'pair_shift_d' /
+    'pair_mask_d'); raises KeyError otherwise.
+    """
+    core = _make_pass(model)
+
+    def efs(params, features) -> Dict[str, jnp.ndarray]:
+        o = core(params, features)
+        stress = o["stress"]
+        out = {"energy": o["energy"],
+               "atomic_energies": o["atomic_energies"],
+               "forces": o["forces"], "virial": o["virial"],
+               "stress": stress,
                "stress_voigt": full_to_voigt(stress),
                "total_pressure": -jnp.trace(stress) / 3.0
                * EV_ANGSTROM3_TO_GPA}
@@ -179,6 +198,36 @@ def make_fast_efs_fn(model, extras_fn: Callable = None) -> Callable:
         return out
 
     return efs
+
+
+def make_fast_heat_flux_fn(model) -> Callable:
+    """Analytic (scatter-free) many-body heat flux on the dense layout
+    — the SAME operator as `analysis/heatflux.make_heat_flux_fn`
+    (J = sum_i (E_i + K_i) v_i - sum_q d_q (g_q . v_n(q)), Hardy/Fan
+    form with owner-anchored attribution), with g_q = ct_self computed
+    analytically instead of by autodiff: EAM-family Green-Kubo
+    production never touches an XLA scatter.
+
+    fn(params, features, velocities [n_vap, 3], masses [n_vap]) ->
+    {"J", "J_convective", "J_virial", "energy", "atomic_energies"}.
+    """
+    from ...dynamics import FORCE_TO_ACC
+    core = _make_pass(model)
+
+    def flux(params, features, velocities, masses):
+        o = core(params, features)
+        ae = o["atomic_energies"]
+        am = features["atom_masks"]
+        kin = 0.5 * masses * jnp.sum(jnp.square(velocities), axis=-1) \
+            / FORCE_TO_ACC
+        conv = jnp.sum((ae + kin * am)[:, None] * velocities, axis=0)
+        vel_j = velocities[features["pair_j_d"]]     # [n_vap, nnl, 3]
+        jv = -jnp.sum(o["v"] * jnp.sum(o["ct_self"] * vel_j, axis=-1,
+                                       keepdims=True), axis=(0, 1))
+        return {"J": conv + jv, "J_convective": conv, "J_virial": jv,
+                "energy": o["energy"], "atomic_energies": ae}
+
+    return flux
 
 
 def _adp_terms(model, params, features, v, r, u, mask, ut, am, jd,
@@ -251,11 +300,9 @@ def _adp_terms(model, params, features, v, r, u, mask, ut, am, jd,
             + 2.0 * w_p[..., None] * jnp.einsum("knab,knb->kna", L, v)
 
     ct_self = (ct_mu(m_self) + ct_lam(L_self)) * mask[..., None]
-    # reversed pair: mu form even under v -> -v, lam form odd
+    # reversed pair: mu form even under v -> -v, lam form odd.
+    # ct_rev is the cotangent of pair (j,k) w.r.t. v_jk mapped through
+    # dv_jk/dpos_k = +1, already expressed in row-k geometry; the
+    # caller assembles forces[k] = sum_row (ct_self - ct_rev).
     ct_rev = (ct_mu(m_rev) - ct_lam(L_rev)) * mask[..., None]
-    # forces[k] = sum_row (ct_self - ct_rev_jk); ct_rev_jk here is the
-    # cotangent of pair (j,k) w.r.t. v_jk mapped through
-    # dv_jk/dpos_k = +1, already expressed in row-k geometry
-    f_adp = jnp.sum(ct_self - ct_rev, axis=1)
-    w_adp = jnp.einsum("kna,knb->ab", ct_self, v)
-    return adp_e, f_adp, w_adp
+    return adp_e, ct_self, ct_rev

@@ -51,10 +51,10 @@ def test_nve_energy_conservation():
 
 
 def test_fast_and_autodiff_md_trajectories_match():
-    """The scatter-free fast EFS drives plain EAM MD while heat-flux
-    recording keeps the autodiff path — a Green-Kubo workflow mixes
-    the two (equilibrate fast, produce with flux), so identical-seed
-    NVE trajectories through both paths must agree to f64 tightness."""
+    """The scatter-free fast EFS drives EAM MD by default; the
+    autodiff path stays available (fast_efs=False) and identical-seed
+    NVE trajectories through both paths must agree to f64 tightness —
+    a resumed run must not fork depending on which path built it."""
     a0 = 3.52
     base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
                      [0, 0.5, 0.5]])
@@ -71,7 +71,7 @@ def test_fast_and_autodiff_md_trajectories_match():
     assert md_fast._use_fast_efs
     md_auto = VelocityVerlet(model, params, s, timestep=1.0,
                              chunk_size=5, temperature=400.0, seed=5,
-                             record_heat_flux=True)
+                             fast_efs=False)
     assert not md_auto._use_fast_efs
     h_f = md_fast.run(15, record_trajectory=True)
     h_a = md_auto.run(15, record_trajectory=True)

@@ -101,6 +101,39 @@ def test_fast_efs_adp_binary(per_term):
     _compare(model, s, fz)
 
 
+@pytest.mark.parametrize("kind", ["alloy", "fs", "adp"])
+def test_fast_heat_flux_matches_autodiff_operator(kind):
+    """The analytic heat flux must equal the autodiff Hardy/Fan
+    operator exactly: same owner-anchored g_q, same convective and
+    virial parts — pinned per EAM flavor on random velocities."""
+    import jax.numpy as jnp
+    from tensoralloy_tpu.nn.eam.fast_efs import make_fast_heat_flux_fn
+    from tensoralloy_tpu.analysis.heatflux import make_heat_flux_fn
+
+    s = _structure(seed=6)
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    cls = {"alloy": EamAlloyNN, "fs": EamFsNN, "adp": AdpNN}[kind]
+    model = cls(fz, Counter(s.symbols), hidden_sizes=[8])
+    params = model.init_params(jax.random.PRNGKey(0))
+    vap = fz.make_vap(s, model.max_occurs)
+    feats = fz.featurize(s, vap, layout="both", dtype=np.float64)
+    feats = {k: jnp.asarray(v) for k, v in feats.items()}
+    rng = np.random.RandomState(7)
+    vel = jnp.asarray(vap.map_array(
+        rng.normal(0, 0.01, (len(s), 3))))
+    masses = jnp.asarray(vap.map_array(s.masses))
+    ref = jax.jit(make_heat_flux_fn(model))(params, feats, vel, masses)
+    fast = jax.jit(make_fast_heat_flux_fn(model))(params, feats, vel,
+                                                  masses)
+    for key in ("J", "J_convective", "J_virial"):
+        np.testing.assert_allclose(np.asarray(fast[key]),
+                                   np.asarray(ref[key]),
+                                   rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fast["atomic_energies"]),
+                               np.asarray(ref["atomic_energies"]),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_fast_efs_translation_and_newton():
     """Physics invariants independent of the autodiff comparison:
     forces sum to zero, virial is symmetric for radial models."""
