@@ -121,6 +121,89 @@ def _main_device_nl(s, fz, vap, model, params, efs_raw, fast_fn,
     print(json.dumps(out))
 
 
+def _grap_main(n: int):
+    """Descriptor-NN family at large cells (the reference's own speed
+    benchmark family, `cpc_speed.py:36-74`: AtomicNN/GRAP on a 1080Ti
+    executed its 128k-atom graph in ~1.0 s): E+F+S through the
+    transpose-assembled dense EFS (`ops/dense.make_dense_efs_fn`) vs
+    the positions-autodiff path."""
+    import jax
+    import jax.numpy as jnp
+    from collections import Counter
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.atomic import AtomicNN
+    from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
+    from tensoralloy_tpu.nn.fields import make_efs_fn
+    from tensoralloy_tpu.ops.dense import make_dense_efs_fn
+
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    rng = np.random.RandomState(0)
+    frac = np.concatenate([base + [i, j, k] for i in range(n)
+                           for j in range(n) for k in range(n)])
+    pos = frac * a0 + rng.normal(0, 0.05, (len(frac), 3))
+    s = Structure.from_symbols(["Ni"] * len(frac), pos,
+                               np.eye(3) * a0 * n, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    grap = GenericRadialAtomicPotential(
+        ["Ni"], algorithm="pexp",
+        parameters={"rl": [1.0, 1.2, 1.4, 1.6, 1.8, 2.0, 2.2, 2.4, 2.6,
+                           2.8, 3.0, 3.2, 3.4, 3.6, 3.8, 4.0],
+                    "pl": [5.0, 4.75, 4.5, 4.25, 4.0, 3.75, 3.5, 3.25,
+                           3.0, 2.75, 2.5, 2.25, 2.0, 1.75, 1.5, 1.25]},
+        moment_tensors=[0, 1, 2, 3], backend="dense")
+    model = AtomicNN(fz, Counter({"Ni": len(s)}), grap,
+                     hidden_sizes=[128, 128], minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    t0 = time.perf_counter()
+    vap = fz.make_vap(s)
+    feats = fz.featurize(s, vap,
+                         nnl_bucket=lambda m: max(
+                             32, 1 << (m - 1).bit_length()),
+                         dtype=np.float32, layout="dense",
+                         transpose=True)
+    t_feat = time.perf_counter() - t0
+    dfeats = {k: jax.device_put(jnp.asarray(v)) for k, v in feats.items()}
+    jax.block_until_ready(list(dfeats.values()))
+
+    def timed(efs):
+        def run_k(k):
+            def f(p, d):
+                def body(carry, _):
+                    d2 = dict(d)
+                    d2["positions"] = d["positions"] + carry * 1e-12
+                    o = efs(p, d2)
+                    acc = (o["energy"] +
+                           1e-30 * jnp.sum(o["forces"]) +
+                           1e-30 * jnp.sum(o["stress"]))
+                    return acc, None
+                acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=k)
+                return acc
+            g = jax.jit(f)
+            return lambda: float(g(params, dfeats))
+        return _marginal(run_k, lo=1, hi=5)
+
+    t_new = timed(make_dense_efs_fn(model.variational_energy))
+    out = {"metric": f"grap_efs_inference_{len(s)}_atoms",
+           "unit": "s device (E+F+stress, dense GRAP pexp-16 m0-3)",
+           "featurize_s": round(t_feat, 3),
+           "device_exec_transpose_s": round(t_new, 4),
+           "value": round(t_new, 4),
+           # reference graph time scaled from its 128k measurement
+           "vs_baseline_graph": round(
+               1.0 * len(s) / 128000.0 / max(t_new, 1e-9), 2)}
+    try:
+        t_auto = timed(make_efs_fn(model.variational_energy))
+        out["device_exec_autodiff_s"] = round(t_auto, 4)
+    except Exception as e:       # monolithic backward can OOM at 131k
+        out["device_exec_autodiff_s"] = -1.0
+        out["autodiff_error"] = repr(e)[:120]
+    print(json.dumps(out))
+
+
 def main(n: int = 20, pair_chunk: int = 0, device_nl: bool = False,
          fast: bool = True, also_autodiff: bool = False):
     import jax
@@ -217,8 +300,11 @@ def main(n: int = 20, pair_chunk: int = 0, device_nl: bool = False,
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    main(int(args[0]) if args else 20,
-         int(args[1]) if len(args) > 1 else 0,
-         device_nl="--device-nl" in sys.argv,
-         fast="--no-fast" not in sys.argv,
-         also_autodiff="--autodiff" in sys.argv)
+    if "--grap" in sys.argv:
+        _grap_main(int(args[0]) if args else 20)
+    else:
+        main(int(args[0]) if args else 20,
+             int(args[1]) if len(args) > 1 else 0,
+             device_nl="--device-nl" in sys.argv,
+             fast="--no-fast" not in sys.argv,
+             also_autodiff="--autodiff" in sys.argv)
