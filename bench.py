@@ -548,6 +548,50 @@ def measure_bs_scaling(fz, feats, labels, model_fn,
     return out
 
 
+def measure_fast_efs(n_axis=24):
+    """Large-cell E+F+stress through the scatter-free analytic EAM
+    path (`nn/eam/fast_efs.py`) — marginal device seconds per full
+    evaluation at 4*n_axis^3 atoms. Round-2/3 context: the autodiff
+    path measured 0.69 s at 55k atoms and 2.63 s (chunked) at 131k,
+    dominated by XLA TPU scatters."""
+    import jax
+    import jax.numpy as jnp
+    from collections import Counter
+    from tensoralloy_tpu.transform import Featurizer
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.nn.eam.fast_efs import make_fast_efs_fn
+
+    s = _fcc_ni(n_axis)
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    vap = fz.make_vap(s)
+    feats = fz.featurize(
+        s, vap, layout="dense", dtype=np.float32,
+        nnl_bucket=lambda m: max(32, 1 << (m - 1).bit_length()))
+    dfeats = {k: jnp.asarray(v) for k, v in feats.items()}
+    efs = make_fast_efs_fn(model)
+
+    def mk(k):
+        def f(p, d):
+            def body(carry, _):
+                d2 = dict(d)
+                d2["positions"] = d["positions"] + carry * 1e-12
+                o = efs(p, d2)
+                return (o["energy"] + 1e-30 * jnp.sum(o["forces"]) +
+                        1e-30 * jnp.sum(o["stress"])), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=k)
+            return acc
+        return jax.jit(f)
+
+    g1, g5 = mk(1), mk(5)
+    float(g1(params, dfeats)), float(g5(params, dfeats))
+    t = (_best_of(lambda: float(g5(params, dfeats))) -
+         _best_of(lambda: float(g1(params, dfeats)))) / 4
+    return len(s), max(t, 1e-9)
+
+
 def measure_peak_tflops():
     """Anchor: 4096^3 matmul chain, marginal per-iteration time."""
     import jax
@@ -671,6 +715,18 @@ def run_bench():
     ex["device_nl_atoms"] = nl_atoms
     ex["device_nl_build_ms"] = round(nl_dev_ms, 2)
     ex["host_featurize_ms_same_system"] = round(nl_host_ms, 1)
+
+    # large-cell scatter-free EFS (round 4): the analytic EAM path vs
+    # the round-2/3 autodiff numbers (0.69 s at 55k, 2.63 s chunked at
+    # 131k — both scatter-bound)
+    ex["stage"] = "fast_efs"
+    try:
+        natoms, t_fast = measure_fast_efs(24)
+        ex["fast_efs_atoms"] = natoms
+        ex["fast_efs_device_s"] = round(t_fast, 4)
+    except Exception as e:
+        ex["fast_efs_device_s"] = -1.0
+        ex["fast_efs_error"] = repr(e)[:160]
 
     # backend matrix + descriptor roofline bracket + bs scaling
     # (soft deadline: a slow remote-compile day must not kill the
