@@ -210,10 +210,18 @@ def trajectory_heat_flux(model, params, structure, positions, velocities,
     via capacity-padded shapes.
     """
     from ..atoms import Structure
+    from ..calculator import is_eam_family
 
     fz = featurizer or model.featurizer
     vap = fz.make_vap(structure, model.max_occurs)
-    flux = jax.jit(make_heat_flux_fn(model))
+    fast = is_eam_family(model)
+    if fast:
+        # EAM family: the analytic scatter-free flux on the dense
+        # layout (`nn/eam/fast_efs.make_fast_heat_flux_fn`)
+        from ..nn.eam.fast_efs import make_fast_heat_flux_fn
+        flux = jax.jit(make_fast_heat_flux_fn(model))
+    else:
+        flux = jax.jit(make_heat_flux_fn(model))
     masses = jnp.asarray(vap.map_array(structure.masses))
 
     n_frames = len(positions)
@@ -224,7 +232,7 @@ def trajectory_heat_flux(model, params, structure, positions, velocities,
     # tunnel).  The host arrays are already in memory, so the extra
     # neighbor-count pass is cheap by comparison.
     frames = []
-    nij_max = nijk_max = 0
+    nij_max = nijk_max = nnl_max = 0
     for t in range(n_frames):
         s = Structure(structure.numbers, np.asarray(positions[t]),
                       structure.cell if cells is None
@@ -233,11 +241,16 @@ def trajectory_heat_flux(model, params, structure, positions, velocities,
         ns = fz.neighbor_size(s)
         nij_max = max(nij_max, ns.nij)
         nijk_max = max(nijk_max, ns.nijk)
+        nnl_max = max(nnl_max, ns.nnl_tot)
     out = np.zeros((n_frames, 3))
     for t, s in enumerate(frames):
-        feats = fz.featurize(s, vap, layout="segment",
-                             nij_max=nij_max,
-                             nijk_max=nijk_max or None)
+        if fast:
+            feats = fz.featurize(s, vap, layout="dense",
+                                 nnl_max=max(nnl_max, 1))
+        else:
+            feats = fz.featurize(s, vap, layout="segment",
+                                 nij_max=nij_max,
+                                 nijk_max=nijk_max or None)
         v_vap = vap.map_array(np.asarray(velocities[t]))
         res = flux(params, {k: jnp.asarray(v) for k, v in feats.items()},
                    jnp.asarray(v_vap), masses)

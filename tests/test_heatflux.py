@@ -208,21 +208,28 @@ def test_trajectory_heat_flux_compiles_once(monkeypatch):
     (an expanding cell previously re-entered XLA compilation on every
     new running max — 5-15 min each through the remote tunnel)."""
     import tensoralloy_tpu.analysis.heatflux as hf
+    import tensoralloy_tpu.nn.eam.fast_efs as ff
 
     s = _fcc_ni(rattle=0.0)
     model, params, fz = _models(s)[0]
     traces = []
-    orig = hf.make_heat_flux_fn
 
-    def counting(model_):
-        f = orig(model_)
+    def counted(orig):
+        def make(model_):
+            f = orig(model_)
 
-        def wrapper(*a, **k):
-            traces.append(1)       # jit runs the python fn once/trace
-            return f(*a, **k)
-        return wrapper
+            def wrapper(*a, **k):
+                traces.append(1)   # jit runs the python fn once/trace
+                return f(*a, **k)
+            return wrapper
+        return make
 
-    monkeypatch.setattr(hf, "make_heat_flux_fn", counting)
+    # EAM routes through the fast analytic flux; patch both builders
+    # so the pin holds whichever path the model family selects
+    monkeypatch.setattr(hf, "make_heat_flux_fn",
+                        counted(hf.make_heat_flux_fn))
+    monkeypatch.setattr(ff, "make_fast_heat_flux_fn",
+                        counted(ff.make_fast_heat_flux_fn))
     rng = np.random.RandomState(4)
     n_frames = 5
     # expanding cells: the neighbor count SHRINKS then grows depending
