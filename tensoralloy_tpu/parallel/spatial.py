@@ -87,3 +87,59 @@ def make_spatial_efs_fn(energy_fn, mesh: Mesh,
     efs = make_efs_fn(energy_fn)
     repl = NamedSharding(mesh, P())
     return jax.jit(efs, out_shardings=repl)
+
+
+def _pad_dense_columns(feats: Dict, multiple: int) -> Dict:
+    """Pad the COLUMN (neighbor) axis of dense [n_vap, nnl, ...] arrays
+    to a multiple of the mesh size. Padded columns reproduce the
+    featurizer's padding exactly (index 0, mask 0), so physics is
+    untouched."""
+    out = dict(feats)
+    for k, v in feats.items():
+        if not (k.startswith(("pair_", "trip_")) and k.endswith("_d")):
+            continue
+        v = np.asarray(v)
+        if v.ndim < 2:
+            continue
+        rem = (-v.shape[1]) % multiple
+        if rem:
+            width = [(0, 0), (0, rem)] + [(0, 0)] * (v.ndim - 2)
+            out[k] = np.pad(v, width)
+    return out
+
+
+def shard_features_spatial_dense(feats: Dict, mesh: Mesh,
+                                 axis_name: str = "pairs") -> Dict:
+    """Spatial sharding for the DENSE layout (the scatter-free fast
+    paths): the [n_vap, nnl] neighbor-column axis is partitioned over
+    the mesh — each device owns a slice of every atom's neighbors —
+    while positions / cell / per-atom arrays replicate. Row reductions
+    (rho sums, forces, virial) become per-device partials + an XLA
+    `psum` over ICI; per-atom adjoint gathers (g_rho[jd]) read the
+    replicated [n_vap] arrays locally. The column widths are
+    power-of-two buckets, so any mesh size divides after padding."""
+    n_dev = mesh.shape[axis_name]
+    feats = _pad_dense_columns(
+        {k: np.asarray(jax.device_get(v)) if not isinstance(v, np.ndarray)
+         else v for k, v in feats.items()}, n_dev)
+    col_sh = NamedSharding(mesh, P(None, axis_name))
+    repl_sh = NamedSharding(mesh, P())
+
+    def put(k, v):
+        if (k.startswith(("pair_", "trip_")) and k.endswith("_d")
+                and np.ndim(v) >= 2):
+            return jax.device_put(v, col_sh)
+        return jax.device_put(v, repl_sh)
+
+    return {k: put(k, v) for k, v in feats.items()}
+
+
+def make_spatial_fast_efs_fn(model, mesh: Mesh):
+    """Spatially sharded SCATTER-FREE analytic EFS for EAM-family
+    models: `nn/eam/fast_efs.make_fast_efs_fn` jitted over a mesh with
+    dense-column sharded features (`shard_features_spatial_dense`).
+    Physics is exact across chips — XLA inserts the psum of the
+    column-partial accumulators."""
+    from ..nn.eam.fast_efs import make_fast_efs_fn
+    repl = NamedSharding(mesh, P())
+    return jax.jit(make_fast_efs_fn(model), out_shardings=repl)

@@ -369,3 +369,49 @@ def test_spatial_pair_sharding_matches_single_device():
     np.testing.assert_allclose(np.asarray(out["stress_voigt"]),
                                np.asarray(ref["stress_voigt"]),
                                atol=1e-8)
+
+
+def test_spatial_dense_fast_efs_matches_single_device():
+    """Spatial sharding of the scatter-free fast EAM path: the dense
+    [n_vap, nnl] neighbor-COLUMN axis partitions over a 4-device mesh
+    (each device owns a slice of every atom's neighbors; XLA psums the
+    row-partial accumulators) and must reproduce the single-device
+    fast EFS exactly."""
+    from collections import Counter
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    from tensoralloy_tpu.nn.eam.fast_efs import make_fast_efs_fn
+    from tensoralloy_tpu.parallel.mesh import make_mesh
+    from tensoralloy_tpu.parallel.spatial import (
+        make_spatial_fast_efs_fn, shard_features_spatial_dense)
+
+    rng = np.random.RandomState(9)
+    a0, n_cell = 3.52, 2
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(n_cell)
+                           for j in range(n_cell) for k in range(n_cell)])
+    s = Structure.from_symbols(
+        ["Ni"] * len(frac),
+        frac * a0 + rng.normal(scale=0.08, size=(len(frac), 3)),
+        np.eye(3) * a0 * n_cell, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=5.0)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    feats_np = fz.featurize(s, fz.make_vap(s, model.max_occurs),
+                            layout="dense")
+    ref = jax.jit(make_fast_efs_fn(model))(
+        params, {k: jnp.asarray(v) for k, v in feats_np.items()})
+
+    mesh = make_mesh(4, axis_name="pairs")
+    sharded = shard_features_spatial_dense(feats_np, mesh)
+    assert sharded["pair_j_d"].shape[1] % 4 == 0
+    assert len(sharded["pair_j_d"].sharding.device_set) == 4
+    out = make_spatial_fast_efs_fn(model, mesh)(params, sharded)
+    assert float(out["energy"]) == pytest.approx(float(ref["energy"]),
+                                                 abs=1e-8)
+    np.testing.assert_allclose(np.asarray(out["forces"]),
+                               np.asarray(ref["forces"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["stress_voigt"]),
+                               np.asarray(ref["stress_voigt"]),
+                               atol=1e-8)
