@@ -41,7 +41,18 @@ def model_feature_layout(model, fast: bool = False) -> str:
 
 
 def is_eam_family(model) -> bool:
-    return getattr(model, "tag", None) in ("alloy", "fs", "adp")
+    """True only for CONCRETE EamNN models whose variational energy is
+    the plain EAM energy — the analytic fast path reimplements exactly
+    that math. Wrappers that delegate attributes (e.g. the
+    thermodynamic-integration `LambdaMix`, which mixes in Einstein
+    springs) expose the same `tag` via __getattr__ but change the
+    energy, so a duck-typed check would silently compute the WRONG
+    physics (caught by test_ti)."""
+    from .nn.eam.models import EamNN
+    if not isinstance(model, EamNN):
+        return False
+    ve = getattr(type(model), "variational_energy", None)
+    return ve is EamNN.variational_energy
 
 
 def _bucket(n: int, minimum: int = 256) -> int:

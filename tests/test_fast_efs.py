@@ -134,6 +134,26 @@ def test_fast_heat_flux_matches_autodiff_operator(kind):
                                rtol=1e-10, atol=1e-12)
 
 
+def test_wrapper_models_never_take_the_fast_path():
+    """A wrapper that delegates attributes (LambdaMix mixes Einstein
+    springs into the energy) exposes the wrapped model's `tag` via
+    __getattr__; classifying it as EAM-family would make MD integrate
+    the WRONG Hamiltonian (regression: test_ti caught the fast path
+    computing pure-EAM forces under lambda-mixing)."""
+    from tensoralloy_tpu.calculator import is_eam_family
+    from tensoralloy_tpu.analysis.ti import LambdaMix
+
+    s = _structure(seed=8)
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter(s.symbols), hidden_sizes=[8])
+    assert is_eam_family(model)
+    n_vap = model.n_atoms_vap
+    mixed = LambdaMix(model, 0.5, np.zeros((n_vap, 3)), 1.0,
+                      np.ones(n_vap))
+    assert mixed.tag == "alloy"          # delegation works...
+    assert not is_eam_family(mixed)      # ...but no fast path
+
+
 def test_fast_efs_translation_and_newton():
     """Physics invariants independent of the autodiff comparison:
     forces sum to zero, virial is symmetric for radial models."""
