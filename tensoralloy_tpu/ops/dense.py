@@ -139,8 +139,18 @@ def make_dense_efs_fn(energy_fn, extras_fn=None):
         jd = features["pair_j_d"]
         pv = pos[jd] + features["pair_shift_d"] @ cell \
             - pos[:, None, :]
-        angular = "trip_vec_j_d" in features or (
-            "trip_j_d" in features and "trip_trans_j_d" in features)
+        angular = "trip_j_d" in features
+        if angular and "trip_trans_j_d" not in features:
+            # positions are NOT differentiated here — without the
+            # triple transpose tables the 3-body force contributions
+            # would be silently dropped
+            raise KeyError(
+                "features carry dense triples but no trip_trans "
+                "tables — re-featurize with transpose=True")
+        if "pair_trans_d" not in features:
+            raise KeyError(
+                "make_dense_efs_fn needs the featurizer's transpose "
+                "tables — re-featurize with transpose=True")
         vecs = [pv]
         keys = ["pair_vec_d"]
         if angular:
