@@ -353,15 +353,16 @@ def measure_md(n_axis=10):
         fz.rcut = old
     import jax.numpy as jnp
     feats = {k: jnp.asarray(v) for k, v in feats_np.items()}
-    pos = jnp.asarray(md.vap.map_positions(s.positions).astype(
-        np.asarray(feats["positions"]).dtype))
+    dtype = np.asarray(feats["positions"]).dtype
+    pos = jnp.asarray(md.vap.map_positions(s.positions).astype(dtype))
     feats["positions"] = pos
-    vel = jnp.asarray(md.velocities_vap)
+    vel = jnp.asarray(md.velocities_vap.astype(dtype))
+    cell = jnp.asarray(np.asarray(s.cell).astype(dtype))
     scan = md._make_scan()
 
     def run(n):
-        _, _, _, pe, _ = scan(pos, vel, md._key, feats, n)
-        return float(pe)   # forced host fetch
+        out = scan(pos, vel, cell, md._key, feats, n)
+        return float(out[4])   # energy: forced host fetch
 
     run(64), run(32)       # compile both
     def best(n):
@@ -409,11 +410,12 @@ def measure_md_device_nl(n_axis=10):
     dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     pos = jnp.asarray(md.vap.map_positions(s.positions).astype(dtype))
     vel = jnp.asarray(md.velocities_vap.astype(dtype))
+    cell = jnp.asarray(np.asarray(s.cell).astype(dtype))
     scan = md._make_scan_device()
 
     def run(n):
-        _, _, _, pe, _, _ = scan(pos, vel, md._key, n)
-        return float(pe)   # forced host fetch
+        out = scan(pos, vel, cell, md._key, n)
+        return float(out[4])   # energy: forced host fetch
 
     run(64), run(32)       # compile both
     per_step = max((_best_of(lambda: run(64)) -
