@@ -93,8 +93,11 @@ def _pad_dense_columns(feats: Dict, multiple: int) -> Dict:
     """Pad the COLUMN (neighbor) axis of dense [n_vap, nnl, ...] arrays
     to a multiple of the mesh size. Padded columns reproduce the
     featurizer's padding exactly (index 0, mask 0), so physics is
-    untouched."""
+    untouched. Transpose tables encode FLAT indices `row * width +
+    col`, so when the source width changes they are remapped to the
+    new stride (corrupt silently otherwise)."""
     out = dict(feats)
+    widths = {}
     for k, v in feats.items():
         if not (k.startswith(("pair_", "trip_")) and k.endswith("_d")):
             continue
@@ -105,6 +108,18 @@ def _pad_dense_columns(feats: Dict, multiple: int) -> Dict:
         if rem:
             width = [(0, 0), (0, rem)] + [(0, 0)] * (v.ndim - 2)
             out[k] = np.pad(v, width)
+        widths[k] = (v.shape[1], v.shape[1] + rem)
+    for trans_key, src_key in (("pair_trans_d", "pair_j_d"),
+                               ("trip_trans_j_d", "trip_j_d"),
+                               ("trip_trans_k_d", "trip_j_d")):
+        if trans_key not in out or src_key not in widths:
+            continue
+        old_w, new_w = widths[src_key]
+        if old_w == new_w:
+            continue
+        t = np.asarray(out[trans_key])
+        out[trans_key] = ((t // old_w) * new_w + t % old_w).astype(
+            t.dtype)
     return out
 
 
