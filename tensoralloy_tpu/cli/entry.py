@@ -212,6 +212,10 @@ def main(argv=None):
                       metavar="P_GPA",
                       help="Berendsen barostat target pressure (GPa); "
                            "combine with --nvt for NPT")
+    c_md.add_argument("--npt-aniso", action="store_true",
+                      help="full-tensor Berendsen barostat: each cell "
+                           "axis/shear relaxes its own stress component "
+                           "(non-cubic cells, interfaces)")
     c_md.add_argument("--pressure-tau", type=float, default=1000.0,
                       help="barostat time constant (fs)")
     c_md.add_argument("--supercell", type=int, nargs=3, default=None,
@@ -874,7 +878,8 @@ def _compute_md(args):
         target_temperature=args.nvt,
         friction=args.friction if args.nvt is not None else None,
         device_nl=args.device_nl,
-        target_pressure=args.npt, pressure_tau=args.pressure_tau)
+        target_pressure=args.npt, pressure_tau=args.pressure_tau,
+        anisotropic=getattr(args, "npt_aniso", False))
     if args.restart:
         md.load_state(args.restart)
         print(f"restarted from {args.restart}")

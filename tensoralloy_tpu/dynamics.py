@@ -59,7 +59,8 @@ class VelocityVerlet:
                  compressibility: float = 5e-3,
                  record_heat_flux: bool = False,
                  record_stress: bool = False,
-                 fast_efs: "bool | str" = "auto"):
+                 fast_efs: "bool | str" = "auto",
+                 anisotropic: bool = False):
         """`temperature` seeds Maxwell-Boltzmann initial velocities
         (NVE). Setting BOTH `target_temperature` (K) and `friction`
         (1/fs) switches the integrator to the BAOAB Langevin
@@ -109,6 +110,15 @@ class VelocityVerlet:
         self.target_pressure = target_pressure
         self.pressure_tau = float(pressure_tau)
         self.compressibility = float(compressibility)
+        # anisotropic=True upgrades the Berendsen barostat to the full
+        # symmetric pressure TENSOR: each cell axis (and shear) relaxes
+        # its own stress component toward the isotropic target — the
+        # right tool for non-cubic cells (grain boundaries, interfaces,
+        # strained slabs) where the scalar barostat cannot remove a
+        # deviatoric stress.
+        self.anisotropic = bool(anisotropic)
+        if anisotropic and target_pressure is None:
+            raise ValueError("anisotropic=True needs target_pressure")
         if target_pressure is not None and not structure.pbc.all():
             raise ValueError("the barostat needs a fully periodic cell")
         self._key = jax.random.PRNGKey(seed + 7919)
@@ -191,6 +201,7 @@ class VelocityVerlet:
         mask = jnp.asarray(self.vap.atom_masks)[:, None]
         langevin = self.friction is not None
         npt = self.target_pressure is not None
+        aniso = self.anisotropic
         if langevin:
             c1 = float(np.exp(-self.friction * dt))
             c2 = float(np.sqrt(1.0 - c1 * c1))
@@ -203,19 +214,26 @@ class VelocityVerlet:
             from .nn.eam.fast_efs import make_fast_efs_fn
             fast_fn = make_fast_efs_fn(model)
 
+        def pot_pressure(virial, cell):
+            """Potential pressure: tensor -virial/V (GPa) under the
+            anisotropic barostat, its trace/3 otherwise."""
+            vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
+            if aniso:
+                return -virial / vol * EV_A3_TO_GPA
+            return -jnp.trace(virial) / vol / 3.0 * EV_A3_TO_GPA
+
         def forces_of(feats, pos, cell):
-            """-> (forces, potential pressure GPa). Under NPT the
-            pressure rides the SAME backward (grad over pos + cell);
-            the fast path reads both from one analytic pass."""
+            """-> (forces, potential pressure GPa — a [3,3] tensor
+            under the anisotropic barostat). Under NPT the pressure
+            rides the SAME backward (grad over pos + cell); the fast
+            path reads both from one analytic pass."""
             if fast_fn is not None:
                 out = fast_fn(self.params,
                               dict(feats, positions=pos, cell=cell))
                 if not npt:
                     return out["forces"] * mask, jnp.zeros((), pos.dtype)
-                vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
-                p_pot = -jnp.trace(out["virial"]) / vol / 3.0 \
-                    * EV_A3_TO_GPA
-                return out["forces"] * mask, p_pot
+                return out["forces"] * mask, pot_pressure(out["virial"],
+                                                          cell)
 
             def e_of(p, h):
                 return model.variational_energy(
@@ -225,9 +243,7 @@ class VelocityVerlet:
                 return -g * mask, jnp.zeros((), pos.dtype)
             gpos, gcell = jax.grad(e_of, argnums=(0, 1))(pos, cell)
             virial = gpos.T @ pos + gcell.T @ cell
-            vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
-            p_pot = -jnp.trace(virial) / vol / 3.0 * EV_A3_TO_GPA
-            return -gpos * mask, p_pot
+            return -gpos * mask, pot_pressure(virial, cell)
 
         def kinetic(vel):
             return 0.5 * jnp.sum(masses * jnp.square(vel) * mask) / \
@@ -235,6 +251,19 @@ class VelocityVerlet:
 
         def barostat(pos, vel, cell, p_pot):
             vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
+            if aniso:
+                # full-tensor Berendsen: mu = I - dt beta/(3 tau)
+                # (P0 I - P_inst), P_inst = P_pot + m v (x) v / V
+                # (symmetric -> no cell rotation); per-component clip
+                # mirrors the scalar 1% safety bound
+                mvv = (vel * masses * mask).T @ vel / FORCE_TO_ACC
+                p_inst = p_pot + mvv / vol * EV_A3_TO_GPA
+                eye = jnp.eye(3, dtype=pos.dtype)
+                delta = -dt / (3.0 * self.pressure_tau) * \
+                    self.compressibility * \
+                    (self.target_pressure * eye - p_inst)
+                mu = eye + jnp.clip(delta, -0.01, 0.01)
+                return pos @ mu.T, cell @ mu.T
             p_kin = (2.0 / 3.0) * kinetic(vel) / vol * EV_A3_TO_GPA
             p_inst = p_pot + p_kin
             mu = (1.0 - dt / self.pressure_tau * self.compressibility *
@@ -284,7 +313,8 @@ class VelocityVerlet:
                     self.params, dict(feats, positions=pos, cell=cell))
             ke = kinetic(vel)
             vol = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
-            p_inst = p_pot + (2.0 / 3.0) * ke / vol * EV_A3_TO_GPA
+            p_scalar = jnp.trace(p_pot) / 3.0 if aniso else p_pot
+            p_inst = p_scalar + (2.0 / 3.0) * ke / vol * EV_A3_TO_GPA
             if self._flux_fn is not None:
                 j = self._flux_fn(
                     self.params, dict(feats, positions=pos, cell=cell),

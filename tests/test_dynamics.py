@@ -147,6 +147,55 @@ def test_npt_berendsen_relaxes_pressure():
         v[-1], rel=1e-6)
 
 
+def test_npt_anisotropic_relaxes_deviatoric_strain():
+    """Full-tensor Berendsen: a cell strained +4% along x ONLY carries
+    a deviatoric stress the scalar barostat cannot remove (it rescales
+    isotropically); the anisotropic barostat must relax sigma_xx
+    toward the target while y/z stay near their natural lengths."""
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                     [0, 0.5, 0.5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(2)
+                           for j in range(2) for k in range(2)]) / 2
+    cell = np.diag([2 * a0 * 1.04, 2 * a0, 2 * a0])
+    s = Structure.from_symbols(["Ni"] * len(frac), frac @ cell, cell,
+                               pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter({"Ni": len(s)}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    md = VelocityVerlet(model, params, s, timestep=2.0, skin=1.0,
+                        chunk_size=25, seed=11,
+                        target_temperature=50.0, friction=0.1,
+                        target_pressure=0.0, pressure_tau=200.0,
+                        anisotropic=True)
+    md.run(1500)
+    c = np.asarray(md.structure.cell)
+    lx, ly, lz = c[0, 0], c[1, 1], c[2, 2]
+    # x relaxed most of the way back toward 2*a0; y/z moved far less
+    assert abs(lx / (2 * a0) - 1.0) < 0.02, lx
+    assert abs(ly / (2 * a0) - 1.0) < 0.02, ly
+    assert abs(lz / (2 * a0) - 1.0) < 0.02, lz
+    # and the anisotropy itself is gone (started at 4%)
+    assert abs(lx - ly) / ly < 0.015
+    # no systematic shear builds up from a diagonal start (the
+    # symmetric mu responds to thermal shear-stress fluctuations at
+    # the 1e-4 A level — that is physics, not drift)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 1e-3 * a0
+
+
+def test_npt_anisotropic_requires_target_pressure():
+    s = Structure.from_symbols(["Ni"], [[0, 0, 0]],
+                               np.eye(3) * 3.52, pbc=[True] * 3)
+    fz = Featurizer(["Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter({"Ni": 1}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="anisotropic"):
+        VelocityVerlet(model, params, s, anisotropic=True)
+
+
 def test_npt_requires_full_pbc():
     s = Structure.from_symbols(["Ni"], [[0, 0, 0]],
                                np.eye(3) * 3.52,
