@@ -37,6 +37,7 @@ jit nothing can raise) and re-instantiate with bigger caps.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -320,14 +321,24 @@ class DeviceNeighborList:
         diag = {"nnl_needed": row_need.astype(jnp.int32),
                 "cell_needed": counts.max().astype(jnp.int32)}
 
-        # compaction: valid entries keep column order, invalid sink
+        # compaction: valid entries keep column order, invalid sink.
+        # The key IS the source column, so a SINGLE-operand sort
+        # suffices — j is recovered by a gather afterwards (half the
+        # sort traffic of the previous variadic (key, j) sort).
+        # TA_NL_COMPACTION=topk switches to lax.top_k (partial
+        # selection of the NNL smallest keys instead of a full
+        # C-wide sort) — identical results, chip A/B via
+        # artifacts/probe_scatter.py + bench_inference --device-nl.
         col = jnp.arange(C, dtype=jnp.int32)[None, :]
-        key = jnp.where(valid_all, col, C)
-        key_s, j_s = jax.lax.sort((jnp.broadcast_to(key, (n, C)), j_all),
-                                  dimension=1, num_keys=1)
-        key_o = key_s[:, :NNL]                          # [n, NNL]
-        j_o = j_s[:, :NNL]
+        key = jnp.broadcast_to(jnp.where(valid_all, col, C), (n, C))
+        if os.environ.get("TA_NL_COMPACTION") == "topk":
+            negv, _ = jax.lax.top_k(-key, NNL)
+            key_o = -negv                               # ascending keys
+        else:
+            key_o = jax.lax.sort(key, dimension=1)[:, :NNL]
         m_o = key_o < C                                 # bool mask
+        j_o = jnp.take_along_axis(
+            j_all, jnp.clip(key_o, 0, C - 1).astype(jnp.int32), axis=1)
         blk = jnp.clip(key_o // K, 0, self.n_stencil - 1)
         o_tab = jnp.asarray(self.offsets)               # [nsten, 3]
         s_sten_o = jnp.where(
