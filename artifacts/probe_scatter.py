@@ -88,6 +88,13 @@ def main():
                      dimension=1)[:, :NNL].astype(jnp.float32)), key)
     out["row_sort_864w_ms"] = round(t * 1e3, 2)
 
+    # 5b. partial selection of the NNL smallest keys (the
+    # TA_NL_COMPACTION=topk device-NL variant)
+    t = marginal(lambda c, k: jnp.sum(
+        jax.lax.top_k(-(k + (c * 1e-12).astype(jnp.int32)),
+                      NNL)[0].astype(jnp.float32)), key)
+    out["row_topk_864w_ms"] = round(t * 1e3, 2)
+
     out["backend"] = jax.default_backend()
     print(json.dumps(out))
 
