@@ -89,6 +89,11 @@ class NEB:
         self.template = initial.copy()
 
         self.model = model.clone_for(Counter(initial.symbols))
+        # EAM-family bands evaluate through the scatter-free analytic
+        # EFS (`nn/eam/fast_efs.py`) — same exact physics, no autodiff
+        # over pair arrays (matters for large-cell barriers).
+        from .calculator import is_eam_family
+        self._use_fast_efs = is_eam_family(self.model)
         self.fz = model.featurizer
         self.vap = self.fz.make_vap(initial, Counter(initial.symbols))
 
@@ -105,7 +110,8 @@ class NEB:
     def _featurize_band(self):
         """Stack per-image features along a leading replica axis."""
         from .calculator import model_feature_layout
-        layout = model_feature_layout(self.model)
+        layout = model_feature_layout(self.model,
+                                      fast=self._use_fast_efs)
         dtype = (np.float64 if jax.config.jax_enable_x64
                  else np.float32)
         pad = lambda n: max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
@@ -163,15 +169,27 @@ class NEB:
         move[0] = move[-1] = 0.0
         move = jnp.asarray(move)
 
-        def energy_forces(feats, pos):
-            def one(f, p):
-                e = model.variational_energy(params,
-                                             dict(f, positions=p))
-                return e
-            e, g = jax.vmap(jax.value_and_grad(one, argnums=1))(feats,
-                                                                pos)
-            mask = feats["atom_masks"][..., None]
-            return e, -g * mask
+        if self._use_fast_efs:
+            from .nn.eam.fast_efs import make_fast_efs_fn
+            fast_fn = make_fast_efs_fn(model)
+
+            def energy_forces(feats, pos):
+                def one(f, p):
+                    o = fast_fn(params, dict(f, positions=p))
+                    return o["energy"], o["forces"]
+                e, fr = jax.vmap(one)(feats, pos)
+                mask = feats["atom_masks"][..., None]
+                return e, fr * mask
+        else:
+            def energy_forces(feats, pos):
+                def one(f, p):
+                    e = model.variational_energy(params,
+                                                 dict(f, positions=p))
+                    return e
+                e, g = jax.vmap(jax.value_and_grad(one, argnums=1))(
+                    feats, pos)
+                mask = feats["atom_masks"][..., None]
+                return e, -g * mask
 
         def mic(d):
             frac = d @ inv_cell
