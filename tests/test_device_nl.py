@@ -303,6 +303,44 @@ def test_calculator_device_nl_variable_cell_reuses_builder():
     assert next(iter(calc_d._nl_cache.values())) is not b0
 
 
+def test_calculator_device_nl_eam_fast_path_matches_host():
+    """device_nl=True + EAM: the on-device dense builder feeds the
+    scatter-free analytic EFS — must match the host-featurized fast
+    path and the autodiff path on the same frames."""
+    from collections import Counter
+    from tensoralloy_tpu.calculator import TensorAlloyCalculator
+    from tensoralloy_tpu.nn.eam import EamAlloyNN
+    rng = np.random.RandomState(11)
+    a0 = 3.52
+    base = np.array([[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]])
+    frac = np.concatenate([base + [i, j, k] for i in range(2)
+                           for j in range(2) for k in range(2)]) / 2
+    cell = np.eye(3) * 2 * a0
+    fz = Featurizer(["Ni"], rcut=6.0)
+    model = EamAlloyNN(fz, Counter({"Ni": 32}),
+                       custom_potentials="zjw04")
+    params = model.init_params(jax.random.PRNGKey(0))
+    calc_d = TensorAlloyCalculator(model, params, device_nl=True)
+    assert calc_d.fast_efs
+    calc_h = TensorAlloyCalculator(model, params)
+    calc_a = TensorAlloyCalculator(model, params, fast_efs=False)
+    for k in range(3):
+        pos = frac @ cell + rng.normal(0, 0.06, (32, 3))
+        s = Structure.from_symbols(["Ni"] * 32, pos, cell,
+                                   pbc=[True] * 3)
+        e_d = calc_d.get_potential_energy(s)
+        np.testing.assert_allclose(e_d, calc_h.get_potential_energy(s),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(e_d, calc_a.get_potential_energy(s),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(calc_d.get_forces(s),
+                                   calc_a.get_forces(s),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(calc_d.get_stress(s),
+                                   calc_a.get_stress(s),
+                                   rtol=1e-8, atol=1e-10)
+
+
 def test_overflow_diag_and_grow():
     s = _cases()["cubic"]
     fz = Featurizer(sorted(set(s.symbols)), rcut=4.5)
