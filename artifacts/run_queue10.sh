@@ -95,9 +95,8 @@ if [ -f /root/repo/artifacts/snap_moni_v3/input.toml ]; then
   if [ -f /root/repo/artifacts/snap_moni_v3/model/DONE ]; then
     cd /root/repo/artifacts/snap_moni_v3
     log "moni_v3 evaluate"
-    timeout 2400 python -u evaluate.py > subset_maes.json 2>> run.log
-    timeout 2400 python -u stress_perframe.py > stress_perframe.json \
-      2>> run.log
+    timeout 2400 python -u evaluate.py >> run.log 2>&1
+    timeout 2400 python -u stress_perframe.py >> run.log 2>&1
   fi
 fi
 

@@ -24,14 +24,15 @@ efs = mgr.model.make_batched_efs() if hasattr(mgr.model, 'make_batched_efs') els
 from tensoralloy_tpu.nn.fields import make_efs_fn
 efs1 = make_efs_fn(mgr.model.variational_energy)
 import jax.numpy as jnp
-def frame(i):
-    f = {k: jnp.asarray(v[i]) for k, v in ef_.items()}
-    return efs1(ema, f)["stress_voigt"]
-frame_j = jax.jit(frame, static_argnums=())
+# jit ONCE over the feature pytree (indexing outside the jit — the
+# old version jitted a closure over i, which would retrace per frame,
+# and then called the unjitted function anyway)
+frame_j = jax.jit(lambda f: efs1(ema, f)["stress_voigt"])
 errs = []
 lbl = np.asarray(el_["stress"]) * GPA
 for i in range(len(lbl)):
-    prd = np.asarray(frame(i)) * GPA
+    f_i = {k: jnp.asarray(v[i]) for k, v in ef_.items()}
+    prd = np.asarray(frame_j(f_i)) * GPA
     errs.append(np.abs(prd - lbl[i]).mean())
 errs = np.asarray(errs)
 order = np.argsort(errs)[::-1]

@@ -69,7 +69,8 @@ def _probe_backend(timeout_s: int = 240) -> bool:
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0 and b"64.0" in r.stdout
+        # sum of an 8x8 ones matmul = 8 * 64 = 512
+        return r.returncode == 0 and b"512.0" in r.stdout
     except Exception:
         return False
 

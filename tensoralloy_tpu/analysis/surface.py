@@ -397,16 +397,22 @@ def gamma_line(calc, bulk: Structure,
     # gamma_us = the FIRST barrier along the path (the unstable SFE
     # between perfect crystal and the first metastable fault), not the
     # global maximum — on the fcc <112> line the run-on (AA-stacking)
-    # peak beyond the intrinsic fault is much higher.  The drop must
-    # exceed a tolerance (a fraction of the running maximum, floored at
-    # a few mJ/m^2): finite-fmax constrained relaxations leave
-    # mJ/m^2-scale noise that would otherwise mark a spurious early
-    # bump as the peak.
+    # peak beyond the intrinsic fault is much higher.  The CUMULATIVE
+    # drop below the running maximum must exceed a tolerance (a
+    # fraction of that maximum, floored at a few mJ/m^2): finite-fmax
+    # relaxations leave mJ/m^2-scale noise that would otherwise mark a
+    # spurious early bump as the peak, while an adjacent-sample test
+    # would miss a genuine peak followed by a GRADUAL decline (finely
+    # sampled lines drop by less than the tolerance per step).
     first_peak = len(gammas) - 1
-    for i in range(1, len(gammas) - 1):
-        tol = max(5.0, 0.02 * float(np.max(gammas[:i + 1])))
-        if gammas[i + 1] < gammas[i] - tol:
-            first_peak = i
+    run_max, run_arg = gammas[1], 1
+    for i in range(2, len(gammas)):
+        if gammas[i] > run_max:
+            run_max, run_arg = gammas[i], i
+            continue
+        tol = max(5.0, 0.02 * float(run_max))
+        if gammas[i] < run_max - tol:
+            first_peak = run_arg
             break
     out = {"t": ts, "gamma_mj_m2": gammas,
            "gamma_us_mj_m2": float(gammas[first_peak]),

@@ -13,6 +13,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_probe_passes_on_healthy_backend():
+    """The probe must recognize a WORKING backend (regression: it
+    checked for '64.0' in the output of a matmul that sums to 512.0,
+    so every healthy run was classified as an outage and the real
+    bench never executed)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._probe_backend(timeout_s=300) is True
+
+
 def test_bench_simulated_outage_emits_parseable_record():
     env = dict(os.environ)
     env["TA_BENCH_FORCE_OUTAGE"] = "1"
