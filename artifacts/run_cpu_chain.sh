@@ -45,25 +45,32 @@ if [ -f /tmp/axon_up ]; then
   log "chip is up; queue11 owns moni_v3, cpu chain exiting"
   exit 0
 fi
-log "launching moni_v3 on cpu"
-env $CPU_ENV nohup python -u -m tensoralloy_tpu.cli run input.toml \
-  >> run.log 2>&1 &
-MONI_PID=$!
-log "moni_v3 cpu pid $MONI_PID"
-while kill -0 $MONI_PID 2>/dev/null; do
-  if [ "$(date +%s)" -ge "$CPU_END" ]; then
-    log "CPU_END reached, killing moni_v3"; kill $MONI_PID; sleep 15
-    kill -9 $MONI_PID 2>/dev/null; break
-  fi
-  if [ -f /tmp/axon_up ]; then
-    # queue11 will kill by pidfile and take over; just stop monitoring
-    log "chip came up mid-run; queue11 takes over moni_v3"
-    exit 0
-  fi
-  sleep 60
+attempt=0
+while [ ! -f model/DONE ] && [ $attempt -lt 5 ] \
+      && [ "$(date +%s)" -lt "$CPU_END" ]; do
+  attempt=$((attempt + 1))
+  log "launching moni_v3 on cpu (attempt $attempt)"
+  env $CPU_ENV nohup python -u -m tensoralloy_tpu.cli run input.toml \
+    >> run.log 2>&1 &
+  MONI_PID=$!
+  log "moni_v3 cpu pid $MONI_PID"
+  while kill -0 $MONI_PID 2>/dev/null; do
+    if [ "$(date +%s)" -ge "$CPU_END" ]; then
+      log "CPU_END reached, killing moni_v3"; kill $MONI_PID; sleep 15
+      kill -9 $MONI_PID 2>/dev/null; break
+    fi
+    if [ -f /tmp/axon_up ]; then
+      # queue11 will kill by pidfile and take over; just stop monitoring
+      log "chip came up mid-run; queue11 takes over moni_v3"
+      exit 0
+    fi
+    sleep 60
+  done
+  wait $MONI_PID 2>/dev/null
+  log "moni_v3 cpu attempt $attempt ended rc=$?"
+  # the CLI exports snap_MoNi.npz when train_steps complete
+  [ -f model/snap_MoNi.npz ] && touch model/DONE
 done
-wait $MONI_PID 2>/dev/null
-log "moni_v3 cpu run ended rc=$?"
 
 # ---- phase 3: evaluate whatever checkpoint exists ------------------
 if ls model/ckpt-*.npz >/dev/null 2>&1; then
