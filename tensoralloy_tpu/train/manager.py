@@ -304,6 +304,8 @@ class TrainingManager:
             device_dataset=bool(r.get("train.device_dataset", True)),
             device_dataset_max_gb=float(
                 r.get("train.device_dataset_max_gb", 6.0)),
+            eval_matmul_precision=str(
+                r.get("train.eval_matmul_precision", "highest")),
             seed=r["seed"],
             model_dir=r["train.model_dir"])
 
