@@ -82,6 +82,12 @@ if wait_for_cpu; then
   else
     log "too late for ablation B, skipping"
   fi
+  if [ "$(date +%s)" -lt "$ABL_START_DEADLINE_B" ]; then
+    log "starting ablation E (f32 re-adaptation of snap_ni_refsf)"
+    run_one /root/repo/artifacts/snap_ni_refsf_readapt
+  else
+    log "too late for ablation E, skipping"
+  fi
 else
   log "CPU never freed before HARD_KILL; skipping ablations"
 fi
