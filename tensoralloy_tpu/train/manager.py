@@ -306,6 +306,7 @@ class TrainingManager:
                 r.get("train.device_dataset_max_gb", 6.0)),
             eval_matmul_precision=str(
                 r.get("train.eval_matmul_precision", "highest")),
+            final_f32_steps=int(r.get("train.final_f32_steps", 0) or 0),
             seed=r["seed"],
             model_dir=r["train.model_dir"])
 

@@ -81,6 +81,14 @@ class TrainParameters:
     # (f32) numbers for a negligible cost at eval cadence; set
     # 'default' to reproduce the device's native inference numerics.
     eval_matmul_precision: str = "highest"
+    # Precision annealing: run the LAST N optimizer steps with
+    # exact-f32 matmuls (one extra compile at the switch). Trains at
+    # full MXU speed, then re-adapts the co-adapted weights to
+    # deployment numerics in place — the built-in form of the
+    # snap_ni_refsf_readapt experiment. 0 = off. The switch happens at
+    # the first fused scan block whose start step crosses
+    # train_steps - N.
+    final_f32_steps: int = 0
 
 
 def _norm_sweep_chunk(model, feats, budget_bytes: int = 2 * 1024 ** 3,
@@ -356,7 +364,20 @@ class Trainer:
 
         return train_step
 
-    def _build_train_step(self):
+    @staticmethod
+    def _at_precision(fn, matmul_precision):
+        """Wrap fn so it TRACES under the given matmul precision (the
+        context applies at lowering time, so the whole fused program
+        compiles at that precision)."""
+        if not matmul_precision:
+            return fn
+
+        def wrapped(*args):
+            with jax.default_matmul_precision(matmul_precision):
+                return fn(*args)
+        return wrapped
+
+    def _build_train_step(self, matmul_precision: str = None):
         train_step = self._make_raw_train_step()
         # Inputs arrive pre-sharded (batch over the data axis, state
         # replicated); jit honors argument shardings and XLA inserts the
@@ -372,10 +393,12 @@ class Trainer:
                 metrics = jax.tree_util.tree_map(lambda x: x[-1],
                                                  metrics_seq)
                 return state2, metrics
-            return jax.jit(fused, donate_argnums=(0,))
-        return jax.jit(train_step, donate_argnums=(0,))
+            return jax.jit(self._at_precision(fused, matmul_precision),
+                           donate_argnums=(0,))
+        return jax.jit(self._at_precision(train_step, matmul_precision),
+                       donate_argnums=(0,))
 
-    def _build_train_step_indexed(self):
+    def _build_train_step_indexed(self, matmul_precision: str = None):
         """Fused K-step program gathering batches ON DEVICE from the
         resident dataset: (state, all_feats, all_labels, idx [K, B])."""
         base = self._make_raw_train_step()
@@ -389,7 +412,8 @@ class Trainer:
             metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics_seq)
             return state2, metrics
 
-        return jax.jit(fused, donate_argnums=(0,))
+        return jax.jit(self._at_precision(fused, matmul_precision),
+                       donate_argnums=(0,))
 
     def _build_eval_step(self):
         prec = getattr(self.train_parameters,
@@ -527,8 +551,34 @@ class Trainer:
         history = []
         t0 = time.time()
         examples = 0
+        # precision annealing: past this step the train step runs with
+        # exact-f32 matmuls (lazy second compile) so the deployed
+        # weights are adapted to deployment numerics, not the MXU's
+        f32_after = (tp.train_steps - int(
+            getattr(tp, "final_f32_steps", 0) or 0))
+        annealing = f32_after < tp.train_steps
         for step in range(start, tp.train_steps, k):
             n_fused = min(k, tp.train_steps - step)
+            step_fn = None
+            if annealing and step >= f32_after:
+                if use_dev:
+                    if getattr(self, "_train_step_ix_f32", None) is None:
+                        if verbose:
+                            print(f"precision annealing at step {step}: "
+                                  "switching matmuls to f32", flush=True)
+                        self._train_step_ix_f32 = \
+                            self._build_train_step_indexed("highest")
+                    step_ix = self._train_step_ix_f32
+                else:
+                    if getattr(self, "_train_step_f32", None) is None:
+                        if verbose:
+                            print(f"precision annealing at step {step}: "
+                                  "switching matmuls to f32", flush=True)
+                        self._train_step_f32 = \
+                            self._build_train_step("highest")
+                    step_fn = self._train_step_f32
+            if step_fn is None:
+                step_fn = self._train_step
             # stack exactly n_fused batches: a final short block must
             # not overshoot train_steps (the fused program
             # re-specializes once for the tail shape)
@@ -547,12 +597,12 @@ class Trainer:
                       for key in group[0][0]}
                 bl = {key: put(np.stack([g[1][key] for g in group]))
                       for key in group[0][1]}
-                state, metrics = self._train_step(state, bf, bl)
+                state, metrics = step_fn(state, bf, bl)
             else:
                 bf, bl = next(it)
                 bf = shard_batch(bf, self.mesh)
                 bl = shard_batch(bl, self.mesh)
-                state, metrics = self._train_step(state, bf, bl)
+                state, metrics = step_fn(state, bf, bl)
             examples += bs * n_fused
             step_now = step + n_fused - 1
             if verbose and (step_now + 1) % tp.log_steps < n_fused:

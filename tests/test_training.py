@@ -139,6 +139,45 @@ def test_ema_differs_from_params(trained):
     assert not np.allclose(np.asarray(p), np.asarray(e))
 
 
+def test_precision_annealing_final_f32_steps(ethanol_db, tmp_path):
+    """final_f32_steps switches the train step to exact-f32 matmuls for
+    the tail of the run (one extra compile). On CPU the precision
+    context is a numerical no-op, so an annealed run must reproduce a
+    plain run bit-for-bit — pinning that the switch changes ONLY the
+    lowering precision, never the math, the batch stream, or the step
+    count. Covers both the device-resident and host-streamed paths."""
+    fz = Featurizer(ethanol_db.elements, rcut=5.0)
+    ds = Dataset(ethanol_db, fz, name="ethanol", test_size=2,
+                 dtype=np.float64, cache_dir=str(tmp_path))
+    feats, labels = ds.build()
+    tf_, tl_, ef_, el_ = ds.split(feats, labels)
+    sf = SymmetryFunction(ethanol_db.elements)
+
+    def run(final_f32, device_dataset):
+        model = AtomicNN(fz, ds.max_occurs, sf, hidden_sizes=[8, 8],
+                         atomic_static_energy=
+                         ethanol_db.get_atomic_static_energy())
+        tr = Trainer(model, L.LossParameters(),
+                     OptParameters(learning_rate=0.005),
+                     TrainParameters(batch_size=4, train_steps=24,
+                                     eval_steps=1000, log_steps=1000,
+                                     scan_steps=4,
+                                     device_dataset=device_dataset,
+                                     final_f32_steps=final_f32),
+                     minimize_properties=("energy", "forces"),
+                     n_devices=1)
+        out = tr.fit(tf_, tl_, ef_, el_, verbose=False)
+        assert int(out["state"]["step"]) == 24
+        return jax.device_get(out["state"]["params"])
+
+    for device_dataset in (True, False):
+        base = run(0, device_dataset)
+        annealed = run(12, device_dataset)
+        for a, b in zip(jax.tree_util.tree_leaves(base),
+                        jax.tree_util.tree_leaves(annealed)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_eval_matmul_precision_is_deployment_grade(trained):
     """Training-time evals must lower at exact-f32 matmul precision by
     default: on TPU the bf16 MXU co-adapts late-training weights to
