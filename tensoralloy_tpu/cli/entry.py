@@ -275,6 +275,12 @@ def main(argv=None):
                            "the whole production loop chip-resident)")
     c_gk.add_argument("-o", "--output", default="kappa.csv",
                       help="CSV: lag_fs, hcacf, kappa_running")
+    c_gk.add_argument("--flush-every", type=int, default=50000,
+                      help="rewrite the CSV from the accumulated "
+                           "flux series every N production steps "
+                           "(atomic tmp+rename, '# PARTIAL' comment "
+                           "line) so a preempted run still leaves a "
+                           "valid shorter-window result; 0 disables")
 
     c_vd = comp_sub.add_parser(
         "vdos", help="vibrational DOS from an MD trajectory "
@@ -976,6 +982,20 @@ def _compute_kappa(args):
     return 0
 
 
+def _write_gk_csv(path, gk, partial=None):
+    """Atomically (tmp + os.replace) write the HCACF / running-kappa
+    CSV; `partial` adds a leading '# PARTIAL ...' comment line (np
+    loaders skip '#' by default) marking a preempted production."""
+    tmp = str(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        if partial:
+            fh.write(f"# PARTIAL {partial}\n")
+        fh.write("lag_fs,hcacf_eVA_fs_sq,kappa_running_W_mK\n")
+        for row in zip(gk["lags"], gk["hcacf"], gk["kappa_running"]):
+            fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+    os.replace(tmp, str(path))
+
+
 def _compute_kappa_single(args, model=None, params=None, s=None):
     import numpy as np
     from ..dynamics import VelocityVerlet
@@ -1006,18 +1026,42 @@ def _compute_kappa_single(args, model=None, params=None, s=None):
     print(f"production: NVE {args.steps} steps, J sampled every "
           f"{args.sample * args.timestep} fs (flux inside the "
           f"jitted chunk)")
-    hist = md.run(args.steps)
-    t_mean = float(np.mean(hist["temperature"]))
-    J = np.stack(hist["heat_flux"])
+    # Segmented production: `run()` carries all integrator state
+    # across calls (same compiled scan, same trajectory), so flushing
+    # the accumulated HCACF/kappa between segments costs nothing but
+    # the host-side GK integral — and a run killed at a deadline
+    # (queue watchdog, round end) leaves a valid shorter-window
+    # result instead of nothing.
+    flush = max(0, int(getattr(args, "flush_every", 0) or 0))
+    J_hist, T_hist = [], []
+    done = 0
+    while done < args.steps:
+        n = (args.steps - done if flush == 0
+             else min(flush, args.steps - done))
+        hist = md.run(n)
+        J_hist.extend(hist["heat_flux"])
+        T_hist.extend(hist["temperature"])
+        done += n
+        if args.output and done < args.steps and len(J_hist) >= 4:
+            gk_part = green_kubo(
+                np.stack(J_hist), dt=args.sample * args.timestep,
+                volume=md.structure.volume,
+                temperature=float(np.mean(T_hist)),
+                max_lag=args.max_lag)
+            _write_gk_csv(
+                args.output, gk_part,
+                partial=f"production {done}/{args.steps} steps, "
+                        f"{len(J_hist)} frames")
+            print(f"  flushed partial GK at {done}/{args.steps} "
+                  f"steps (kappa so far {gk_part['kappa']:.3f} "
+                  f"W/m/K)", flush=True)
+    t_mean = float(np.mean(T_hist))
+    J = np.stack(J_hist)
     gk = green_kubo(J, dt=args.sample * args.timestep,
                     volume=md.structure.volume, temperature=t_mean,
                     max_lag=args.max_lag)
     if args.output:
-        with open(args.output, "w") as fh:
-            fh.write("lag_fs,hcacf_eVA_fs_sq,kappa_running_W_mK\n")
-            for row in zip(gk["lags"], gk["hcacf"],
-                           gk["kappa_running"]):
-                fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+        _write_gk_csv(args.output, gk)
     kr = gk["kappa_running"]
     plateau = float(np.mean(kr[len(kr) // 2:]))
     print(f"<T> = {t_mean:.1f} K over {len(J)} frames")

@@ -291,12 +291,17 @@ def test_cli_compute_kappa(tmp_path):
         [sys.executable, "-m", "tensoralloy_tpu.cli", "compute",
          "kappa", str(mpath), "Ni", "--supercell", "2", "2", "2",
          "--temp", "300", "--equil-steps", "20", "--steps", "60",
-         "--sample", "5", "--timestep", "2.0", "-o", str(out_csv)],
+         "--sample", "5", "--timestep", "2.0", "--flush-every", "30",
+         "-o", str(out_csv)],
         capture_output=True, text=True, check=True)
     assert "kappa(max lag)" in out.stdout
     kappa = float(out.stdout.split("kappa(max lag) = ")[1].split()[0])
     assert np.isfinite(kappa)
+    # the mid-production flush ran (preemption-safety contract: at
+    # 30/60 steps a valid shorter-window CSV was already on disk) ...
+    assert "flushed partial GK at 30/60 steps" in out.stdout
     rows = open(out_csv).readlines()
+    # ... and the FINAL write replaced it without the PARTIAL marker
     assert rows[0].startswith("lag_fs,")
     assert len(rows) >= 5
 
