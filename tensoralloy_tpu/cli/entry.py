@@ -383,6 +383,12 @@ def main(argv=None):
     c_visc.add_argument("--seed", type=int, default=0)
     c_visc.add_argument("--device-nl", action="store_true")
     c_visc.add_argument("-o", "--output", default="visc.csv")
+    c_visc.add_argument("--flush-every", type=int, default=50000,
+                        help="rewrite the CSV from the accumulated "
+                             "series every N production steps "
+                             "(atomic, '# PARTIAL' marker) so a "
+                             "preempted run keeps its shorter-window "
+                             "result; 0 disables")
 
     c_surf = comp_sub.add_parser(
         "surface", help="surface energy gamma(hkl): Miller-index slab "
@@ -982,18 +988,40 @@ def _compute_kappa(args):
     return 0
 
 
-def _write_gk_csv(path, gk, partial=None):
-    """Atomically (tmp + os.replace) write the HCACF / running-kappa
-    CSV; `partial` adds a leading '# PARTIAL ...' comment line (np
-    loaders skip '#' by default) marking a preempted production."""
+def _write_gk_csv(path, header, cols, partial=None):
+    """Atomically (tmp + os.replace) write a Green-Kubo CSV (`cols`
+    zipped row-wise under `header`); `partial` adds a leading
+    '# PARTIAL ...' comment line (np loaders skip '#' by default)
+    marking a preempted production."""
     tmp = str(path) + ".tmp"
     with open(tmp, "w") as fh:
         if partial:
             fh.write(f"# PARTIAL {partial}\n")
-        fh.write("lag_fs,hcacf_eVA_fs_sq,kappa_running_W_mK\n")
-        for row in zip(gk["lags"], gk["hcacf"], gk["kappa_running"]):
+        fh.write(header + "\n")
+        for row in zip(*cols):
             fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
     os.replace(tmp, str(path))
+
+
+def _segmented_production(md, args, record_key):
+    """Run NVE/NVT production in `--flush-every`-step segments
+    (`run()` carries all integrator state across calls, so segments
+    compose into one trajectory), yielding the accumulated
+    (series, temperatures, steps_done) after each segment so the
+    caller can flush a valid shorter-window GK result to disk —
+    a run killed at a queue deadline or round end then leaves a
+    usable partial instead of nothing."""
+    flush = max(0, int(getattr(args, "flush_every", 0) or 0))
+    series, temps = [], []
+    done = 0
+    while done < args.steps:
+        n = (args.steps - done if flush == 0
+             else min(flush, args.steps - done))
+        hist = md.run(n)
+        series.extend(hist[record_key])
+        temps.extend(hist["temperature"])
+        done += n
+        yield series, temps, done
 
 
 def _compute_kappa_single(args, model=None, params=None, s=None):
@@ -1026,22 +1054,9 @@ def _compute_kappa_single(args, model=None, params=None, s=None):
     print(f"production: NVE {args.steps} steps, J sampled every "
           f"{args.sample * args.timestep} fs (flux inside the "
           f"jitted chunk)")
-    # Segmented production: `run()` carries all integrator state
-    # across calls (same compiled scan, same trajectory), so flushing
-    # the accumulated HCACF/kappa between segments costs nothing but
-    # the host-side GK integral — and a run killed at a deadline
-    # (queue watchdog, round end) leaves a valid shorter-window
-    # result instead of nothing.
-    flush = max(0, int(getattr(args, "flush_every", 0) or 0))
-    J_hist, T_hist = [], []
-    done = 0
-    while done < args.steps:
-        n = (args.steps - done if flush == 0
-             else min(flush, args.steps - done))
-        hist = md.run(n)
-        J_hist.extend(hist["heat_flux"])
-        T_hist.extend(hist["temperature"])
-        done += n
+    kappa_header = "lag_fs,hcacf_eVA_fs_sq,kappa_running_W_mK"
+    for J_hist, T_hist, done in _segmented_production(
+            md, args, "heat_flux"):
         if args.output and done < args.steps and len(J_hist) >= 4:
             gk_part = green_kubo(
                 np.stack(J_hist), dt=args.sample * args.timestep,
@@ -1049,7 +1064,9 @@ def _compute_kappa_single(args, model=None, params=None, s=None):
                 temperature=float(np.mean(T_hist)),
                 max_lag=args.max_lag)
             _write_gk_csv(
-                args.output, gk_part,
+                args.output, kappa_header,
+                (gk_part["lags"], gk_part["hcacf"],
+                 gk_part["kappa_running"]),
                 partial=f"production {done}/{args.steps} steps, "
                         f"{len(J_hist)} frames")
             print(f"  flushed partial GK at {done}/{args.steps} "
@@ -1061,7 +1078,8 @@ def _compute_kappa_single(args, model=None, params=None, s=None):
                     volume=md.structure.volume, temperature=t_mean,
                     max_lag=args.max_lag)
     if args.output:
-        _write_gk_csv(args.output, gk)
+        _write_gk_csv(args.output, kappa_header,
+                      (gk["lags"], gk["hcacf"], gk["kappa_running"]))
     kr = gk["kappa_running"]
     plateau = float(np.mean(kr[len(kr) // 2:]))
     print(f"<T> = {t_mean:.1f} K over {len(J)} frames")
@@ -1275,17 +1293,32 @@ def _compute_visc(args):
     regime = "NVT" if args.nvt_production else "NVE"
     print(f"production: {regime} {args.steps} steps, stress sampled "
           f"every {args.sample * args.timestep} fs")
-    hist = md.run(args.steps)
-    t_mean = float(np.mean(hist["temperature"]))
-    sig = np.stack(hist["stress_tensor"])
+    visc_header = "lag_fs,sacf_eVA3_sq,eta_running_Pa_s"
+    for S_hist, T_hist, done in _segmented_production(
+            md, args, "stress_tensor"):
+        if args.output and done < args.steps and len(S_hist) >= 4:
+            gk_part = green_kubo_viscosity(
+                np.stack(S_hist), dt=args.sample * args.timestep,
+                volume=md.structure.volume,
+                temperature=float(np.mean(T_hist)),
+                max_lag=args.max_lag)
+            _write_gk_csv(
+                args.output, visc_header,
+                (gk_part["lags"], gk_part["sacf"],
+                 gk_part["eta_running"]),
+                partial=f"production {done}/{args.steps} steps, "
+                        f"{len(S_hist)} frames")
+            print(f"  flushed partial GK at {done}/{args.steps} "
+                  f"steps (eta so far "
+                  f"{gk_part['eta'] * 1e3:.4f} mPa s)", flush=True)
+    t_mean = float(np.mean(T_hist))
+    sig = np.stack(S_hist)
     gk = green_kubo_viscosity(sig, dt=args.sample * args.timestep,
                               volume=md.structure.volume,
                               temperature=t_mean,
                               max_lag=args.max_lag)
-    with open(args.output, "w") as fh:
-        fh.write("lag_fs,sacf_eVA3_sq,eta_running_Pa_s\n")
-        for row in zip(gk["lags"], gk["sacf"], gk["eta_running"]):
-            fh.write(",".join(f"{x:.8g}" for x in row) + "\n")
+    _write_gk_csv(args.output, visc_header,
+                  (gk["lags"], gk["sacf"], gk["eta_running"]))
     er = gk["eta_running"]
     plateau = float(np.mean(er[len(er) // 2:]))
     print(f"<T> = {t_mean:.1f} K over {len(sig)} frames")
