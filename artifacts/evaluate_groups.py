@@ -42,13 +42,8 @@ def main(workdir: str = ".") -> dict:
         src = str(s.info.get("source", "ungrouped"))
         groups.append(".".join(src.split(".")[:-1]) or src)
     groups = np.asarray(groups)
-    n = len(groups)
-    rng = np.random.RandomState(ds.seed)
-    idx = rng.permutation(n)
-    n_test = (int(ds.test_size) if ds.test_size >= 1
-              else max(1, int(round(ds.test_size * n))))
-    n_test = min(n_test, n - 1) if n > 1 else 0
-    tags = {"test": groups[idx[:n_test]], "train": groups[idx[n_test:]]}
+    train_idx, test_idx = ds.split_indices(len(groups))
+    tags = {"test": groups[test_idx], "train": groups[train_idx]}
     assert len(tags["test"]) == len(el_["energy"]), \
         (len(tags["test"]), len(el_["energy"]))
 

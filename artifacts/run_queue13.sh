@@ -80,7 +80,6 @@ timeout 2400 python -u artifacts/probe_scatter.py \
 log "probe_scatter rc=$?"
 for args in "32" "32 0 --device-nl" "32 --grap" "24 0 --autodiff"; do
   [ "$(date +%s)" -ge "$((KILL_TS - 1200))" ] && break
-  tag=$(echo $args | tr ' -' '__')
   log "bench_inference $args starting"
   timeout 3000 python -u bench_inference.py $args \
     >> artifacts/bench_inference_r4.jsonl 2>> artifacts/bench_inference_r4.err
@@ -158,7 +157,16 @@ for tag in "4:256" "5:500"; do
   for seed in 0 1 2; do
     [ "$(date +%s)" -ge "$HARD_STOP" ] && break 2
     f=kappa_chip_n${n}_s$seed.csv
-    [ -f $f ] && continue
+    if [ -f "$f" ]; then
+      # a completed CSV is done; a '# PARTIAL' flush from a killed
+      # attempt is preserved aside and the seed re-run from scratch
+      if head -1 "$f" | grep -q PARTIAL; then
+        mv "$f" "$f.partial.$(date +%s)"
+        log "kappa n=$n seed=$seed: prior PARTIAL preserved, re-running"
+      else
+        continue
+      fi
+    fi
     log "kappa n=$n seed=$seed starting"
     timeout 5400 python -u -m tensoralloy_tpu.cli compute kappa \
       ni_zjw04.npz Ni --supercell $sc $sc $sc --temp 300 \

@@ -33,7 +33,6 @@ def main(workdir: str = "."):
     print(f"checkpoint step {step}: {ckpts[-1]}")
 
     # subset masks from the element content of each test structure
-    occ = ef_["atom_masks"] if "atom_masks" in ef_ else None
     eidx = np.asarray(mgr.model.vap_element_idx)
     def subset_of(i):
         m = np.asarray(ef_["atom_masks"][i]) > 0

@@ -1010,8 +1010,18 @@ def _segmented_production(md, args, record_key):
     (series, temperatures, steps_done) after each segment so the
     caller can flush a valid shorter-window GK result to disk —
     a run killed at a queue deadline or round end then leaves a
-    usable partial instead of nothing."""
+    usable partial instead of nothing.
+
+    Segment lengths snap DOWN to a multiple of `--sample` (the MD
+    chunk size): `run()` records one frame per chunk, so a ragged
+    segment boundary would emit an off-cadence frame mid-series and
+    the fixed-dt ACF integral would silently integrate non-uniform
+    spacing. Only the FINAL segment may be ragged — exactly the one
+    short trailing chunk a single `run(steps)` call always had."""
     flush = max(0, int(getattr(args, "flush_every", 0) or 0))
+    sample = max(1, int(getattr(args, "sample", 1) or 1))
+    if flush:
+        flush = max(sample, flush - flush % sample)
     series, temps = [], []
     done = 0
     while done < args.steps:

@@ -144,15 +144,22 @@ class Dataset:
         return feats, labels
 
     # ------------------------------------------------------------------
-    def split(self, feats: Arrays, labels: Arrays
-              ) -> Tuple[Arrays, Arrays, Arrays, Arrays]:
-        n = len(labels["energy"])
+    def split_indices(self, n: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(train_idx, test_idx) for an n-row dataset — THE split
+        contract (seeded permutation, test rows first). External
+        evaluators (e.g. per-group error breakdowns) must consume
+        these instead of re-deriving the permutation, so any future
+        change to the split logic cannot silently mis-tag rows."""
         rng = np.random.RandomState(self.seed)
         idx = rng.permutation(n)
         n_test = (int(self.test_size) if self.test_size >= 1
                   else max(1, int(round(self.test_size * n))))
         n_test = min(n_test, n - 1) if n > 1 else 0
-        test_idx, train_idx = idx[:n_test], idx[n_test:]
+        return idx[n_test:], idx[:n_test]
+
+    def split(self, feats: Arrays, labels: Arrays
+              ) -> Tuple[Arrays, Arrays, Arrays, Arrays]:
+        train_idx, test_idx = self.split_indices(len(labels["energy"]))
         take = lambda d, i: {k: v[i] for k, v in d.items()}
         return (take(feats, train_idx), take(labels, train_idx),
                 take(feats, test_idx), take(labels, test_idx))

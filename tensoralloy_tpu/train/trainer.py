@@ -90,6 +90,16 @@ class TrainParameters:
     # train_steps - N.
     final_f32_steps: int = 0
 
+    def __post_init__(self):
+        # Fail at construction, not hours later when the first eval
+        # trace enters jax.default_matmul_precision.
+        valid = {"default", "high", "highest", "bfloat16",
+                 "bfloat16_3x", "tensorfloat32", "float32"}
+        if (self.eval_matmul_precision or "default") not in valid:
+            raise ValueError(
+                f"eval_matmul_precision={self.eval_matmul_precision!r}"
+                f" is not one of {sorted(valid)}")
+
 
 def _norm_sweep_chunk(model, feats, budget_bytes: int = 2 * 1024 ** 3,
                       cap: int = 512) -> int:
@@ -559,25 +569,22 @@ class Trainer:
         annealing = f32_after < tp.train_steps
         for step in range(start, tp.train_steps, k):
             n_fused = min(k, tp.train_steps - step)
-            step_fn = None
             if annealing and step >= f32_after:
+                attr = ("_train_step_ix_f32" if use_dev
+                        else "_train_step_f32")
+                if getattr(self, attr, None) is None:
+                    if verbose:
+                        print(f"precision annealing at step {step}: "
+                              "switching matmuls to f32", flush=True)
+                    build = (self._build_train_step_indexed if use_dev
+                             else self._build_train_step)
+                    setattr(self, attr, build("highest"))
                 if use_dev:
-                    if getattr(self, "_train_step_ix_f32", None) is None:
-                        if verbose:
-                            print(f"precision annealing at step {step}: "
-                                  "switching matmuls to f32", flush=True)
-                        self._train_step_ix_f32 = \
-                            self._build_train_step_indexed("highest")
-                    step_ix = self._train_step_ix_f32
+                    step_ix = getattr(self, attr)
+                    step_fn = self._train_step
                 else:
-                    if getattr(self, "_train_step_f32", None) is None:
-                        if verbose:
-                            print(f"precision annealing at step {step}: "
-                                  "switching matmuls to f32", flush=True)
-                        self._train_step_f32 = \
-                            self._build_train_step("highest")
-                    step_fn = self._train_step_f32
-            if step_fn is None:
+                    step_fn = getattr(self, attr)
+            else:
                 step_fn = self._train_step
             # stack exactly n_fused batches: a final short block must
             # not overshoot train_steps (the fused program

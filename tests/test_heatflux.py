@@ -273,6 +273,33 @@ def test_trajectory_heat_flux_runs():
     assert np.isfinite(gk["kappa"])
 
 
+def test_segmented_production_snaps_to_sample_cadence():
+    """Segment lengths snap DOWN to a multiple of --sample: run()
+    records one frame per MD chunk (chunk_size == sample), so a
+    ragged segment boundary would inject an off-cadence frame into
+    the fixed-dt ACF series. Only the FINAL segment may be ragged."""
+    import argparse
+    from tensoralloy_tpu.cli.entry import _segmented_production
+
+    calls = []
+
+    class FakeMD:
+        def run(self, n):
+            calls.append(n)
+            frames = (n + 2) // 3
+            return {"heat_flux": [0.0] * frames,
+                    "temperature": [300.0] * frames}
+
+    args = argparse.Namespace(steps=100, flush_every=10, sample=3)
+    for _series, _temps, done in _segmented_production(
+            FakeMD(), args, "heat_flux"):
+        pass
+    assert done == 100
+    # flush 10 snaps to 9 (multiple of sample 3): 11 x 9 + final 1
+    assert calls[:-1] == [9] * 11 and calls[-1] == 1
+    assert all(c % 3 == 0 for c in calls[:-1])
+
+
 def test_cli_compute_kappa(tmp_path):
     """`compute kappa` end-to-end on a tiny zjw04 Ni cell: NVT equil,
     NVE production, heat flux, HCACF CSV with finite kappa."""

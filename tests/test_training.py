@@ -168,6 +168,12 @@ def test_precision_annealing_final_f32_steps(ethanol_db, tmp_path):
                      n_devices=1)
         out = tr.fit(tf_, tl_, ef_, el_, verbose=False)
         assert int(out["state"]["step"]) == 24
+        # on CPU bit-equality alone can't tell whether the switch
+        # FIRED (f32 == default numerics here) — pin that the f32
+        # program was actually built iff annealing was requested
+        attr = ("_train_step_ix_f32" if device_dataset
+                else "_train_step_f32")
+        assert (getattr(tr, attr, None) is not None) == bool(final_f32)
         return jax.device_get(out["state"]["params"])
 
     for device_dataset in (True, False):
@@ -176,6 +182,14 @@ def test_precision_annealing_final_f32_steps(ethanol_db, tmp_path):
         for a, b in zip(jax.tree_util.tree_leaves(base),
                         jax.tree_util.tree_leaves(annealed)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_matmul_precision_validated_at_construction():
+    """A typo'd precision string must fail at TrainParameters
+    construction, not hours into a run when the first eval trace
+    enters jax.default_matmul_precision."""
+    with pytest.raises(ValueError, match="eval_matmul_precision"):
+        TrainParameters(eval_matmul_precision="high32")
 
 
 def test_eval_matmul_precision_is_deployment_grade(trained):
