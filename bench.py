@@ -192,20 +192,23 @@ def make_snap_ni(n_structures: int, seed: int = 0):
     return out
 
 
-def featurize_all(structures, fz, max_occurs):
+def featurize_all(structures, fz, max_occurs, transpose=False):
     from tensoralloy_tpu.transform.featurizer import batch_features
     sizes = [fz.neighbor_size(s) for s in structures]
     nij_max = max(x.nij for x in sizes)
     nijk_max = max(x.nijk for x in sizes)
     nnl_max = max(x.nnl_tot for x in sizes)
     ntl_max = max(x.ntl for x in sizes)
+    ttrans_max = max(x.ttrans for x in sizes)
     feats_list, labels_list = [], []
     for s in structures:
         vap = fz.make_vap(s, max_occurs)
         f = fz.featurize(s, vap, nij_max=nij_max,
                          nijk_max=nijk_max or None,
                          nnl_max=nnl_max or None, ntl_max=ntl_max or None,
-                         dtype=np.float32)
+                         dtype=np.float32, transpose=transpose,
+                         ttrans_max=(ttrans_max or None)
+                         if transpose else None)
         feats_list.append(f)
         labels_list.append({
             "energy": np.float32(s.info["energy"]),
@@ -266,7 +269,8 @@ def measure_peak_bandwidth():
 
 
 def measure_train(model, feats, labels, batch_size, k_hi=18,
-                  minimize=("energy", "forces")):
+                  minimize=("energy", "forces"),
+                  force_assembly="autodiff"):
     """-> (per_step_seconds, achieved_flops_per_s) via marginal fused
     programs (k_hi-step vs 2-step; fixed dispatch cost cancels)."""
     import jax
@@ -293,7 +297,7 @@ def measure_train(model, feats, labels, batch_size, k_hi=18,
         trainer = Trainer(
             model, L.LossParameters(), OptParameters(learning_rate=1e-3),
             TrainParameters(batch_size=batch_size, train_steps=10000,
-                            scan_steps=k),
+                            scan_steps=k, force_assembly=force_assembly),
             minimize_properties=minimize, n_devices=1)
         params = model.init_params(jax.random.PRNGKey(0))
         state = replicate(trainer.init_state(params), trainer.mesh)
@@ -548,6 +552,22 @@ def measure_bs_scaling(fz, feats, labels, model_fn,
                                         batch_size=bs, k_hi=6)
         out[f"bs{bs}_structs_per_s"] = round(bs / step, 1)
         out[f"bs{bs}_achieved_tflops"] = round(fps / 1e12, 3)
+    # scatter-free force assembly (force_assembly='dense'): the same
+    # train step with the gather-VJP scatter replaced by transpose-
+    # table gathers — the autodiff-vs-dense delta IS the measured
+    # cost of XLA TPU scatters in training
+    for bs in sizes:
+        if deadline is not None and time.perf_counter() > deadline:
+            out[f"bs{bs}_structs_per_s_denseefs"] = -1.0
+            continue
+        try:
+            step, fps, _, _ = measure_train(model_fn(), feats, labels,
+                                            batch_size=bs, k_hi=6,
+                                            force_assembly="dense")
+            out[f"bs{bs}_structs_per_s_denseefs"] = round(bs / step, 1)
+            out[f"bs{bs}_achieved_tflops_denseefs"] = round(fps / 1e12, 3)
+        except Exception as e:
+            out[f"bs{bs}_denseefs_error"] = repr(e)[:120]
     return out
 
 
@@ -646,24 +666,35 @@ def run_bench():
         for e, c in s.count().items():
             max_occurs[e] = max(max_occurs[e], c)
     fz = Featurizer(sorted(max_occurs), rcut=6.5, angular=True)
-    feats, labels = featurize_all(structures, fz, max_occurs)
+    feats, labels = featurize_all(structures, fz, max_occurs,
+                                  transpose=True)
     sf = SymmetryFunction(sorted(max_occurs), backend="dense")
     model = AtomicNN(fz, max_occurs, sf, hidden_sizes=[64, 32],
                      minmax_scale=False)
     qm7_step, qm7_fps, _, _ = measure_train(model, feats, labels,
                                             batch_size=50, k_hi=66)
     qm7_throughput = 50.0 / qm7_step
+    # headline stays the autodiff path (apples-to-apples with the
+    # BENCH_r02 number); the scatter-free train step is its own row
     RECORD["value"] = round(qm7_throughput, 1)
     RECORD["vs_baseline"] = round(
         qm7_throughput / BASELINE_STRUCTURES_PER_S, 3)
     ex["qm7_achieved_tflops"] = round(qm7_fps / 1e12, 2)
+    try:
+        qd_step, qd_fps, _, _ = measure_train(
+            model, feats, labels, batch_size=50, k_hi=66,
+            force_assembly="dense")
+        ex["qm7_structs_per_s_denseefs"] = round(50.0 / qd_step, 1)
+        ex["qm7_achieved_tflops_denseefs"] = round(qd_fps / 1e12, 2)
+    except Exception as e:
+        ex["qm7_denseefs_error"] = repr(e)[:160]
 
     # ---- SNAP-scale flagship (BASELINE.md padding regime) ----
     ex["stage"] = "snap"
     snap = make_snap_ni(32)
     mo = Counter({"Ni": 108})
     fzs = Featurizer(["Ni"], rcut=6.0)
-    sfeats, slabels = featurize_all(snap, fzs, mo)
+    sfeats, slabels = featurize_all(snap, fzs, mo, transpose=True)
     grap = GenericRadialAtomicPotential(
         ["Ni"], algorithm="pexp",
         parameters={"rl": [1.0, 1.2, 1.4, 1.6, 1.8, 2.0, 2.2, 2.4, 2.6,

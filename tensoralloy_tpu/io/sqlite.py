@@ -280,14 +280,17 @@ class CoreDatabase:
             key += f"a{int(round(acut * 100))}"
         md = self.metadata
         cached = md.get("neighbors", {}).get(k_max, {}).get(key)
-        # nnl_tot/ntl were added for the dense descriptor backends;
+        # nnl_tot/ntl were added for the dense descriptor backends and
+        # ttrans for the triple transpose tables (angular only);
         # recompute when a pre-existing cache entry lacks them
-        if cached and "nnl_tot_max" in cached:
+        if cached and "nnl_tot_max" in cached and (
+                not angular or "ttrans_max" in cached):
             return NeighborSize(nnl=cached["nnl_max"],
                                 nij=cached["nij_max"],
                                 nijk=cached.get("nijk_max", 0), ij2k=0,
                                 nnl_tot=cached["nnl_tot_max"],
-                                ntl=cached.get("ntl_max", 0))
+                                ntl=cached.get("ntl_max", 0),
+                                ttrans=cached.get("ttrans_max", 0))
         structures = list(self)
         if n_jobs and n_jobs > 1:
             with ProcessPoolExecutor(max_workers=n_jobs) as ex:
@@ -303,11 +306,13 @@ class CoreDatabase:
                            nij=max(x.nij for x in sizes),
                            nijk=max(x.nijk for x in sizes), ij2k=0,
                            nnl_tot=max(x.nnl_tot for x in sizes),
-                           ntl=max(x.ntl for x in sizes))
+                           ntl=max(x.ntl for x in sizes),
+                           ttrans=max(x.ttrans for x in sizes))
         nbrs = md.get("neighbors", {})
         nbrs.setdefault(k_max, {})[key] = {
             "nnl_max": out.nnl, "nij_max": out.nij, "nijk_max": out.nijk,
-            "nnl_tot_max": out.nnl_tot, "ntl_max": out.ntl}
+            "nnl_tot_max": out.nnl_tot, "ntl_max": out.ntl,
+            "ttrans_max": out.ttrans}
         self._update_metadata(neighbors=nbrs)
         return out
 

@@ -160,6 +160,12 @@ class NeighborSize:
     ij2k: int
     nnl_tot: int = 0
     ntl: int = 0
+    # Width bound for the triple TRANSPOSE tables (scatter-free force
+    # assembly): max over atoms a of sum_{i in N_acut(a)} (deg(i) - 1)
+    # — the number of triples in which a appears as a NON-center (j or
+    # k side). Ordering-independent, so it bounds either side of any
+    # j<k enumeration; the per-side actual is typically ~half.
+    ttrans: int = 0
 
     def __getitem__(self, item: str):
         return getattr(self, item)
@@ -170,7 +176,8 @@ class NeighborSize:
                             nijk=max(self.nijk, other.nijk),
                             ij2k=max(self.ij2k, other.ij2k),
                             nnl_tot=max(self.nnl_tot, other.nnl_tot),
-                            ntl=max(self.ntl, other.ntl))
+                            ntl=max(self.ntl, other.ntl),
+                            ttrans=max(self.ttrans, other.ttrans))
 
 
 def find_neighbor_size_of_atoms(structure: Structure, rc: float,
@@ -203,12 +210,20 @@ def find_neighbor_size_of_atoms(structure: Structure, rc: float,
         nnl_tot = int(np.bincount(ilist, minlength=len(structure)).max())
     nijk = 0
     ntl = 0
+    ttrans = 0
     if angular:
-        i_ang = ilist_all[dist_all < acut]
+        ang = dist_all < acut
+        i_ang = ilist_all[ang]
         if len(i_ang):
             counts = np.bincount(i_ang, minlength=len(structure))
             trip_counts = counts * (counts - 1) // 2
             nijk = int(np.sum(trip_counts))
             ntl = int(trip_counts.max())
+            # triples containing atom a as a NON-center: one per
+            # (center i in N(a), other neighbor of i)
+            j_ang = jlist_all[ang]
+            ttrans = int(np.bincount(
+                j_ang, weights=(counts[i_ang] - 1).astype(np.float64),
+                minlength=len(structure)).max())
     return NeighborSize(nnl=nnl, nij=nij, nijk=nijk, ij2k=0,
-                        nnl_tot=nnl_tot, ntl=ntl)
+                        nnl_tot=nnl_tot, ntl=ntl, ttrans=ttrans)

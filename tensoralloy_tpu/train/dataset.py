@@ -30,7 +30,7 @@ class Dataset:
                  name: str = "dataset", test_size: float | int = 0.2,
                  seed: int = 611, dtype=np.float32,
                  cache_dir: Optional[str] = None,
-                 layout: str = "both"):
+                 layout: str = "both", transpose: bool = False):
         self.db = database
         self.featurizer = featurizer
         self.name = name
@@ -42,6 +42,9 @@ class Dataset:
         # (emit only what the descriptor backend consumes — at
         # SNAP-scale padding the other layout doubles cache + HBM)
         self.layout = layout
+        # also emit the host-built transpose tables so the trainer can
+        # assemble forces scatter-free (`force_assembly='dense'`)
+        self.transpose = bool(transpose)
         self.max_occurs = database.max_occurs
         self.sizes: NeighborSize = database.get_neighbor_sizes(
             featurizer.rcut, angular=featurizer.angular,
@@ -51,6 +54,7 @@ class Dataset:
         self.nijk_max = int(self.sizes.nijk)
         self.nnl_max = int(self.sizes.nnl_tot)
         self.ntl_max = int(self.sizes.ntl)
+        self.ttrans_max = int(getattr(self.sizes, "ttrans", 0))
         self.n_atoms_vap = int(sum(self.max_occurs.values()) + 1)
 
     # ------------------------------------------------------------------
@@ -63,6 +67,8 @@ class Dataset:
         sig = f"{self.name}-v2-k{k}-rc{self.featurizer.rcut:.2f}"
         if self.layout != "both":
             sig += f"-{self.layout}"
+        if self.transpose:
+            sig += "-tr"   # transpose tables change the cached schema
         if self.featurizer.angular:
             # acut and the symmetric flag change the triple features;
             # they must invalidate the cache
@@ -82,7 +88,10 @@ class Dataset:
                              nijk_max=self.nijk_max or None,
                              nnl_max=self.nnl_max or None,
                              ntl_max=self.ntl_max or None,
-                             dtype=self.dtype, layout=self.layout)
+                             dtype=self.dtype, layout=self.layout,
+                             transpose=self.transpose,
+                             ttrans_max=(self.ttrans_max or None)
+                             if self.transpose else None)
         labels: Arrays = {
             "energy": np.asarray(s.energy if s.energy is not None else 0.0,
                                  dtype=self.dtype),
@@ -138,6 +147,8 @@ class Dataset:
             labels = batch_features(labels_list)
             data = {**{f"f_{k}": v for k, v in feats.items()},
                     **{f"l_{k}": v for k, v in labels.items()}}
+            os.makedirs(os.path.dirname(os.path.abspath(
+                self.cache_path)), exist_ok=True)
             np.savez_compressed(self.cache_path, **data)
         feats = {k[2:]: v for k, v in data.items() if k.startswith("f_")}
         labels = {k[2:]: v for k, v in data.items() if k.startswith("l_")}

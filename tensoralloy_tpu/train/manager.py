@@ -67,10 +67,21 @@ class TrainingManager:
             layout = "segment" if backend == "segment" else "dense"
         else:  # EAM family computes geometry from the flat pair arrays
             layout = "segment"
+        # scatter-free force assembly is an explicit opt-in: only
+        # `train.force_assembly = 'dense'` makes the dataset emit the
+        # transpose tables (a cache-schema change); 'auto' then resolves
+        # to the dense path in the trainer because the tables exist.
+        fa = str(r.get("train.force_assembly", "auto") or "auto")
+        if fa == "dense" and layout != "dense":
+            raise ValueError(
+                "train.force_assembly='dense' requires a dense/pallas "
+                f"descriptor backend (pair_style {r['pair_style']!r} "
+                "uses the flat segment layout)")
         self.dataset = Dataset(
             self.db, self.featurizer, name=r["dataset.name"],
             test_size=r["dataset.test_size"], seed=r["seed"], dtype=dtype,
-            cache_dir=r["dataset.tfrecords_dir"], layout=layout)
+            cache_dir=r["dataset.tfrecords_dir"], layout=layout,
+            transpose=(fa == "dense"))
 
         self.model = self._build_model()
         self.loss_parameters = self._build_loss_parameters()
@@ -307,6 +318,8 @@ class TrainingManager:
             eval_matmul_precision=str(
                 r.get("train.eval_matmul_precision", "highest")),
             final_f32_steps=int(r.get("train.final_f32_steps", 0) or 0),
+            force_assembly=str(
+                r.get("train.force_assembly", "auto") or "auto"),
             seed=r["seed"],
             model_dir=r["train.model_dir"])
 

@@ -89,6 +89,23 @@ class TrainParameters:
     # the first fused scan block whose start step crosses
     # train_steps - N.
     final_f32_steps: int = 0
+    # How the training/eval step assembles forces and stress from the
+    # energy (the reference always autodiffs, `nn/basic.py:276-421`):
+    #   'autodiff' — jax.grad w.r.t. positions. The VJP of every
+    #       positions[pair_j_d] gather lowers to an XLA TPU
+    #       scatter-add, the op class measured far below HBM bandwidth
+    #       on this chip (see `ops/dense.py`).
+    #   'dense'    — differentiate w.r.t. the dense pair/triple
+    #       VECTORS and assemble forces through the featurizer's
+    #       host-built transpose tables (gather + row reduction, no
+    #       scatter anywhere; `ops/dense.make_dense_efs_fn`). Requires
+    #       a dense/pallas descriptor backend AND features built with
+    #       transpose=True (`Dataset(..., transpose=True)`).
+    #   'auto'     — 'dense' whenever both requirements hold,
+    #       'autodiff' otherwise. Values agree to f64 1e-10 (pinned);
+    #       existing runs are unaffected because datasets do not emit
+    #       transpose tables unless asked.
+    force_assembly: str = "auto"
 
     def __post_init__(self):
         # Fail at construction, not hours later when the first eval
@@ -99,6 +116,10 @@ class TrainParameters:
             raise ValueError(
                 f"eval_matmul_precision={self.eval_matmul_precision!r}"
                 f" is not one of {sorted(valid)}")
+        if self.force_assembly not in ("auto", "autodiff", "dense"):
+            raise ValueError(
+                f"force_assembly={self.force_assembly!r} is not one of "
+                "['auto', 'autodiff', 'dense']")
 
 
 def _norm_sweep_chunk(model, feats, budget_bytes: int = 2 * 1024 ** 3,
@@ -205,13 +226,52 @@ class Trainer:
         self.tx = make_optimizer(opt_parameters)
         self.mesh = make_mesh(n_devices)
         self.efs = make_efs_fn(model.variational_energy)
+        # Scatter-free alternative (only meaningful when the energy
+        # actually consumes the dense layout — a 'segment'-backend
+        # energy never reads the pair vectors this path differentiates,
+        # so offering it there would silently produce zero forces).
+        backend = getattr(getattr(model, "descriptor", None),
+                          "backend", "segment")
+        if backend != "segment":
+            from ..ops.dense import make_dense_efs_fn
+            self._dense_efs = make_dense_efs_fn(model.variational_energy)
+        else:
+            self._dense_efs = None
         self._train_step = None
         self._train_step_ix = None
         self._eval_step = None
 
     # ------------------------------------------------------------------
+    def _select_efs(self, feats):
+        """Resolve TrainParameters.force_assembly against this batch.
+
+        Key presence is static under jit, so the choice is made once
+        per trace; 'dense' additionally needs the triple transpose
+        tables whenever the features carry dense triples (angular
+        models) — `make_dense_efs_fn` re-checks and raises otherwise.
+        """
+        mode = self.train_parameters.force_assembly
+        if mode == "autodiff":
+            return self.efs
+        have = ("pair_trans_d" in feats and
+                ("trip_j_d" not in feats or "trip_trans_j_d" in feats))
+        if mode == "dense":
+            if self._dense_efs is None:
+                raise ValueError(
+                    "force_assembly='dense' needs a dense/pallas "
+                    "descriptor backend (this model's energy reads the "
+                    "flat segment layout)")
+            if not have:
+                raise KeyError(
+                    "force_assembly='dense' needs transpose tables — "
+                    "build the Dataset/featurize with transpose=True")
+            return self._dense_efs
+        return self._dense_efs if (self._dense_efs is not None and have) \
+            else self.efs
+
     def batched_predictions(self, params, feats) -> Dict[str, jnp.ndarray]:
-        out = jax.vmap(lambda f: self.efs(params, f))(feats)
+        efs = self._select_efs(feats)
+        out = jax.vmap(lambda f: efs(params, f))(feats)
         if hasattr(self.model, "energy_ops"):
             # finite-temperature models: forces/stress derive from the
             # free energy, but the energy/eentropy/free_energy heads are

@@ -145,7 +145,8 @@ class Featurizer:
                   ntl_max: Optional[int] = None,
                   layout: str = "both",
                   nnl_bucket=None, ntl_bucket=None,
-                  transpose: bool = False) -> Features:
+                  transpose: bool = False,
+                  ttrans_max: Optional[int] = None) -> Features:
         """Build the fixed-shape feature arrays for one structure.
 
         `pair_bucket`/`trip_bucket` round the exact pair/triple counts
@@ -155,6 +156,12 @@ class Featurizer:
         `nnl_max`/`ntl_max` fix the widths of the dense per-atom
         neighbor/triple layouts used by the 'dense' and 'pallas'
         descriptor backends; default = this structure's own maxima.
+        `ttrans_max` likewise fixes the width of the triple TRANSPOSE
+        tables (`transpose=True`, angular models) so featurized
+        structures batch-stack — pass `NeighborSize.ttrans` over the
+        dataset (the pair transpose table needs no extra bound:
+        in-degree == out-degree on full directed lists, so `nnl_max`
+        covers it).
 
         `layout` selects which layouts to emit: 'both' (default),
         'segment' (flat pair/triple index arrays only), or 'dense'
@@ -272,13 +279,14 @@ class Featurizer:
             self._build_triples(feats, structure, vap, a_i, a_j, a_s,
                                 a_d, elem_idx_local, nijk_max, dtype,
                                 trip_bucket, ntl_max, layout,
-                                ntl_bucket, transpose)
+                                ntl_bucket, transpose, ttrans_max)
         return feats
 
     def _build_triples(self, feats, structure, vap, ilist, jlist, shift,
                        dists, elem_idx_local, nijk_max, dtype,
                        trip_bucket=None, ntl_max=None, layout="both",
-                       ntl_bucket=None, transpose=False):
+                       ntl_bucket=None, transpose=False,
+                       ttrans_max=None):
         within = dists < self.acut
         ii, jj, ss = ilist[within], jlist[within], shift[within]
         # group pairs by center atom; emit j<k combinations
@@ -384,7 +392,13 @@ class Featurizer:
             scols, sw = _columns_of(np.asarray(t_side, np.int64),
                                     len(structure))
             sw = max(int(sw), 1)
-            if ntl_bucket is not None or trip_bucket is not None:
+            if ttrans_max is not None:
+                if sw > ttrans_max:
+                    raise ValueError(
+                        f"triple {side}-side in-degree {sw} exceeds "
+                        f"ttrans_max={ttrans_max}")
+                sw = max(int(ttrans_max), 1)
+            elif ntl_bucket is not None or trip_bucket is not None:
                 sw = int((ntl_bucket or trip_bucket)(sw))
             std = np.zeros((n_vap, sw), np.int32)
             stm = np.zeros((n_vap, sw), dtype)

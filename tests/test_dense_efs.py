@@ -5,6 +5,7 @@ the featurizer's transpose tables (gather + row reduction) instead of
 the gather-VJP scatter. Must match `make_efs_fn` exactly (f64 1e-10)
 for radial GRAP and angular SF models, bucketed padding, skewed cells.
 """
+import os
 from collections import Counter
 
 import jax
@@ -97,6 +98,194 @@ def test_dense_efs_sf_angular():
                      minmax_scale=False)
     params = model.init_params(jax.random.PRNGKey(1))
     _compare(model, _feats(fz, s, occurs), params)
+
+
+def _training_batch(fz, structs, occurs):
+    """Featurize + batch a few structures with transpose tables and
+    synthetic labels, mirroring `train/dataset.py`'s layout."""
+    from tensoralloy_tpu.transform.featurizer import batch_features
+    sizes = [fz.neighbor_size(s) for s in structs]
+    nij = max(x.nij for x in sizes)
+    nijk = max(x.nijk for x in sizes)
+    nnl = max(x.nnl_tot for x in sizes)
+    ntl = max(x.ntl for x in sizes)
+    ttr = max(x.ttrans for x in sizes)
+    rng = np.random.RandomState(7)
+    fl, ll = [], []
+    for s in structs:
+        vap = fz.make_vap(s, occurs)
+        f = fz.featurize(s, vap, nij_max=nij, nijk_max=nijk or None,
+                         nnl_max=nnl or None, ntl_max=ntl or None,
+                         dtype=np.float64, layout="dense",
+                         transpose=True, ttrans_max=ttr or None)
+        fl.append(f)
+        ll.append({
+            "energy": np.float64(rng.normal(-5.0 * len(s), 0.5)),
+            "n_atoms": np.float64(len(s)),
+            "forces": vap.map_forces(
+                rng.normal(0, 0.5, (len(s), 3))).astype(np.float64),
+            "stress": rng.normal(0, 0.01, 6).astype(np.float64),
+            "has_stress": np.float64(1.0),
+        })
+    return batch_features(fl), batch_features(ll)
+
+
+def _trainer(model, force_assembly):
+    from tensoralloy_tpu.nn import losses as L
+    from tensoralloy_tpu.train.trainer import (Trainer, OptParameters,
+                                               TrainParameters)
+    return Trainer(model, L.LossParameters(),
+                   OptParameters(learning_rate=1e-3),
+                   TrainParameters(batch_size=3, train_steps=100,
+                                   force_assembly=force_assembly),
+                   minimize_properties=("energy", "forces", "stress"),
+                   n_devices=1)
+
+
+def test_training_force_assembly_parity():
+    """total_loss value AND its parameter gradients must be identical
+    (f64) between force_assembly='autodiff' and 'dense' — the whole
+    optimizer trajectory is then identical too."""
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5, angular=True)
+    occurs = Counter({"Mo": 8, "Ni": 8})
+    structs = [_structure(seed, n=14) for seed in (10, 11, 12)]
+    desc = SymmetryFunction(fz.elements, backend="dense")
+    model = AtomicNN(fz, occurs, desc, hidden_sizes=[12],
+                     minmax_scale=False)
+    params = model.init_params(jax.random.PRNGKey(3))
+    bf, bl = _training_batch(fz, structs, occurs)
+    bf = {k: jnp.asarray(v) for k, v in bf.items()}
+    bl = {k: jnp.asarray(v) for k, v in bl.items()}
+
+    def loss_of(tr):
+        def f(p):
+            loss, _ = tr.total_loss(p, bf, bl, 0)
+            return loss
+        return jax.jit(jax.value_and_grad(f))
+
+    tr_a = _trainer(model, "autodiff")
+    tr_d = _trainer(model, "dense")
+    assert tr_a._select_efs(bf) is tr_a.efs
+    assert tr_d._select_efs(bf) is tr_d._dense_efs
+    va, ga = loss_of(tr_a)(params)
+    vd, gd = loss_of(tr_d)(params)
+    np.testing.assert_allclose(float(vd), float(va), rtol=1e-10)
+    jax.tree_util.tree_map(
+        lambda a, d: np.testing.assert_allclose(
+            np.asarray(d), np.asarray(a), rtol=1e-8, atol=1e-12),
+        ga, gd)
+
+
+def test_training_force_assembly_gating():
+    """'auto' must NEVER route a segment-backend energy through the
+    vector-fed path (its energy ignores the pair vectors — forces would
+    silently be zero), and must fall back to autodiff when the features
+    carry no transpose tables."""
+    import pytest
+    from tensoralloy_tpu.train.trainer import TrainParameters
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    occurs = Counter({"Mo": 8, "Ni": 8})
+    kw = dict(algorithm="pexp",
+              parameters={"rl": [1.0, 2.5], "pl": [4.0, 2.0]},
+              moment_tensors=[0, 1])
+    m_seg = AtomicNN(fz, occurs,
+                     GenericRadialAtomicPotential(fz.elements,
+                                                  backend="segment", **kw),
+                     hidden_sizes=[8], minmax_scale=False)
+    m_dense = AtomicNN(fz, occurs,
+                       GenericRadialAtomicPotential(fz.elements,
+                                                    backend="dense", **kw),
+                       hidden_sizes=[8], minmax_scale=False)
+    feats_tr = {"pair_trans_d": np.zeros((2, 3, 4), np.int32)}
+    feats_plain = {"pair_j_d": np.zeros((2, 3), np.int32)}
+
+    tr = _trainer(m_seg, "auto")
+    assert tr._dense_efs is None
+    assert tr._select_efs(feats_tr) is tr.efs
+    with pytest.raises(ValueError, match="segment"):
+        _trainer(m_seg, "dense")._select_efs(feats_tr)
+
+    tr = _trainer(m_dense, "auto")
+    assert tr._select_efs(feats_tr) is tr._dense_efs
+    assert tr._select_efs(feats_plain) is tr.efs
+    with pytest.raises(KeyError, match="transpose"):
+        _trainer(m_dense, "dense")._select_efs(feats_plain)
+    with pytest.raises(ValueError, match="force_assembly"):
+        TrainParameters(force_assembly="bogus")
+
+
+def test_dataset_transpose_tables(tmp_path):
+    """Dataset(transpose=True) emits the transpose tables (new cache
+    signature) and the trainer's 'auto' resolves to the dense path."""
+    from tensoralloy_tpu.io.sqlite import CoreDatabase
+    from tensoralloy_tpu.train.dataset import Dataset
+    db_path = str(tmp_path / "mini.db")
+    db = CoreDatabase(db_path)
+    rng = np.random.RandomState(0)
+    for seed in range(4):
+        s = _structure(seed, n=10)
+        s.info["energy"] = float(rng.normal(-50.0, 1.0))
+        s.info["forces"] = rng.normal(0, 0.5, (10, 3))
+        db.write(s)
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    ds0 = Dataset(db, fz, name="mini", test_size=1,
+                  cache_dir=str(tmp_path), layout="dense")
+    ds1 = Dataset(db, fz, name="mini", test_size=1,
+                  cache_dir=str(tmp_path), layout="dense",
+                  transpose=True)
+    assert ds1.signature != ds0.signature and "-tr" in ds1.signature
+    feats, _ = ds1.build(verbose=False)
+    assert "pair_trans_d" in feats and "pair_trans_mask_d" in feats
+    feats0, _ = ds0.build(verbose=False)
+    assert "pair_trans_d" not in feats0
+
+
+def test_manager_force_assembly_toml(tmp_path, monkeypatch):
+    """`train.force_assembly = 'dense'` at the TOML surface: the
+    manager makes the Dataset emit transpose tables, the run trains and
+    exports end-to-end, and a fresh (non-existent) tfrecords_dir is
+    created rather than crashing the cache write. A segment-layout
+    pair_style must refuse the knob at construction."""
+    import pytest
+    from tensoralloy_tpu.io.sqlite import read_file
+    from tensoralloy_tpu.train.manager import TrainingManager
+    read_file("/root/reference/test_files/datasets/Ni/Ni.extxyz",
+              db_path=str(tmp_path / "Ni.db"))
+    monkeypatch.chdir(tmp_path)
+    toml = tmp_path / "fa.toml"
+    toml.write_text("""
+precision = "medium"
+pair_style = "atomic/grap"
+rcut = 4.5
+[dataset]
+sqlite3 = "Ni.db"
+name = "ni_fa"
+test_size = 1
+tfrecords_dir = "cache_subdir/not_yet_created"
+[nn]
+minimize = ['energy', 'forces']
+[nn.atomic.grap]
+moment_tensors = [0, 1]
+[train]
+model_dir = "m_fa"
+train_steps = 3
+eval_steps = 3
+batch_size = 2
+force_assembly = "dense"
+""")
+    mgr = TrainingManager(str(toml))
+    assert mgr.dataset.transpose is True
+    mgr.train_and_evaluate(verbose=False)
+    # the non-existent nested tfrecords_dir was created for the cache
+    assert any((tmp_path / "cache_subdir" / "not_yet_created").iterdir())
+    path = mgr.export()
+    assert os.path.exists(path)
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text(toml.read_text().replace(
+        'pair_style = "atomic/grap"', 'pair_style = "eam/alloy"'))
+    with pytest.raises(ValueError, match="force_assembly"):
+        TrainingManager(str(bad))
 
 
 def test_calculator_uses_dense_efs_and_matches():

@@ -265,12 +265,16 @@ def test_dataset_signature_includes_acut():
             return NeighborSize(nij=10, nijk=10, nnl=4, ij2k=2)
 
     sigs = set()
-    for fz in (fz1, fz2, fz3):
+    for fz, transpose in ((fz1, False), (fz2, False), (fz3, False),
+                          (fz1, True)):
         ds = Dataset.__new__(Dataset)
         ds.name, ds.featurizer, ds.dtype = "t", fz, np.float32
         ds.db, ds.layout = _FakeDB(), "both"
+        ds.transpose = transpose
         sigs.add(ds.signature)
-    assert len(sigs) == 3
+    # acut, the symmetric flag, AND the transpose-table schema must all
+    # invalidate the cache
+    assert len(sigs) == 4
 
 
 def test_device_dataset_path_bitexact():
