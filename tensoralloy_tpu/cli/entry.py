@@ -46,6 +46,22 @@ def main(argv=None):
         "stop", help="stop a running experiment (pid from model_dir)")
     p_stop.add_argument("model_dir")
 
+    p_eval = sub.add_parser(
+        "evaluate",
+        help="deployment-grade (exact-f32) per-group train/test MAEs "
+             "of a run dir — the accuracy numbers to quote")
+    p_eval.add_argument("workdir", nargs="?", default=".",
+                        help="run dir containing input.toml + model/")
+    p_eval.add_argument("--ckpt", default=None,
+                        help="checkpoint file (default: newest)")
+    p_eval.add_argument("--overall-only", action="store_true",
+                        help="skip the per-source-group breakdown")
+    p_eval.add_argument("--no-ema", action="store_true",
+                        help="evaluate raw instead of EMA parameters")
+    p_eval.add_argument("--output", default="group_maes.json",
+                        help="JSON output (relative to workdir; "
+                             "'-' = don't write)")
+
     p_print = sub.add_parser(
         "print", help="summarize a training history.json to CSV")
     p_print.add_argument("filename")
@@ -508,6 +524,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     return {
         "stop": _cmd_stop,
+        "evaluate": _cmd_evaluate,
         "build": _cmd_build,
         "run": _cmd_run,
         "export": _cmd_export,
@@ -518,6 +535,16 @@ def main(argv=None):
 
 
 # ----------------------------------------------------------------------
+def _cmd_evaluate(args):
+    from ..train.evaluation import evaluate_run
+    evaluate_run(args.workdir, ckpt=args.ckpt,
+                 per_group=not args.overall_only,
+                 use_ema=not args.no_ema,
+                 output=None if args.output == "-" else args.output,
+                 verbose=True)
+    return 0
+
+
 def _cmd_stop(args):
     import signal
     pid_file = os.path.join(args.model_dir, "run.pid")

@@ -1,0 +1,129 @@
+"""Deployment-grade (exact-f32) evaluation of a finished run dir.
+
+The reference reports one overall MAE per property per model
+(`tensoralloy/train/training.py` eval loop; its paper tables are
+overall numbers only, `doc/papers/nn/manuscript.tex:1234-1247`).
+Round 4 hardened two lessons into the framework that this module
+institutionalizes as a first-class verb:
+
+1. **Training-time TPU evals are not accuracy numbers.** Under the
+   bf16 MXU, late-training weights co-adapt to device rounding and
+   forward noise pessimizes small channels (PERF.md "Numerics"), so
+   quoted MAEs must come from a fresh evaluation whose programs lower
+   at exact precision. `Trainer.evaluate` already does this
+   (`TrainParameters.eval_matmul_precision` defaults to 'highest'),
+   so every number here is deployment-grade on any backend.
+2. **Overall MAEs hide where the error lives.** The SNAP-style dbs
+   tag frames with a `source` like "Mo.Elastic.12"; grouping the
+   split by that prefix separates capacity problems (bad on train
+   too) from generalization problems (bad only on test) — the
+   diagnosis layer every round-4 ablation ran on.
+
+The split is rebuilt through `Dataset.split_indices` — THE split
+contract — so rows can never be mis-tagged by a drifted permutation.
+"""
+import contextlib
+import glob
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+# eV/A^3 -> GPa
+GPA = 160.21766208
+
+
+@contextlib.contextmanager
+def _chdir(path: str):
+    prev = os.getcwd()
+    os.chdir(path)
+    try:
+        yield
+    finally:
+        os.chdir(prev)
+
+
+def _group_of(source: str) -> str:
+    """'Mo.Elastic.12' -> 'Mo.Elastic' (strip the frame counter)."""
+    return ".".join(str(source).split(".")[:-1]) or str(source)
+
+
+def evaluate_run(workdir: str = ".", ckpt: Optional[str] = None,
+                 per_group: bool = True, use_ema: bool = True,
+                 output: Optional[str] = "group_maes.json",
+                 verbose: bool = True) -> dict:
+    """Evaluate a run dir (containing input.toml + model/) per group.
+
+    Returns {"step", "checkpoint", "splits": {split: {tag: {n,
+    energy_meV_per_atom, force_eV_A, stress_GPa}}}} for both splits,
+    with an "overall" row per split; writes it to `output` (relative
+    to workdir) unless None. `ckpt` picks a specific checkpoint file;
+    default = the newest `ckpt-*.npz` in the run's model_dir.
+    """
+    with _chdir(workdir):
+        import jax
+        from .manager import TrainingManager
+
+        mgr = TrainingManager("input.toml")
+        ds = mgr.dataset
+        feats, labels = ds.build()
+        tf_, tl_, ef_, el_ = ds.split(feats, labels)
+
+        # group tag of every db row, in the same id order list(db) uses
+        groups = np.asarray([_group_of(s.info.get("source", "ungrouped"))
+                             for s in ds.db])
+        train_idx, test_idx = ds.split_indices(len(groups))
+        tags = {"test": groups[test_idx], "train": groups[train_idx]}
+        if len(tags["test"]) != len(el_["energy"]):
+            raise RuntimeError(
+                f"split mismatch: {len(tags['test'])} tagged test rows "
+                f"vs {len(el_['energy'])} label rows — the db changed "
+                "after the cache was built (rebuild with force=True)")
+
+        if ckpt is None:
+            cands = sorted(
+                glob.glob(os.path.join(mgr.model_dir, "ckpt-*.npz")),
+                key=lambda p: int(p.split("-")[-1].split(".")[0]))
+            if not cands:
+                raise FileNotFoundError(
+                    f"no ckpt-*.npz under {mgr.model_dir!r}")
+            ckpt = cands[-1]
+        tmpl = mgr.model.init_params(jax.random.PRNGKey(0))
+        params, ema, step = mgr.trainer.load_checkpoint(ckpt, tmpl)
+        eval_params = ema if use_ema else params
+        if verbose:
+            print(f"checkpoint step {step}: {ckpt}")
+
+        out = {"step": int(step), "checkpoint": ckpt, "splits": {}}
+        for split, (sf_all, sl_all) in (("test", (ef_, el_)),
+                                        ("train", (tf_, tl_))):
+            t = tags[split]
+            row_tags = (sorted(set(t)) if per_group else []) + ["overall"]
+            rows = {}
+            for tag in row_tags:
+                sel = (np.arange(len(t)) if tag == "overall"
+                       else np.nonzero(t == tag)[0])
+                sf = {k: v[sel] for k, v in sf_all.items()}
+                sl = {k: v[sel] for k, v in sl_all.items()}
+                ev = mgr.trainer.evaluate(eval_params, sf, sl)
+                rows[tag] = {
+                    "n": int(len(sel)),
+                    "energy_meV_per_atom":
+                        1000 * float(ev["energy/mae/atom"]),
+                    "force_eV_A": float(ev["forces/mae"]),
+                    "stress_GPa":
+                        GPA * float(ev.get("stress/mae", float("nan"))),
+                }
+            out["splits"][split] = rows
+            if verbose:
+                print(f"-- {split} --")
+                for tag, r in rows.items():
+                    print(f"  {tag:18s} n={r['n']:3d} "
+                          f"E {r['energy_meV_per_atom']:7.2f} meV/atom  "
+                          f"F {r['force_eV_A']:6.3f} eV/A  "
+                          f"S {r['stress_GPa']:6.3f} GPa")
+        if output:
+            with open(output, "w") as f:
+                json.dump(out, f, indent=1)
+        return out

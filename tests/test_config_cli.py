@@ -284,3 +284,66 @@ def test_vasp2lammps_roundtrip(tmp_path):
     assert out.returncode == 0, out.stderr
     data = (tmp_path / "data.lammps").read_text()
     assert "8 atoms" in data and "1 atom types" in data
+
+
+def test_cli_evaluate_per_group(tmp_path, monkeypatch):
+    """`evaluate` verb: deployment-grade per-source-group MAEs of a run
+    dir through the real CLI dispatch — group tags from `source`, both
+    splits + overall rows, JSON written, newest-ckpt selection
+    (promotion of artifacts/evaluate_groups.py into the package)."""
+    from tensoralloy_tpu.atoms import Structure
+    from tensoralloy_tpu.io.sqlite import CoreDatabase
+
+    rng = np.random.RandomState(3)
+    db = CoreDatabase(str(tmp_path / "g.db"))
+    for i in range(8):
+        cell = np.eye(3) * 7.5
+        pos = rng.uniform(0, 1, (6, 3)) @ cell
+        s = Structure.from_symbols(["Ni"] * 6, pos, cell, pbc=[True] * 3)
+        s.info["energy"] = float(rng.normal(-30.0, 0.5))
+        s.info["forces"] = rng.normal(0, 0.3, (6, 3))
+        s.info["source"] = f"Ni.{'Bulk' if i % 2 else 'Shear'}.{i}"
+        db.write(s)
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "input.toml").write_text("""
+precision = "medium"
+pair_style = "atomic/sf"
+rcut = 4.5
+seed = 5
+[dataset]
+sqlite3 = "g.db"
+name = "g"
+test_size = 2
+tfrecords_dir = "."
+[nn]
+minimize = ['energy', 'forces']
+[train]
+model_dir = "model"
+train_steps = 4
+eval_steps = 2
+batch_size = 2
+""")
+    mgr = TrainingManager("input.toml")
+    mgr.train_and_evaluate(verbose=False)
+
+    from tensoralloy_tpu.cli.entry import main as cli_main
+    assert cli_main(["evaluate", str(tmp_path)]) == 0
+    out = json.loads((tmp_path / "group_maes.json").read_text())
+    # newest checkpoint picked
+    assert out["step"] == 4 and "ckpt-4" in out["checkpoint"]
+    for split, n_rows in (("test", 2), ("train", 6)):
+        rows = out["splits"][split]
+        assert rows["overall"]["n"] == n_rows
+        # both groups present across the union of splits
+        assert set(rows) <= {"Ni.Bulk", "Ni.Shear", "overall"}
+        group_n = sum(r["n"] for t, r in rows.items() if t != "overall")
+        assert group_n == n_rows
+        for r in rows.values():
+            assert np.isfinite(r["energy_meV_per_atom"])
+            assert np.isfinite(r["force_eV_A"])
+    # --overall-only skips the breakdown
+    from tensoralloy_tpu.train.evaluation import evaluate_run
+    lean = evaluate_run(str(tmp_path), per_group=False, output=None,
+                        verbose=False)
+    assert set(lean["splits"]["test"]) == {"overall"}
