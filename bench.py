@@ -303,7 +303,15 @@ def measure_train(model, feats, labels, batch_size, k_hi=18,
         state = replicate(trainer.init_state(params), trainer.mesh)
         step = trainer._build_train_step()
         bf, bl = stacked(k)
-        batch_bytes = (sum(np.asarray(v).nbytes for v in bf.values()) +
+        # "inputs actually read" lower bound: the autodiff program
+        # never touches the transpose tables (featurized with
+        # transpose=True only so the denseefs rows can share the same
+        # arrays) — counting them would inflate the stream rate ~30%
+        # vs the BENCH_r02 baseline it is compared against
+        read_keys = [key for key in bf
+                     if force_assembly != "autodiff" or "_trans" not in key]
+        batch_bytes = (sum(np.asarray(bf[key]).nbytes
+                           for key in read_keys) +
                        sum(np.asarray(v).nbytes
                            for v in bl.values())) / k
         state, m = step(state, bf, bl)

@@ -30,8 +30,7 @@ from typing import Optional
 
 import numpy as np
 
-# eV/A^3 -> GPa
-GPA = 160.21766208
+from ..nn.fields import EV_ANGSTROM3_TO_GPA as GPA
 
 
 @contextlib.contextmanager
@@ -58,9 +57,17 @@ def evaluate_run(workdir: str = ".", ckpt: Optional[str] = None,
     Returns {"step", "checkpoint", "splits": {split: {tag: {n,
     energy_meV_per_atom, force_eV_A, stress_GPa}}}} for both splits,
     with an "overall" row per split; writes it to `output` (relative
-    to workdir) unless None. `ckpt` picks a specific checkpoint file;
-    default = the newest `ckpt-*.npz` in the run's model_dir.
+    to workdir) unless None. `ckpt` picks a specific checkpoint file
+    (relative to the CALLER's cwd); default = the newest `ckpt-*.npz`
+    in the run's model_dir.
+
+    Run this under a CPU backend (the deployment-grade numbers are
+    exact-f32 either way, but per-group evaluation compiles one eval
+    program per distinct group size — cheap on CPU, minutes-per-group
+    through a remote-TPU compile tunnel).
     """
+    if ckpt is not None:
+        ckpt = os.path.abspath(ckpt)
     with _chdir(workdir):
         import jax
         from .manager import TrainingManager
@@ -73,13 +80,18 @@ def evaluate_run(workdir: str = ".", ckpt: Optional[str] = None,
         # group tag of every db row, in the same id order list(db) uses
         groups = np.asarray([_group_of(s.info.get("source", "ungrouped"))
                              for s in ds.db])
+        # guard on TOTAL rows: a db changed after the cache was built
+        # yields a different permutation entirely, and with an integer
+        # test_size the test-row COUNT would still match — compare the
+        # full lengths so mis-tagging cannot pass silently
+        if len(groups) != len(labels["energy"]):
+            raise RuntimeError(
+                f"split mismatch: db has {len(groups)} rows but the "
+                f"feature cache has {len(labels['energy'])} — the db "
+                "changed after the cache was built (rebuild with "
+                "force=True)")
         train_idx, test_idx = ds.split_indices(len(groups))
         tags = {"test": groups[test_idx], "train": groups[train_idx]}
-        if len(tags["test"]) != len(el_["energy"]):
-            raise RuntimeError(
-                f"split mismatch: {len(tags['test'])} tagged test rows "
-                f"vs {len(el_['energy'])} label rows — the db changed "
-                "after the cache was built (rebuild with force=True)")
 
         if ckpt is None:
             cands = sorted(
@@ -89,6 +101,7 @@ def evaluate_run(workdir: str = ".", ckpt: Optional[str] = None,
                 raise FileNotFoundError(
                     f"no ckpt-*.npz under {mgr.model_dir!r}")
             ckpt = cands[-1]
+        ckpt = os.path.abspath(ckpt)
         tmpl = mgr.model.init_params(jax.random.PRNGKey(0))
         params, ema, step = mgr.trainer.load_checkpoint(ckpt, tmpl)
         eval_params = ema if use_ema else params
@@ -107,22 +120,27 @@ def evaluate_run(workdir: str = ".", ckpt: Optional[str] = None,
                 sf = {k: v[sel] for k, v in sf_all.items()}
                 sl = {k: v[sel] for k, v in sl_all.items()}
                 ev = mgr.trainer.evaluate(eval_params, sf, sl)
+                # None (json null), not NaN: bare NaN tokens make the
+                # output unreadable by strict JSON parsers
+                s_mae = ev.get("stress/mae")
                 rows[tag] = {
                     "n": int(len(sel)),
                     "energy_meV_per_atom":
                         1000 * float(ev["energy/mae/atom"]),
                     "force_eV_A": float(ev["forces/mae"]),
                     "stress_GPa":
-                        GPA * float(ev.get("stress/mae", float("nan"))),
+                        GPA * float(s_mae) if s_mae is not None else None,
                 }
             out["splits"][split] = rows
             if verbose:
                 print(f"-- {split} --")
                 for tag, r in rows.items():
+                    s = ("     — " if r["stress_GPa"] is None
+                         else f"{r['stress_GPa']:6.3f}")
                     print(f"  {tag:18s} n={r['n']:3d} "
                           f"E {r['energy_meV_per_atom']:7.2f} meV/atom  "
                           f"F {r['force_eV_A']:6.3f} eV/A  "
-                          f"S {r['stress_GPa']:6.3f} GPa")
+                          f"S {s} GPa")
         if output:
             with open(output, "w") as f:
                 json.dump(out, f, indent=1)
