@@ -23,6 +23,7 @@ The split is rebuilt through `Dataset.split_indices` — THE split
 contract — so rows can never be mis-tagged by a drifted permutation.
 """
 import contextlib
+import re
 import glob
 import json
 import os
@@ -94,8 +95,13 @@ def evaluate_run(workdir: str = ".", ckpt: Optional[str] = None,
         tags = {"test": groups[test_idx], "train": groups[train_idx]}
 
         if ckpt is None:
+            # newest NUMBERED checkpoint; ckpt-best.npz (the eval-best
+            # model kept by BestCheckpointHook) is selected explicitly
+            # via --ckpt, never implicitly
             cands = sorted(
-                glob.glob(os.path.join(mgr.model_dir, "ckpt-*.npz")),
+                (p for p in glob.glob(
+                    os.path.join(mgr.model_dir, "ckpt-*.npz"))
+                 if re.search(r"ckpt-(\d+)\.npz$", p)),
                 key=lambda p: int(p.split("-")[-1].split(".")[0]))
             if not cands:
                 raise FileNotFoundError(

@@ -394,10 +394,17 @@ class TrainingManager:
             every_steps=self.train_parameters.summary_steps,
             jsonl_path=os.path.join(self.model_dir, "metrics.jsonl")))
         callback = hook_ops.compose_hooks(hooks)
+        eval_callback = None
+        if r.get("train.keep_best_checkpoint", True):
+            best_hook = hook_ops.BestCheckpointHook(
+                self.trainer, self.model_dir,
+                metric=str(r.get("train.best_metric", "energy/mae/atom")))
+            eval_callback = best_hook.after_eval
         try:
             result = self.trainer.fit(tf_, tl_, ef_, el_, params=params,
                                       verbose=verbose, callback=callback,
-                                      initial_state=initial_state)
+                                      initial_state=initial_state,
+                                      eval_callback=eval_callback)
         finally:
             for hook in hooks:
                 hook.end()

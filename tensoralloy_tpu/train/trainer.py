@@ -550,7 +550,8 @@ class Trainer:
     def fit(self, train_feats, train_labels, test_feats=None,
             test_labels=None, params=None, verbose: bool = True,
             callback: Optional[Callable] = None,
-            initial_state: Optional[dict] = None) -> dict:
+            initial_state: Optional[dict] = None,
+            eval_callback: Optional[Callable] = None) -> dict:
         tp = self.train_parameters
         if params is None and initial_state is None:
             # (skipped on resume: initial_state already carries params,
@@ -686,6 +687,8 @@ class Trainer:
                 ev = self.evaluate(state["ema_params"], test_feats,
                                    test_labels)
                 history.append({"step": step_now + 1, **ev})
+                if eval_callback is not None:
+                    eval_callback(step_now + 1, state, ev)
                 if verbose:
                     print(f"  eval@{step + 1}: " +
                           " ".join(f"{k}={v:.6f}" for k, v in ev.items()))

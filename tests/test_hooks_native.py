@@ -103,3 +103,42 @@ def test_lammps_native_export_nn_filters(tmp_path):
         assert int(z["use_fnn"]) == 1
         assert int(z["fnn::num_filters"]) == 4
         assert "fnn::weights_0_0" in z.files
+
+
+def test_best_checkpoint_hook(tmp_path):
+    """ckpt-best.npz tracks the LOWEST eval metric: improvements save,
+    regressions don't, and a crash-resume respects the recorded
+    incumbent instead of overwriting it with a worse later model."""
+
+    class FakeTrainer:
+        def __init__(self):
+            self.saved = []
+
+        def save_checkpoint(self, path, state):
+            self.saved.append((path, state))
+            with open(path, "w") as fh:
+                fh.write("x")
+
+    d = str(tmp_path / "m")
+    tr = FakeTrainer()
+    hook = H.BestCheckpointHook(tr, d, metric="energy/mae/atom")
+    hook.after_eval(100, "s100", {"energy/mae/atom": 0.5})
+    hook.after_eval(200, "s200", {"energy/mae/atom": 0.3})
+    hook.after_eval(300, "s300", {"energy/mae/atom": 0.4})   # worse: no save
+    hook.after_eval(400, "s400", {"forces/mae": 0.1})        # missing: no save
+    hook.after_eval(500, "s500", {"energy/mae/atom": float("nan")})
+    assert [s for _, s in tr.saved] == ["s100", "s200"]
+    rec = json.load(open(os.path.join(d, "best.json")))
+    assert rec["step"] == 200 and rec["value"] == 0.3
+
+    # resume: the incumbent 0.3 survives a new hook instance
+    tr2 = FakeTrainer()
+    hook2 = H.BestCheckpointHook(tr2, d, metric="energy/mae/atom")
+    hook2.after_eval(600, "s600", {"energy/mae/atom": 0.35})  # not better
+    assert tr2.saved == []
+    hook2.after_eval(700, "s700", {"energy/mae/atom": 0.25})
+    assert [s for _, s in tr2.saved] == ["s700"]
+
+    # a different metric ignores the stale incumbent
+    hook3 = H.BestCheckpointHook(FakeTrainer(), d, metric="forces/mae")
+    assert hook3.best is None

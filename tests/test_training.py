@@ -3,6 +3,7 @@
 Mirrors the reference's `train/tests/test_training.py` wiring tests and
 short-train smoke runs, on the bundled ethanol fixture database.
 """
+import json
 import os
 import shutil
 
@@ -492,3 +493,26 @@ def test_spatial_dense_fast_efs_matches_single_device():
     np.testing.assert_allclose(np.asarray(out["stress_voigt"]),
                                np.asarray(ref["stress_voigt"]),
                                atol=1e-8)
+
+
+def test_fit_eval_callback_and_best_checkpoint(trained, tmp_path):
+    """fit(eval_callback=...) fires once per eval with the history row;
+    wired to BestCheckpointHook it materializes ckpt-best.npz."""
+    from tensoralloy_tpu.train import hooks as H
+    model, trainer, out, (tf_, tl_, ef_, el_) = trained
+    d = str(tmp_path / "best")
+    hook = H.BestCheckpointHook(trainer, d, metric="energy/mae/atom")
+    calls = []
+
+    def cb(step, state, ev):
+        calls.append((step, dict(ev)))
+        hook.after_eval(step, state, ev)
+
+    res = trainer.fit(tf_, tl_, ef_, el_, verbose=False, eval_callback=cb)
+    # one callback per eval boundary, same rows as history
+    assert [s for s, _ in calls] == [h["step"] for h in res["history"]]
+    assert os.path.exists(os.path.join(d, "ckpt-best.npz"))
+    rec = json.load(open(os.path.join(d, "best.json")))
+    best_hist = min(res["history"], key=lambda h: h["energy/mae/atom"])
+    assert rec["step"] == best_hist["step"]
+    assert rec["value"] == pytest.approx(best_hist["energy/mae/atom"])
