@@ -27,7 +27,7 @@ def main():
     rng = np.random.RandomState(0)
     seg_ids = jnp.asarray(np.sort(rng.randint(0, N, NPAIR)), jnp.int32)
     jd = jnp.asarray(rng.randint(0, N, (N, NNL)), jnp.int32)
-    x_flat = jnp.asarray(rng.normal(size=(NPAIR, 3)), jnp.float32)
+    x_flat = jnp.asarray(rng.normal(size=(NPAIR,)), jnp.float32)
     x_dense = jnp.asarray(rng.normal(size=(N, NNL, 3)), jnp.float32)
     pos = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
 
@@ -58,13 +58,19 @@ def main():
     out["segment_sum_11M_ms"] = round(t * 1e3, 2)
     out["segment_sum_gbps"] = round(x_flat.nbytes / t / 1e9, 1)
 
-    # 2. scatter-add via .at[].add (gather-VJP shape: [N*NNL] -> [N])
+    # 2. scatter-add via .at[].add (gather-VJP shape: [N*NNL] -> [N]).
+    # Measured PER COMPONENT ([M] f32 -> [N]): the honest [M, 3]
+    # operand OOMs the chip outright — XLA lays the scatter operand
+    # out in (8, 128) tiles, padding the minor dim 3 -> 128 (42.7x,
+    # 2 x 8 GB temps at this M; see probe_scatter_r4_oom.err). That
+    # padding tax is itself part of why autodiff-gather VJPs are
+    # catastrophic on TPU.
     flat_ids = jd.reshape(-1)
-    xf = x_dense.reshape(-1, 3)
+    xf = x_dense[..., 0].reshape(-1)
     t = marginal(lambda c, x, i: jnp.sum(
-        jnp.zeros((N, 3), x.dtype).at[i].add(x + c * 1e-12)),
+        jnp.zeros((N,), x.dtype).at[i].add(x + c * 1e-12)),
         xf, flat_ids)
-    out["scatter_add_8M_ms"] = round(t * 1e3, 2)
+    out["scatter_add_16M_1comp_ms"] = round(t * 1e3, 2)
     out["scatter_add_gbps"] = round(xf.nbytes / t / 1e9, 1)
 
     # 3. gather [N,3] at [N,NNL] (fast-path position fetch)

@@ -536,9 +536,14 @@ def measure_backend_matrix(fz, feats, labels, batch_size=32,
             desc = GenericRadialAtomicPotential(
                 ["Ni"], algorithm="pexp", parameters=pexp,
                 moment_tensors=moments, backend=backend)
-            t, comp_bytes = measure_descriptor(desc, fz, feats,
-                                               batch_size)
             key = f"m0-{max(moments)}_{backend}"
+            try:
+                t, comp_bytes = measure_descriptor(desc, fz, feats,
+                                                   batch_size)
+            except Exception as e:          # a failed Mosaic compile
+                out[key + "_desc_ms"] = -1.0   # must not kill the rest
+                out[key + "_error"] = repr(e)[:160]
+                continue
             out[key + "_desc_ms"] = round(t * 1e3, 3)
             out[key + "_compulsory_gbps"] = round(
                 comp_bytes / t / 1e9, 1)
@@ -556,8 +561,12 @@ def measure_bs_scaling(fz, feats, labels, model_fn,
             out[f"bs{bs}_structs_per_s"] = -1.0
             continue
         model = model_fn()
-        step, fps, _, _ = measure_train(model, feats, labels,
-                                        batch_size=bs, k_hi=6)
+        try:
+            step, fps, _, _ = measure_train(model, feats, labels,
+                                            batch_size=bs, k_hi=6)
+        except Exception as e:
+            out[f"bs{bs}_error"] = repr(e)[:120]
+            continue
         out[f"bs{bs}_structs_per_s"] = round(bs / step, 1)
         out[f"bs{bs}_achieved_tflops"] = round(fps / 1e12, 3)
     # scatter-free force assembly (force_assembly='dense'): the same
@@ -775,9 +784,12 @@ def run_bench():
     # whole bench — skipped entries report -1)
     ex["stage"] = "backend_matrix"
     deadline = time.perf_counter() + 1500
-    backend_ms = measure_backend_matrix(fzs, sfeats, slabels,
-                                        batch_size=32,
-                                        deadline=deadline)
+    try:
+        backend_ms = measure_backend_matrix(fzs, sfeats, slabels,
+                                            batch_size=32,
+                                            deadline=deadline)
+    except Exception as e:
+        backend_ms = {"error": repr(e)[:200]}
     p5 = backend_ms.get("m0-5_pallas_desc_ms", -1.0)
     d5 = backend_ms.get("m0-5_dense_desc_ms", -1.0)
     winner = ("unmeasured" if p5 <= 0 or d5 <= 0
@@ -806,9 +818,12 @@ def run_bench():
         return AtomicNN(fzs, mo, g, hidden_sizes=[128, 128],
                         minmax_scale=False)
 
-    ex["bs_scaling"] = measure_bs_scaling(fzs, sfeats, slabels,
-                                          snap_model,
-                                          deadline=deadline + 600)
+    try:
+        ex["bs_scaling"] = measure_bs_scaling(fzs, sfeats, slabels,
+                                              snap_model,
+                                              deadline=deadline + 600)
+    except Exception as e:
+        ex["bs_scaling"] = {"error": repr(e)[:200]}
     ex["stage"] = "done"
     ex["ok"] = True
 

@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import full_to_voigt, EV_ANGSTROM3_TO_GPA
-from ...ops.pairs import safe_norm
+from ...ops.dense import gather_vec, safe_norm_components
 
 
 def _val_and_deriv(f: Callable, r: jnp.ndarray):
@@ -80,11 +80,15 @@ def _make_pass(model) -> Callable:
         am = features["atom_masks"]            # [n_vap]
         n_vap = pos.shape[0]
 
-        v = pos[jd] + features["pair_shift_d"] @ cell - pos[:, None, :]
-        r = safe_norm(v)                       # [n_vap, nnl]
+        # per-pair vectors as a (vx, vy, vz) COMPONENT tuple of
+        # [n_vap, nnl] arrays: a [*, 3]-minor gather/temp is laid out
+        # in (8, 128) TPU tiles (42.7x padding tax; see ops/dense.py),
+        # so the whole pass is structure-of-arrays
+        v = gather_vec(pos, jd, features["pair_simg_d"], cell)
+        r = safe_norm_components(v)            # [n_vap, nnl]
         r = jnp.where(mask > 0, r, 1.0)
         mask = mask * (r < rcut).astype(mask.dtype)
-        u = v / r[..., None]
+        u = tuple(vc / r for vc in v)
 
         elem = jnp.asarray(model.vap_element_idx)
         ei = elem[:, None]                     # [n_vap, 1] broadcasts
@@ -150,25 +154,32 @@ def _make_pass(model) -> Callable:
         w_self = w_self * mask
         w_rev = w_rev * mask
         # forces[k] = sum_row (w_self + w_rev) u ; ct_self = w_self u
-        forces = jnp.sum((w_self + w_rev)[..., None] * u, axis=1)
-        ct_self = w_self[..., None] * u
+        # (per component: forces_c [n_vap], ct_self [n_vap, nnl] x 3)
+        w_tot = w_self + w_rev
+        forces_c = [jnp.sum(w_tot * uc, axis=1) for uc in u]
+        ct_self = [w_self * uc for uc in u]
 
         if is_adp:
             adp_e, ct_a_self, ct_a_rev = _adp_terms(
                 model, params, features, v, r, u, mask, ut, am, jd,
                 n_vap)
             atomic_e = atomic_e + adp_e * am
-            forces = forces + jnp.sum(ct_a_self - ct_a_rev, axis=1)
-            ct_self = ct_self + ct_a_self
+            forces_c = [fc + jnp.sum(cs - cr, axis=1)
+                        for fc, cs, cr in zip(forces_c, ct_a_self,
+                                              ct_a_rev)]
+            ct_self = [c + cs for c, cs in zip(ct_self, ct_a_self)]
 
         # virial[a, b] = sum ct_self[a] v[b]
-        virial = jnp.einsum("kna,knb->ab", ct_self, v)
+        virial = jnp.stack(
+            [jnp.stack([jnp.vdot(ct_self[a], v[b]) for b in range(3)])
+             for a in range(3)])
+        forces = jnp.stack(forces_c, axis=-1)  # [n_vap, 3] — tiny
         energy = jnp.sum(atomic_e)
         volume = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
         stress = virial / volume
         return {"energy": energy, "atomic_energies": atomic_e,
                 "forces": forces, "virial": virial, "stress": stress,
-                "ct_self": ct_self, "v": v}
+                "ct_self": tuple(ct_self), "v": v}
 
     return run
 
@@ -178,7 +189,7 @@ def make_fast_efs_fn(model, extras_fn: Callable = None) -> Callable:
     (energy, forces, virial, stress, stress_voigt, total_pressure)
     plus 'atomic_energies', computed WITHOUT autodiff over pair arrays.
 
-    Requires the dense layout ('pair_j_d' / 'pair_shift_d' /
+    Requires the dense layout ('pair_j_d' / 'pair_simg_d' /
     'pair_mask_d'); raises KeyError otherwise.
     """
     core = _make_pass(model)
@@ -221,9 +232,13 @@ def make_fast_heat_flux_fn(model) -> Callable:
         kin = 0.5 * masses * jnp.sum(jnp.square(velocities), axis=-1) \
             / FORCE_TO_ACC
         conv = jnp.sum((ae + kin * am)[:, None] * velocities, axis=0)
-        vel_j = velocities[features["pair_j_d"]]     # [n_vap, nnl, 3]
-        jv = -jnp.sum(o["v"] * jnp.sum(o["ct_self"] * vel_j, axis=-1,
-                                       keepdims=True), axis=(0, 1))
+        # per-component velocity gathers ([n_vap, nnl] each — never a
+        # [*, 3] gather); ct.vel contracted first, then dotted with v
+        jd = features["pair_j_d"]
+        ct_dot_vel = sum(ct * velocities[:, a][jd]
+                         for a, ct in enumerate(o["ct_self"]))
+        jv = -jnp.stack([jnp.vdot(o["v"][b], ct_dot_vel)
+                         for b in range(3)])
         return {"J": conv + jv, "J_convective": conv, "J_virial": jv,
                 "energy": o["energy"], "atomic_energies": ae}
 
@@ -241,9 +256,17 @@ def _adp_terms(model, params, features, v, r, u, mask, ut, am, jd,
     Reversed-pair cotangents evaluate at v_jk = -v with gathered
     adjoints: the mu form is EVEN under the flip (both sign changes
     cancel), the lam form is ODD — signs below carry a parity test
-    against the autodiff path (`test_fast_efs.py`)."""
+    against the autodiff path (`test_fast_efs.py`).
+
+    `v`/`u` arrive as component tuples; ADP's moment algebra is
+    genuinely tensorial, so they are stacked to [*, 3] HERE (ADP
+    production cells are small — the (8, 128) padding tax on these
+    elementwise temps is tolerable, unlike on the main pass's
+    gathers); the returned cotangents are component tuples again."""
     n_ut = len(model.unique_kbody_terms)
     per_term = model.adp_per_term
+    v = jnp.stack(v, axis=-1)              # [n_vap, nnl, 3]
+    u = jnp.stack(u, axis=-1)
 
     u_p = jnp.zeros_like(r)
     du_p = jnp.zeros_like(r)
@@ -305,4 +328,6 @@ def _adp_terms(model, params, features, v, r, u, mask, ut, am, jd,
     # dv_jk/dpos_k = +1, already expressed in row-k geometry; the
     # caller assembles forces[k] = sum_row (ct_self - ct_rev).
     ct_rev = (ct_mu(m_rev) - ct_lam(L_rev)) * mask[..., None]
-    return adp_e, ct_self, ct_rev
+    return (adp_e,
+            tuple(ct_self[..., a] for a in range(3)),
+            tuple(ct_rev[..., a] for a in range(3)))

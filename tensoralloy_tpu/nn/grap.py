@@ -124,25 +124,35 @@ def full_multiplicity_tensor(max_moment: int) -> np.ndarray:
     return t
 
 
-def moment_basis(unit: jnp.ndarray, max_moment: int) -> jnp.ndarray:
-    """M [nij, D]: unique unit-vector monomials (compressed basis for
-    every moment; pairs with `multiplicity_tensor`).  At moment 5 this
-    is 56 columns instead of the 364-column full outer-product basis —
-    same invariants, ~6.5x less einsum/HBM in the dense path."""
-    n = unit.shape[0]
-    ones = jnp.ones((n, 1), unit.dtype)
+def moment_basis_c(comps, max_moment: int) -> jnp.ndarray:
+    """M [..., D] from unit-vector COMPONENT arrays (ux, uy, uz):
+    unique monomials (compressed basis for every moment; pairs with
+    `multiplicity_tensor`).  At moment 5 this is 56 columns instead of
+    the 364-column full outer-product basis — same invariants, ~6.5x
+    less einsum/HBM in the dense path.  Components-in keeps every
+    operand 2-D on TPU (a [*, 3]-minor array is laid out in (8, 128)
+    tiles — 42.7x padding; see `ops/dense.py`)."""
+    ux = comps[0]
+    ones = jnp.ones(ux.shape, ux.dtype)
     cols = [ones]
     if max_moment >= 1:
-        cols.append(unit)                                       # x y z
+        cols += [comps[0], comps[1], comps[2]]                  # x y z
     # degree-m columns from sorted degree-(m-1) tuples x one more
     # component >= the tuple's last — cache products by tuple
-    prods = {(a,): unit[:, a] for a in range(3)}
+    prods = {(a,): comps[a] for a in range(3)}
     for mono in moment_monomials(max_moment):
         if len(mono) < 2:
             continue
-        prods[mono] = prods[mono[:-1]] * unit[:, mono[-1]]
-        cols.append(prods[mono][:, None])
-    return jnp.concatenate(cols, axis=1)
+        prods[mono] = prods[mono[:-1]] * comps[mono[-1]]
+        cols.append(prods[mono])
+    return jnp.stack(cols, axis=-1)
+
+
+def moment_basis(unit: jnp.ndarray, max_moment: int) -> jnp.ndarray:
+    """M [nij, D] from a stacked [nij, 3] unit array (segment/flat
+    layout, where pair vectors are already [nij, 3] floats)."""
+    return moment_basis_c(
+        (unit[:, 0], unit[:, 1], unit[:, 2]), max_moment)
 
 
 # ----------------------------------------------------------------------
@@ -329,7 +339,9 @@ class GenericRadialAtomicPotential:
             flat(rij), rcut, params,
             flat(rcov_pp) if rcov_pp is not None else None)
         h = h.reshape(a, n, -1) * fc[..., None]        # [A, N, K]
-        m = moment_basis(flat(unit), self.max_moment).reshape(a, n, -1)
+        # unit is a (ux, uy, uz) component tuple [A, N] — the monomial
+        # basis is built per component so no [*, 3] operand exists
+        m = moment_basis_c(unit, self.max_moment)      # [A, N, D]
         k = self.n_filters
         sel = slot_onehot_dense(islotf, mask, n_slots)  # [A, N, S]
         hs = (sel[..., None] * h[..., None, :]).reshape(a, n, n_slots * k)

@@ -18,12 +18,77 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pairs import safe_norm
 
+# Periodic-image triples are PACKED into one int32 per pair slot
+# (`pair_simg_d`): on TPU any gather whose operand or result has a
+# minor dim of 3 is laid out in (8, 128) tiles — a 42.7x padding tax
+# on memory AND bandwidth (measured: 3 x 7 GB HLO temps at 131k atoms,
+# artifacts/bench_inference_r4.err). One [A, N] int32 keeps every
+# dense feature 2-D, so padding/sharding/batching machinery needs no
+# [*, 3] special cases and nothing on device ever gathers a vector.
+SIMG_BASE = 31
+SIMG_OFF = 15          # components must lie in [-15, 15]
+SIMG_ZERO = SIMG_OFF * (1 + SIMG_BASE + SIMG_BASE * SIMG_BASE)
+
+
+def encode_simg_np(shift) -> np.ndarray:
+    """numpy [*, 3] integer image counts -> packed int32 [*]."""
+    s = np.asarray(np.rint(shift), np.int64)
+    if s.size and (np.abs(s) > SIMG_OFF).any():
+        raise ValueError(
+            f"periodic image count exceeds +-{SIMG_OFF}: "
+            f"{np.abs(s).max()} (cell too small for this cutoff)")
+    return ((s[..., 0] + SIMG_OFF)
+            + SIMG_BASE * (s[..., 1] + SIMG_OFF)
+            + SIMG_BASE * SIMG_BASE * (s[..., 2] + SIMG_OFF)
+            ).astype(np.int32)
+
+
+def decode_simg(simg, dtype):
+    """packed int32 [*] -> (sx, sy, sz) float [*] components."""
+    sx = simg % SIMG_BASE - SIMG_OFF
+    rest = simg // SIMG_BASE
+    sy = rest % SIMG_BASE - SIMG_OFF
+    sz = rest // SIMG_BASE - SIMG_OFF
+    return (sx.astype(dtype), sy.astype(dtype), sz.astype(dtype))
+
+
+def shift_dot_cell(simg, cell, dtype):
+    """packed images -> cartesian offset components (sv_x, sv_y, sv_z):
+    sv = s @ cell done per component so no [*, 3] array exists."""
+    sx, sy, sz = decode_simg(simg, dtype)
+    return tuple(sx * cell[0, a] + sy * cell[1, a] + sz * cell[2, a]
+                 for a in range(3))
+
+
+def gather_vec(pos, jd, simg, cell, centers=None):
+    """Per-pair vectors r_j + S @ cell - r_i as THREE [A, N] component
+    arrays — the structure-of-arrays form every dense consumer uses.
+    `centers` (row-chunked evaluation) defaults to `pos`."""
+    c = pos if centers is None else centers
+    dtype = pos.dtype
+    sv = shift_dot_cell(simg, cell, dtype)
+    return tuple(pos[:, a][jd] + sv[a] - c[:, a][:, None]
+                 for a in range(3))
+
+
+def convert_legacy_shifts(feats: dict) -> dict:
+    """HOST-side upgrade of a pre-simg feature dict / npz cache: float
+    [A, N, 3] shift arrays -> packed int32 [A, N] (`*_simg_*`).
+    No-op when the packed keys already exist."""
+    for old, new in (("pair_shift_d", "pair_simg_d"),
+                     ("trip_shift_j_d", "trip_simg_j_d"),
+                     ("trip_shift_k_d", "trip_simg_k_d")):
+        if old in feats and new not in feats:
+            feats[new] = encode_simg_np(np.asarray(feats.pop(old)))
+    return feats
+
 
 def dense_pair_geometry(features):
-    """-> (rij_d [A, N], unit_d [A, N, 3], islotf_d [A, N], mask_d).
+    """-> (rij_d [A, N], (ux, uy, uz) [A, N] each, islotf_d, mask_d).
 
     Padding entries (mask 0) carry FINITE garbage geometry (they alias
     the virtual-atom row): every consumer must multiply by the mask (or
@@ -40,20 +105,27 @@ def dense_pair_geometry(features):
     mask = features["pair_mask_d"]
     if "pair_vec_d" in features:
         # vector-fed evaluation (`make_dense_efs_fn`): the caller
-        # differentiates the energy w.r.t. THESE vectors and assembles
-        # forces with the transpose table — positions stay out of the
-        # graph, so the backward has no gather-VJP scatter
-        vec = features["pair_vec_d"]
+        # differentiates the energy w.r.t. THESE component arrays and
+        # assembles forces with the transpose table — positions stay
+        # out of the graph, so the backward has no gather-VJP scatter
+        vec = features["pair_vec_d"]          # (vx, vy, vz) tuple
     else:
         # row-chunked evaluation (AtomicNN.energy_chunked) passes the
         # block's center rows separately; gathers use full positions
-        centers = features.get("positions_rows", pos)
-        vec = (pos[features["pair_j_d"]] + features["pair_shift_d"] @ cell
-               - centers[:, None, :])
-    rij = safe_norm(vec)
+        vec = gather_vec(pos, features["pair_j_d"],
+                         features["pair_simg_d"], cell,
+                         features.get("positions_rows"))
+    rij = safe_norm_components(vec)
     rij = jnp.where(mask > 0, rij, 1.0)
-    unit = vec / rij[..., None]
+    unit = tuple(v / rij for v in vec)
     return rij, unit, features["pair_islot_d"], mask
+
+
+def safe_norm_components(vec, eps: float = 1e-14):
+    """sqrt(vx^2 + vy^2 + vz^2 + eps) — identical numerics to
+    `ops.pairs.safe_norm` on a stacked [..., 3] array."""
+    return jnp.sqrt(vec[0] * vec[0] + vec[1] * vec[1]
+                    + vec[2] * vec[2] + eps)
 
 
 def dense_triple_geometry(features):
@@ -66,23 +138,23 @@ def dense_triple_geometry(features):
     pos = features["positions"]
     cell = features["cell"]
     mask = features["trip_mask_d"]
+
+    def distv(v):
+        return jnp.where(mask > 0, safe_norm_components(v), 1.0)
+
     if "trip_vec_j_d" in features:      # vector-fed (make_dense_efs_fn)
         vj = features["trip_vec_j_d"]
         vk = features["trip_vec_k_d"]
-
-        def distv(v):
-            return jnp.where(mask > 0, safe_norm(v), 1.0)
-
-        return (distv(vj), distv(vk), distv(vk - vj),
+        return (distv(vj), distv(vk),
+                distv(tuple(k - j for j, k in zip(vj, vk))),
                 features["trip_aslot_d"], mask)
-    ri = features.get("positions_rows", pos)[:, None, :]
-    rj = pos[features["trip_j_d"]] + features["trip_shift_j_d"] @ cell
-    rk = pos[features["trip_k_d"]] + features["trip_shift_k_d"] @ cell
-
-    def dist(a, b):
-        return jnp.where(mask > 0, safe_norm(b - a), 1.0)
-
-    return (dist(ri, rj), dist(ri, rk), dist(rj, rk),
+    centers = features.get("positions_rows")
+    vj = gather_vec(pos, features["trip_j_d"], features["trip_simg_j_d"],
+                    cell, centers)
+    vk = gather_vec(pos, features["trip_k_d"], features["trip_simg_k_d"],
+                    cell, centers)
+    return (distv(vj), distv(vk),
+            distv(tuple(k - j for j, k in zip(vj, vk))),
             features["trip_aslot_d"], mask)
 
 
@@ -99,17 +171,18 @@ def contract_slots(sel_d: jnp.ndarray, v_d: jnp.ndarray) -> jnp.ndarray:
                       preferred_element_type=v_d.dtype)
 
 
-def transpose_reduce(g: jnp.ndarray, trans_idx: jnp.ndarray,
-                     trans_mask: jnp.ndarray) -> jnp.ndarray:
-    """scatter-add(g [A, N, 3] by index table) expressed as a GATHER +
-    row reduction via the host-built transpose table: out[a] =
+def transpose_reduce(g, trans_idx: jnp.ndarray,
+                     trans_mask: jnp.ndarray):
+    """scatter-add(g by index table) expressed as a GATHER + row
+    reduction via the host-built transpose table: out[a] =
     sum_c g.flat[trans_idx[a, c]] * trans_mask[a, c]. Exact — the
     table enumerates every slot whose index equals a (full directed
     lists guarantee the occurrence count of a as a neighbor equals a's
-    own neighbor count, so the table is never wider than the source)."""
-    flat = g.reshape((-1,) + g.shape[2:])
-    out = flat[trans_idx] * trans_mask[..., None]
-    return jnp.sum(out, axis=1)
+    own neighbor count, so the table is never wider than the source).
+    `g` is a component tuple of [A, N] arrays (one flat [A*N] gather
+    per component — never a [*, 3] gather)."""
+    return tuple(jnp.sum(gc.reshape(-1)[trans_idx] * trans_mask, axis=1)
+                 for gc in g)
 
 
 def make_dense_efs_fn(energy_fn, extras_fn=None):
@@ -136,9 +209,8 @@ def make_dense_efs_fn(energy_fn, extras_fn=None):
     def efs(params, features):
         pos = features["positions"]
         cell = features["cell"]
-        jd = features["pair_j_d"]
-        pv = pos[jd] + features["pair_shift_d"] @ cell \
-            - pos[:, None, :]
+        pv = gather_vec(pos, features["pair_j_d"],
+                        features["pair_simg_d"], cell)
         angular = "trip_j_d" in features
         if angular and "trip_trans_j_d" not in features:
             # positions are NOT differentiated here — without the
@@ -154,10 +226,10 @@ def make_dense_efs_fn(energy_fn, extras_fn=None):
         vecs = [pv]
         keys = ["pair_vec_d"]
         if angular:
-            tvj = pos[features["trip_j_d"]] \
-                + features["trip_shift_j_d"] @ cell - pos[:, None, :]
-            tvk = pos[features["trip_k_d"]] \
-                + features["trip_shift_k_d"] @ cell - pos[:, None, :]
+            tvj = gather_vec(pos, features["trip_j_d"],
+                             features["trip_simg_j_d"], cell)
+            tvk = gather_vec(pos, features["trip_k_d"],
+                             features["trip_simg_k_d"], cell)
             vecs += [tvj, tvk]
             keys += ["trip_vec_j_d", "trip_vec_k_d"]
 
@@ -166,21 +238,35 @@ def make_dense_efs_fn(energy_fn, extras_fn=None):
             f.update(zip(keys, vs))
             return energy_fn(params, f)
 
+        # each vec is a (vx, vy, vz) component tuple — jax
+        # differentiates the pytree, so every gradient stays [A, N]
         energy, grads = jax.value_and_grad(
             e_of, argnums=tuple(range(len(keys))))(*vecs)
+
+        def assemble(g, tidx, tmask):
+            # center side is a row reduction, neighbor side reads the
+            # transpose table (gather — no scatter anywhere)
+            rev = transpose_reduce(g, tidx, tmask)
+            return tuple(jnp.sum(gc, axis=1) - rc
+                         for gc, rc in zip(g, rev))
+
+        def outer_virial(g, vv):
+            return jnp.stack(
+                [jnp.stack([jnp.vdot(g[a], vv[b]) for b in range(3)])
+                 for a in range(3)])
+
         g = grads[0]
-        # forces: center side is a row reduction, neighbor side reads
-        # the transpose table (gather — no scatter anywhere)
-        forces = jnp.sum(g, axis=1) - transpose_reduce(
-            g, features["pair_trans_d"], features["pair_trans_mask_d"])
-        virial = jnp.einsum("anx,any->xy", g, pv)
+        fc = assemble(g, features["pair_trans_d"],
+                      features["pair_trans_mask_d"])
+        virial = outer_virial(g, pv)
         if angular:
             for gi, vv, side in ((grads[1], tvj, "j"),
                                  (grads[2], tvk, "k")):
-                forces = forces + jnp.sum(gi, axis=1) - transpose_reduce(
-                    gi, features[f"trip_trans_{side}_d"],
-                    features[f"trip_trans_{side}_mask_d"])
-                virial = virial + jnp.einsum("anx,any->xy", gi, vv)
+                fi = assemble(gi, features[f"trip_trans_{side}_d"],
+                              features[f"trip_trans_{side}_mask_d"])
+                fc = tuple(a + b for a, b in zip(fc, fi))
+                virial = virial + outer_virial(gi, vv)
+        forces = jnp.stack(fc, axis=-1)
         volume = jnp.maximum(jnp.abs(jnp.linalg.det(cell)), 1e-12)
         stress = virial / volume
         out = {"energy": energy, "forces": forces, "virial": virial,

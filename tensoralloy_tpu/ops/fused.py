@@ -64,7 +64,7 @@ def _dense_pairs(features, with_unit: bool = True):
     rij, unit, islotf, mask = dense_pair_geometry(features)
     out = [rij]
     if with_unit:
-        out += [unit[..., 0], unit[..., 1], unit[..., 2]]
+        out += [unit[0], unit[1], unit[2]]   # (ux, uy, uz) tuple
     return out + [islotf, mask]
 
 
@@ -155,9 +155,8 @@ def _grap_ref_dense(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf,
     r = jnp.where(mask_d > 0, rij_d, 1.0)
     fc = apply_cutoff(desc.cutoff_function, r, rcut) * mask_d
     h = _grap_filter_all(desc, r, rcut) * fc[..., None]    # [A, N, K]
-    from ..nn.grap import moment_basis
-    unit = jnp.stack([ux, uy, uz], axis=-1).reshape(a * n, 3)
-    m = moment_basis(unit, desc.max_moment).reshape(a, n, -1)
+    from ..nn.grap import moment_basis_c
+    m = moment_basis_c((ux, uy, uz), desc.max_moment)      # [A, N, D]
     k = desc.n_filters
     eye = jnp.arange(n_slots, dtype=islotf.dtype)
     sel = (islotf[..., None] == eye) * mask_d[..., None]   # [A, N, S]
@@ -170,36 +169,49 @@ def _grap_ref_dense(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf,
 
 def _grap_kernel(rij_ref, ux_ref, uy_ref, uz_ref, islot_ref, mask_ref,
                  out_ref, *, desc, rcut, n_slots, moment_cols, t_dm):
+    # The filter bank is a REAL array axis ([blk, N, K]) and the only
+    # unrolled python loops are the <=56 unique monomials (x n_slots):
+    # the original per-(slot, filter, monomial) unroll produced ~900
+    # kernel bodies whose live [blk, N] temporaries overflowed the
+    # Mosaic scoped-VMEM stack on a real chip (BENCH r4:
+    # "kernel-vmem-stack-oom"), while every body here keeps at most a
+    # handful of [blk, N, K] tiles alive.
     mask = mask_ref[:]
     r = jnp.where(mask > 0, rij_ref[:], 1.0)
     fc = apply_cutoff(desc.cutoff_function, r, rcut)
     u = (ux_ref[:], uy_ref[:], uz_ref[:])
     eps = 1e-16
+    h_all = _grap_filter_all(desc, r, rcut)                # [blk, N, K]
     cols = []
     for s in range(n_slots):
         sel = jnp.where(islot_ref[:] == float(s), mask, 0.0) * fc
-        for k in range(desc.n_filters):
-            h = _grap_filter(desc, k, r, rcut) * sel       # [blk, N]
-            p_list = []
-            for mono in moment_cols:
-                m = h
-                for ax in mono:
-                    m = m * u[ax]
-                p_list.append(jnp.sum(m, axis=1))          # [blk]
-            s2 = [p * p for p in p_list]
-            for mcol in desc.moment_tensors:   # honor gaps in the list
-                acc = None
-                for d in range(len(p_list)):
-                    w = float(t_dm[d, mcol])
-                    if w == 0.0:
-                        continue
-                    term = s2[d] if w == 1.0 else s2[d] * w
-                    acc = term if acc is None else acc + term
-                if acc is None:
-                    acc = jnp.zeros_like(p_list[0])
-                if mcol == 0:
-                    acc = jnp.sign(p_list[0]) * jnp.sqrt(acc + eps)
-                cols.append(acc[:, None])
+        hsel = h_all * sel[..., None]                      # [blk, N, K]
+        p_list = []
+        for mono in moment_cols:
+            m = None
+            for ax in mono:
+                m = u[ax] if m is None else m * u[ax]
+            term = hsel if m is None else hsel * m[..., None]
+            p_list.append(jnp.sum(term, axis=1))           # [blk, K]
+        s2 = [p * p for p in p_list]
+        accs = []
+        for mcol in desc.moment_tensors:       # honor gaps in the list
+            acc = None
+            for d in range(len(p_list)):
+                w = float(t_dm[d, mcol])
+                if w == 0.0:
+                    continue
+                term = s2[d] if w == 1.0 else s2[d] * w
+                acc = term if acc is None else acc + term
+            if acc is None:
+                acc = jnp.zeros_like(p_list[0])
+            if mcol == 0:
+                acc = jnp.sign(p_list[0]) * jnp.sqrt(acc + eps)
+            accs.append(acc)
+        # [blk, K, M] -> [blk, K*M]: filter-major, moment-minor — the
+        # same (s, k, mcol) column order as the dense path
+        sk = jnp.stack(accs, axis=-1)
+        cols.append(sk.reshape(sk.shape[0], -1))
     out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
@@ -209,19 +221,26 @@ def _grap_pallas(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf, mask_d):
     moment_cols = tuple(_moment_columns(desc.max_moment))
     t_dm = _kernel_multiplicity(desc.max_moment, desc.symmetric)
     out_cols = n_slots * desc.n_filters * len(desc.moment_tensors)
+    # live set per body ~ (3 x K + 16) [blk, N] f32 tiles (h_all +
+    # hsel + monomial temp + inputs/cutoff): shrink the row block so
+    # it stays well under the scoped-VMEM budget
+    block = _BLOCK
+    while block > 8 and block * n * (3 * desc.n_filters + 16) * 4 \
+            > 12 * 1024 * 1024:
+        block //= 2
     (rij_d, ux, uy, uz, islotf, mask_d), nrows = _pad_rows(
-        [rij_d, ux, uy, uz, islotf, mask_d], _BLOCK)
+        [rij_d, ux, uy, uz, islotf, mask_d], block)
     padded = rij_d.shape[0]
     kernel = functools.partial(
         _grap_kernel, desc=desc, rcut=float(rcut), n_slots=n_slots,
         moment_cols=moment_cols, t_dm=t_dm)
-    spec = pl.BlockSpec((_BLOCK, n), lambda i: (i, 0),
+    spec = pl.BlockSpec((block, n), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(padded // _BLOCK,),
+        grid=(padded // block,),
         in_specs=[spec] * 6,
-        out_specs=pl.BlockSpec((_BLOCK, out_cols), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block, out_cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded, out_cols), rij_d.dtype),
         interpret=_interpret(),

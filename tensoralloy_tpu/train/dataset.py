@@ -152,6 +152,11 @@ class Dataset:
             np.savez_compressed(self.cache_path, **data)
         feats = {k[2:]: v for k, v in data.items() if k.startswith("f_")}
         labels = {k[2:]: v for k, v in data.items() if k.startswith("l_")}
+        # pre-simg caches stored float [B, A, N, 3] shift arrays; the
+        # packed int32 encoding is exactly recoverable on the host, so
+        # old caches upgrade in place instead of refeaturizing
+        from ..ops.dense import convert_legacy_shifts
+        feats = convert_legacy_shifts(feats)
         return feats, labels
 
     # ------------------------------------------------------------------

@@ -289,6 +289,11 @@ class DeviceNeighborList:
 
         slot = jnp.arange(K, dtype=jnp.int32)
         rc2 = jnp.asarray(self.cutoff * self.cutoff, dtype=fdt)
+        # per-component position columns: gathers of [*, 3] arrays are
+        # laid out in (8, 128) TPU tiles (42.7x padding — 3 x 7 GB HLO
+        # temps at 131k atoms, the r4 OOM), so ALL stencil geometry
+        # below is structure-of-arrays [n, K] math
+        pw = tuple(posw[:, a] for a in range(3))
         j_blocks, valid_blocks = [], []
         for o in self.offsets:                        # static loop
             nc = c + jnp.asarray(o, dtype=jnp.int32)  # [n, 3]
@@ -305,9 +310,13 @@ class DeviceNeighborList:
             idx = base[:, None] + slot[None, :]        # [n, K]
             have = slot[None, :] < counts[ncid][:, None]
             j = perm[jnp.clip(idx, 0, max(n - 1, 0))]  # [n, K]
-            vec = (posw[j] + (s_sten.astype(fdt) @ cell)[:, None, :]
-                   - posw[:, None, :])
-            d2 = jnp.sum(vec * vec, axis=-1)
+            sf = s_sten.astype(fdt)
+            d2 = jnp.zeros(j.shape, fdt)
+            for a in range(3):
+                sc_a = (sf[:, 0] * cell[0, a] + sf[:, 1] * cell[1, a]
+                        + sf[:, 2] * cell[2, a])       # [n]
+                v_a = pw[a][j] + sc_a[:, None] - pw[a][:, None]
+                d2 = d2 + v_a * v_a
             valid = (have & in_range[:, None] & (d2 < rc2) &
                      (d2 > 1e-20))
             j_blocks.append(j)
@@ -341,12 +350,21 @@ class DeviceNeighborList:
             j_all, jnp.clip(key_o, 0, C - 1).astype(jnp.int32), axis=1)
         blk = jnp.clip(key_o // K, 0, self.n_stencil - 1)
         o_tab = jnp.asarray(self.offsets)               # [nsten, 3]
-        s_sten_o = jnp.where(
-            pbc[None, None, :],
-            jnp.floor_divide(c[:, None, :] + o_tab[blk], g), 0)
-        # fold wraps back so RAW positions satisfy R_j + S@cell - R_i
-        shift_o = (s_sten_o.astype(fdt) + wrap[:, None, :] -
-                   wrap[j_o]) * m_o[..., None]
+        # fold wraps back so RAW positions satisfy R_j + S@cell - R_i.
+        # Components stay [n, NNL] int32 and pack into ONE code per
+        # slot (ops/dense.SIMG_*) — no [*, 3] gather or emission.
+        from ..ops.dense import SIMG_BASE, SIMG_OFF, SIMG_ZERO
+        wrap_i = wrap.astype(jnp.int32)                 # whole floats
+        simg_o = jnp.zeros(j_o.shape, jnp.int32)
+        mult = (1, SIMG_BASE, SIMG_BASE * SIMG_BASE)
+        for a in range(3):
+            s_a = jnp.where(
+                pbc[a],
+                jnp.floor_divide(c[:, a][:, None] + o_tab[:, a][blk],
+                                 g[a]), 0)              # [n, NNL]
+            s_a = s_a + wrap_i[:, a][:, None] - wrap_i[:, a][j_o]
+            simg_o = simg_o + mult[a] * (jnp.where(m_o, s_a, 0)
+                                         + SIMG_OFF)
         j_o = jnp.where(m_o, j_o, 0)
 
         elem = jnp.asarray(self.elem_idx_local)
@@ -379,12 +397,12 @@ class DeviceNeighborList:
             "etemperature": etemperature,
         }
         pjd = to_vap(jv_o)
-        psd = to_vap(shift_o)
+        psd = to_vap(simg_o, fill=SIMG_ZERO)
         pmd = to_vap(mask_f)
         pisd = to_vap(islot_o.astype(fdt))
         if self.layout in ("dense", "both"):
             feats["pair_j_d"] = pjd
-            feats["pair_shift_d"] = psd
+            feats["pair_simg_d"] = psd
             feats["pair_mask_d"] = pmd
             feats["pair_islot_d"] = pisd
         if self.layout in ("segment", "both"):
@@ -394,7 +412,10 @@ class DeviceNeighborList:
             mflat = pmd.reshape(-1)
             feats["pair_i"] = jnp.where(mflat > 0, rows.reshape(-1), 0)
             feats["pair_j"] = jnp.where(mflat > 0, pjd.reshape(-1), 0)
-            feats["pair_shift"] = psd.reshape(-1, 3)
+            # the flat autodiff layout keeps its [nij, 3] float contract
+            from ..ops.dense import decode_simg
+            feats["pair_shift"] = jnp.stack(
+                decode_simg(psd.reshape(-1), fdt), axis=-1)
             feats["pair_islot"] = jnp.where(
                 mflat > 0, to_vap(islot_o).reshape(-1), 0)
             feats["pair_term"] = jnp.where(
@@ -402,20 +423,31 @@ class DeviceNeighborList:
             feats["pair_mask"] = mflat
 
         if self.angular:
-            self._triples(feats, diag, posw, cell, j_o, m_o, shift_o,
+            self._triples(feats, diag, posw, cell, j_o, m_o, simg_o,
                           wrap, elem, to_vap, fdt)
         return feats, diag
 
     # ------------------------------------------------------------------
-    def _triples(self, feats, diag, posw, cell, j_o, m_o, shift_o, wrap,
+    def _triples(self, feats, diag, posw, cell, j_o, m_o, simg_o, wrap,
                  elem, to_vap, fdt):
-        """Dense j<k triples from the compacted pair rows (acut mask)."""
+        """Dense j<k triples from the compacted pair rows (acut mask).
+
+        `simg_o` carries the RAW-frame periodic images PACKED as one
+        int32 per slot (ops/dense.SIMG_*) — all geometry below is
+        per-component [n, NNL] math, never a [*, 3] gather/temp."""
+        from ..ops.dense import decode_simg, SIMG_ZERO
         n, NNL, NTL = self.n, self.nnl_cap, self.ntl_cap
         # distances of the compacted pairs (wrapped frame: the wrap
         # folds cancel between center and neighbor)
-        s_w = shift_o - wrap[:, None, :] + wrap[j_o]    # stencil images
-        vec = posw[j_o] + s_w @ cell - posw[:, None, :]
-        d2 = jnp.sum(vec * vec, axis=-1)
+        sx, sy, sz = decode_simg(simg_o, fdt)
+        sw = [s - wrap[:, a][:, None] + wrap[:, a][j_o]   # stencil img
+              for a, s in enumerate((sx, sy, sz))]
+        d2 = jnp.zeros(j_o.shape, fdt)
+        for a in range(3):
+            sv_a = (sw[0] * cell[0, a] + sw[1] * cell[1, a]
+                    + sw[2] * cell[2, a])
+            v_a = posw[:, a][j_o] + sv_a - posw[:, a][:, None]
+            d2 = d2 + v_a * v_a
         ac2 = jnp.asarray(self.fz.acut * self.fz.acut, dtype=fdt)
         amask = m_o & (d2 < ac2)                         # [n, NNL]
 
@@ -435,8 +467,8 @@ class DeviceNeighborList:
         gat = jnp.take_along_axis
         tj = gat(j_o, pp, axis=1)
         tk = gat(j_o, qq, axis=1)
-        tsj = gat(shift_o, pp[..., None], axis=1)
-        tsk = gat(shift_o, qq[..., None], axis=1)
+        tsj = gat(simg_o, pp, axis=1)          # packed codes, [n, NTL]
+        tsk = gat(simg_o, qq, axis=1)
         aslot = jnp.asarray(self.fz._aslot)
         ci = jnp.broadcast_to(elem[:, None], tj.shape)
         tslot = aslot[ci, elem[tj], elem[tk]]
@@ -445,15 +477,15 @@ class DeviceNeighborList:
         tmf = tm.astype(fdt)
         tjd = to_vap(z(l2v[tj]))
         tkd = to_vap(z(l2v[tk]))
-        tsjd = to_vap(tsj * tmf[..., None])
-        tskd = to_vap(tsk * tmf[..., None])
+        tsjd = to_vap(jnp.where(tm, tsj, SIMG_ZERO), fill=SIMG_ZERO)
+        tskd = to_vap(jnp.where(tm, tsk, SIMG_ZERO), fill=SIMG_ZERO)
         tmd = to_vap(tmf)
         tad = to_vap(z(tslot))
         if self.layout in ("dense", "both"):
             feats["trip_j_d"] = tjd
             feats["trip_k_d"] = tkd
-            feats["trip_shift_j_d"] = tsjd
-            feats["trip_shift_k_d"] = tskd
+            feats["trip_simg_j_d"] = tsjd
+            feats["trip_simg_k_d"] = tskd
             feats["trip_mask_d"] = tmd
             feats["trip_aslot_d"] = tad.astype(fdt)
         if self.layout in ("segment", "both"):
@@ -465,7 +497,10 @@ class DeviceNeighborList:
             feats["trip_i"] = w(rows)
             feats["trip_j"] = w(tjd)
             feats["trip_k"] = w(tkd)
-            feats["trip_shift_j"] = tsjd.reshape(-1, 3)
-            feats["trip_shift_k"] = tskd.reshape(-1, 3)
+            # the flat autodiff layout keeps its [ntl, 3] float contract
+            feats["trip_shift_j"] = jnp.stack(
+                decode_simg(tsjd.reshape(-1), fdt), axis=-1)
+            feats["trip_shift_k"] = jnp.stack(
+                decode_simg(tskd.reshape(-1), fdt), axis=-1)
             feats["trip_aslot"] = w(tad)
             feats["trip_mask"] = mflat

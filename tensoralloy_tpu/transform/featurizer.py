@@ -241,16 +241,21 @@ class Featurizer:
             nnl = max(nnl, 1)
             n_vap = vap.n_atoms_vap
             rows = vap.local_to_vap[ilist]
+            from ..ops.dense import encode_simg_np, SIMG_ZERO
             pjd = np.zeros((n_vap, nnl), np.int32)
-            psd = np.zeros((n_vap, nnl, 3), dtype)
+            # periodic images packed into ONE int32 per slot: a [*, 3]
+            # gather operand/result is laid out in (8, 128) TPU tiles
+            # (42.7x padding tax — see ops/dense.py); padding slots
+            # carry the zero-image code so decoded garbage stays small
+            psd = np.full((n_vap, nnl), SIMG_ZERO, np.int32)
             pmd = np.zeros((n_vap, nnl), dtype)
             pisd = np.zeros((n_vap, nnl), dtype)
             pjd[rows, cols] = vap.local_to_vap[jlist]
-            psd[rows, cols] = shift
+            psd[rows, cols] = encode_simg_np(shift)
             pmd[rows, cols] = 1.0
             pisd[rows, cols] = self._rslot[ci, cj]
             feats["pair_j_d"] = pjd
-            feats["pair_shift_d"] = psd
+            feats["pair_simg_d"] = psd
             feats["pair_mask_d"] = pmd
             feats["pair_islot_d"] = pisd
             # Transpose table (opt-in: per-structure widths are not
@@ -363,22 +368,23 @@ class Featurizer:
         ntl = max(ntl, 1)
         n_vap = vap.n_atoms_vap
         rows = vap.local_to_vap[t_i]
+        from ..ops.dense import encode_simg_np, SIMG_ZERO
         tjd = np.zeros((n_vap, ntl), np.int32)
         tkd = np.zeros((n_vap, ntl), np.int32)
-        tsjd = np.zeros((n_vap, ntl, 3), dtype)
-        tskd = np.zeros((n_vap, ntl, 3), dtype)
+        tsjd = np.full((n_vap, ntl), SIMG_ZERO, np.int32)
+        tskd = np.full((n_vap, ntl), SIMG_ZERO, np.int32)
         tmd = np.zeros((n_vap, ntl), dtype)
         tasd = np.zeros((n_vap, ntl), dtype)
         tjd[rows, tcols] = vap.local_to_vap[t_j]
         tkd[rows, tcols] = vap.local_to_vap[t_k]
-        tsjd[rows, tcols] = t_sj
-        tskd[rows, tcols] = t_sk
+        tsjd[rows, tcols] = encode_simg_np(t_sj)
+        tskd[rows, tcols] = encode_simg_np(t_sk)
         tmd[rows, tcols] = 1.0
         tasd[rows, tcols] = self._aslot[ci, cj, ck]
         feats["trip_j_d"] = tjd
         feats["trip_k_d"] = tkd
-        feats["trip_shift_j_d"] = tsjd
-        feats["trip_shift_k_d"] = tskd
+        feats["trip_simg_j_d"] = tsjd
+        feats["trip_simg_k_d"] = tskd
         feats["trip_mask_d"] = tmd
         feats["trip_aslot_d"] = tasd
         # triple transpose tables (force assembly without scatter):

@@ -67,10 +67,12 @@ def test_transpose_reduce_equals_scatter():
     want = np.zeros((vap.n_atoms_vap, 3))
     np.add.at(want, jd.reshape(-1),
               (g * f["pair_mask_d"][..., None]).reshape(-1, 3))
-    got = transpose_reduce(jnp.asarray(g),
-                           jnp.asarray(f["pair_trans_d"]),
-                           jnp.asarray(f["pair_trans_mask_d"]))
-    np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
+    # transpose_reduce is component-tuple-in, component-tuple-out
+    got = np.stack([np.asarray(c) for c in transpose_reduce(
+        tuple(jnp.asarray(g[..., a]) for a in range(3)),
+        jnp.asarray(f["pair_trans_d"]),
+        jnp.asarray(f["pair_trans_mask_d"]))], axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-12)
 
 
 def test_dense_efs_grap_radial():

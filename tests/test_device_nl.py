@@ -46,8 +46,10 @@ def _cases():
 
 def _pair_set_from_dense(builder, feats):
     v2l = builder.vap.vap_to_local
+    from tensoralloy_tpu.ops.dense import decode_simg
     pjd = np.asarray(feats["pair_j_d"])
-    psd = np.asarray(feats["pair_shift_d"])
+    psd = np.stack(decode_simg(np.asarray(feats["pair_simg_d"]),
+                               np.float64), axis=-1)
     pmd = np.asarray(feats["pair_mask_d"])
     out = set()
     for a in range(builder.n_vap):
@@ -95,8 +97,10 @@ def test_unwrapped_positions_fold_back():
     feats, diag = b.build(pos_vap)
     b.check(diag)
     # verify the shift contract against the RAW positions directly
+    from tensoralloy_tpu.ops.dense import decode_simg
     pjd = np.asarray(feats["pair_j_d"])
-    psd = np.asarray(feats["pair_shift_d"])
+    psd = np.stack(decode_simg(np.asarray(feats["pair_simg_d"]),
+                               np.float64), axis=-1)
     pmd = np.asarray(feats["pair_mask_d"])
     pos = np.asarray(pos_vap)
     rows, cols = np.nonzero(pmd > 0)
