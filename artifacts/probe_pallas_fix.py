@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tensoralloy_tpu.nn.grap import GRAP
+from tensoralloy_tpu.nn.grap import GenericRadialAtomicPotential
 from tensoralloy_tpu.ops import fused
 
 out = {"probe": "pallas_fix", "ok": False}
@@ -24,9 +24,17 @@ try:
     backend = jax.default_backend()
     out["backend"] = backend
     rng = np.random.RandomState(0)
-    # snap-Mo production-ish padding: one element slot, m0-5 GRAP
+    # bench backend_matrix's exact flagship config: pexp-16, m0-5
+    # (the configuration whose old unrolled kernel hit the Mosaic
+    # scoped-VMEM stack OOM on chip in the first r4 bench attempt)
     a, n = 512, 64
-    desc = GRAP(["Mo"], max_moment=5)
+    pexp = {"rl": [1.0, 1.2, 1.4, 1.6, 1.8, 2.0, 2.2, 2.4, 2.6,
+                   2.8, 3.0, 3.2, 3.4, 3.6, 3.8, 4.0],
+            "pl": [5.0, 4.75, 4.5, 4.25, 4.0, 3.75, 3.5, 3.25,
+                   3.0, 2.75, 2.5, 2.25, 2.0, 1.75, 1.5, 1.25]}
+    desc = GenericRadialAtomicPotential(
+        ["Mo"], algorithm="pexp", parameters=pexp,
+        moment_tensors=[0, 1, 2, 3, 4, 5], backend="pallas")
     rij = (rng.rand(a, n) * 5.0 + 0.8).astype(np.float32)
     unit = rng.randn(a, n, 3).astype(np.float32)
     unit /= np.linalg.norm(unit, axis=-1, keepdims=True)

@@ -52,11 +52,22 @@ def main():
 
     out = {}
 
+    def probe(name, fn):
+        # one row OOMing HBM must not cost the whole probe (the r4
+        # first pass died whole inside one sort-based scatter
+        # lowering: probe_scatter_r4_oom.err)
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001
+            out[name + "_error"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # 1. segment_sum scatter, sorted ids (EAM forward rho sum)
-    t = marginal(lambda c, x, i: jnp.sum(jax.ops.segment_sum(
-        x + c * 1e-12, i, num_segments=N)), x_flat, seg_ids)
-    out["segment_sum_11M_ms"] = round(t * 1e3, 2)
-    out["segment_sum_gbps"] = round(x_flat.nbytes / t / 1e9, 1)
+    def p_seg():
+        t = marginal(lambda c, x, i: jnp.sum(jax.ops.segment_sum(
+            x + c * 1e-12, i, num_segments=N)), x_flat, seg_ids)
+        out["segment_sum_11M_ms"] = round(t * 1e3, 2)
+        out["segment_sum_gbps"] = round(x_flat.nbytes / t / 1e9, 1)
+    probe("segment_sum", p_seg)
 
     # 2. scatter-add via .at[].add (gather-VJP shape: [N*NNL] -> [N]).
     # Measured PER COMPONENT ([M] f32 -> [N]): the honest [M, 3]
@@ -64,42 +75,61 @@ def main():
     # out in (8, 128) tiles, padding the minor dim 3 -> 128 (42.7x,
     # 2 x 8 GB temps at this M; see probe_scatter_r4_oom.err). That
     # padding tax is itself part of why autodiff-gather VJPs are
-    # catastrophic on TPU.
-    flat_ids = jd.reshape(-1)
-    xf = x_dense[..., 0].reshape(-1)
-    t = marginal(lambda c, x, i: jnp.sum(
-        jnp.zeros((N,), x.dtype).at[i].add(x + c * 1e-12)),
-        xf, flat_ids)
-    out["scatter_add_16M_1comp_ms"] = round(t * 1e3, 2)
-    out["scatter_add_gbps"] = round(xf.nbytes / t / 1e9, 1)
+    # catastrophic on TPU. The 16.7M-id scatter's own sort-based
+    # lowering also allocates multi-GB temps, so it is scanned in 4
+    # chunks of 4.2M ids (same bytes, bounded temps).
+    flat_ids = jd.reshape(4, -1)
+    xf = x_dense[..., 0].reshape(4, -1)
+
+    def p_scat():
+        def body(c, xi):
+            x, i = xi
+            return c + jnp.sum(
+                jnp.zeros((N,), x.dtype).at[i].add(x + c * 1e-12)), None
+        t = marginal(lambda c, x, i: jax.lax.scan(
+            body, c * 1e-12, (x, i))[0], xf, flat_ids)
+        out["scatter_add_16M_1comp_ms"] = round(t * 1e3, 2)
+        out["scatter_add_gbps"] = round(xf.nbytes / t / 1e9, 1)
+    probe("scatter_add", p_scat)
 
     # 3. gather [N,3] at [N,NNL] (fast-path position fetch)
-    t = marginal(lambda c, p, i: jnp.sum(p[i] * (1 + c * 1e-12)),
-                 pos, jd)
-    out["gather_8M_ms"] = round(t * 1e3, 2)
-    out["gather_gbps"] = round(x_dense.nbytes / t / 1e9, 1)
+    def p_gather():
+        t = marginal(lambda c, p, i: jnp.sum(p[i] * (1 + c * 1e-12)),
+                     pos, jd)
+        out["gather_8M_ms"] = round(t * 1e3, 2)
+        out["gather_gbps"] = round(x_dense.nbytes / t / 1e9, 1)
+    probe("gather", p_gather)
 
     # 4. dense row reduction [N, NNL, 3] -> [N, 3]
-    t = marginal(lambda c, x: jnp.sum(jnp.sum(x + c * 1e-12, axis=1)),
-                 x_dense)
-    out["row_reduce_8M_ms"] = round(t * 1e3, 2)
-    out["row_reduce_gbps"] = round(x_dense.nbytes / t / 1e9, 1)
+    def p_reduce():
+        t = marginal(
+            lambda c, x: jnp.sum(jnp.sum(x + c * 1e-12, axis=1)),
+            x_dense)
+        out["row_reduce_8M_ms"] = round(t * 1e3, 2)
+        out["row_reduce_gbps"] = round(x_dense.nbytes / t / 1e9, 1)
+    probe("row_reduce", p_reduce)
 
     # 5. row-sorted compaction (device-NL build pattern): one int32
     # sort along dim 1 at candidate width C = 864
     C = 864
     key = jnp.asarray(rng.randint(0, C + 1, (N, C)), jnp.int32)
-    t = marginal(lambda c, k: jnp.sum(
-        jax.lax.sort(k + (c * 1e-12).astype(jnp.int32),
-                     dimension=1)[:, :NNL].astype(jnp.float32)), key)
-    out["row_sort_864w_ms"] = round(t * 1e3, 2)
+
+    def p_sort():
+        t = marginal(lambda c, k: jnp.sum(
+            jax.lax.sort(k + (c * 1e-12).astype(jnp.int32),
+                         dimension=1)[:, :NNL].astype(jnp.float32)),
+            key)
+        out["row_sort_864w_ms"] = round(t * 1e3, 2)
+    probe("row_sort", p_sort)
 
     # 5b. partial selection of the NNL smallest keys (the
     # TA_NL_COMPACTION=topk device-NL variant)
-    t = marginal(lambda c, k: jnp.sum(
-        jax.lax.top_k(-(k + (c * 1e-12).astype(jnp.int32)),
-                      NNL)[0].astype(jnp.float32)), key)
-    out["row_topk_864w_ms"] = round(t * 1e3, 2)
+    def p_topk():
+        t = marginal(lambda c, k: jnp.sum(
+            jax.lax.top_k(-(k + (c * 1e-12).astype(jnp.int32)),
+                          NNL)[0].astype(jnp.float32)), key)
+        out["row_topk_864w_ms"] = round(t * 1e3, 2)
+    probe("row_topk", p_topk)
 
     out["backend"] = jax.default_backend()
     print(json.dumps(out))

@@ -168,51 +168,62 @@ def _grap_ref_dense(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf,
 
 
 def _grap_kernel(rij_ref, ux_ref, uy_ref, uz_ref, islot_ref, mask_ref,
-                 out_ref, *, desc, rcut, n_slots, moment_cols, t_dm):
-    # The filter bank is a REAL array axis ([blk, N, K]) and the only
-    # unrolled python loops are the <=56 unique monomials (x n_slots):
-    # the original per-(slot, filter, monomial) unroll produced ~900
-    # kernel bodies whose live [blk, N] temporaries overflowed the
-    # Mosaic scoped-VMEM stack on a real chip (BENCH r4:
-    # "kernel-vmem-stack-oom"), while every body here keeps at most a
-    # handful of [blk, N, K] tiles alive.
+                 w_ref, out_ref, m_ref, p_ref, *, desc, rcut, n_slots,
+                 moment_cols):
+    # VMEM discipline (learned on a real chip, twice): the original
+    # per-(slot, filter, monomial) unroll produced ~900 bodies whose
+    # live [blk, N] temporaries overflowed the Mosaic scoped-VMEM
+    # stack; a flat python loop over the <=56 monomials still OOMed at
+    # 160 MB because Mosaic does NOT reuse buffers across unrolled
+    # iterations — every `hsel * m` [blk, N, K] temporary stayed
+    # resident.  So the expensive 3D stream runs in ONE fori_loop
+    # (a real loop = one reused buffer): the cheap 2D monomial
+    # products are written once into the `m_ref` scratch table
+    # ([blk, D, N], monomials on the SUBLANE axis so the loop can
+    # dynamic-slice them), and the per-monomial [blk, K] projections
+    # accumulate into `p_ref` ([blk, D, K]).
     mask = mask_ref[:]
     r = jnp.where(mask > 0, rij_ref[:], 1.0)
     fc = apply_cutoff(desc.cutoff_function, r, rcut)
     u = (ux_ref[:], uy_ref[:], uz_ref[:])
     eps = 1e-16
+    k_f = desc.n_filters
+    n_mono = len(moment_cols)
     h_all = _grap_filter_all(desc, r, rcut)                # [blk, N, K]
-    cols = []
+    for d, mono in enumerate(moment_cols):
+        m = None
+        for ax in mono:
+            m = u[ax] if m is None else m * u[ax]
+        if m is None:
+            m = jnp.ones_like(r)
+        m_ref[:, d, :] = m
     for s in range(n_slots):
         sel = jnp.where(islot_ref[:] == float(s), mask, 0.0) * fc
         hsel = h_all * sel[..., None]                      # [blk, N, K]
-        p_list = []
-        for mono in moment_cols:
-            m = None
-            for ax in mono:
-                m = u[ax] if m is None else m * u[ax]
-            term = hsel if m is None else hsel * m[..., None]
-            p_list.append(jnp.sum(term, axis=1))           # [blk, K]
-        s2 = [p * p for p in p_list]
-        accs = []
-        for mcol in desc.moment_tensors:       # honor gaps in the list
-            acc = None
-            for d in range(len(p_list)):
-                w = float(t_dm[d, mcol])
-                if w == 0.0:
-                    continue
-                term = s2[d] if w == 1.0 else s2[d] * w
-                acc = term if acc is None else acc + term
-            if acc is None:
-                acc = jnp.zeros_like(p_list[0])
+
+        def body(j, carry):
+            m_j = m_ref[:, pl.ds(j, 1), :][:, 0, :]        # [blk, N]
+            p_j = jnp.sum(hsel * m_j[..., None], axis=1)   # [blk, K]
+            p_ref[:, pl.ds(j, 1), :] = p_j[:, None, :]
+            return carry
+
+        jax.lax.fori_loop(0, n_mono, body, 0)
+        p0 = p_ref[:, 0, :]                                # [blk, K]
+        s2 = jnp.square(p_ref[:, :, :])                    # [blk, D, K]
+        for j, mcol in enumerate(desc.moment_tensors):  # honor gaps
+            w = w_ref[:, j]                                # [D]
+            acc = jnp.sum(s2 * w[None, :, None], axis=1)   # [blk, K]
             if mcol == 0:
-                acc = jnp.sign(p_list[0]) * jnp.sqrt(acc + eps)
-            accs.append(acc)
-        # [blk, K, M] -> [blk, K*M]: filter-major, moment-minor — the
-        # same (s, k, mcol) column order as the dense path
-        sk = jnp.stack(accs, axis=-1)
-        cols.append(sk.reshape(sk.shape[0], -1))
-    out_ref[:] = jnp.concatenate(cols, axis=1)
+                acc = jnp.sign(p0) * jnp.sqrt(acc + eps)
+            # each [blk, K] accumulator lands in its own contiguous
+            # column slab, (slot, moment, filter)-ordered: Mosaic's
+            # layout inference rejects both the [blk, K, M] ->
+            # [blk, K*M] shape cast and minor-axis concatenation, so
+            # the (slot, filter, moment) order the dense path emits is
+            # restored by a static column gather OUTSIDE the kernel
+            # (see _grap_pallas).
+            start = (s * len(desc.moment_tensors) + j) * k_f
+            out_ref[:, start:start + k_f] = acc
 
 
 def _grap_pallas(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf, mask_d):
@@ -221,31 +232,62 @@ def _grap_pallas(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf, mask_d):
     moment_cols = tuple(_moment_columns(desc.max_moment))
     t_dm = _kernel_multiplicity(desc.max_moment, desc.symmetric)
     out_cols = n_slots * desc.n_filters * len(desc.moment_tensors)
-    # live set per body ~ (3 x K + 16) [blk, N] f32 tiles (h_all +
-    # hsel + monomial temp + inputs/cutoff): shrink the row block so
-    # it stays well under the scoped-VMEM budget
+    n_mono = len(moment_cols)
+    # True VMEM footprint per block row, with MINOR-AXIS LANE PADDING
+    # (a [*, K] minor pads K -> 128; ignoring it underestimated 8x and
+    # OOMed the chip at 160 MB / 128 MB): h_all + hsel + the fori-loop
+    # term ([blk, N, Kpad] x3), the monomial table ([blk, D, Npad]),
+    # the projection scratch + its square + the per-moment weighted
+    # temporaries ([blk, D, Kpad] x ~(2 + n_moments)).
+    lane = lambda x: -(-x // 128) * 128
+    kpad, npad = lane(desc.n_filters), lane(n)
+    per_row = 4 * (3 * n * kpad + n_mono * npad +
+                   (2 + len(desc.moment_tensors)) * n_mono * kpad)
+    # kernel temporaries live on Mosaic's scoped-VMEM stack; ask for
+    # the budget we actually need (the 16 MB default rejected the
+    # m0-5 x 16-filter config at production padding) and size the row
+    # block to keep ~2x headroom under it within total VMEM
+    vmem_limit = 100 * 1024 * 1024
     block = _BLOCK
-    while block > 8 and block * n * (3 * desc.n_filters + 16) * 4 \
-            > 12 * 1024 * 1024:
+    while block > 8 and block * per_row > vmem_limit // 2:
         block //= 2
     (rij_d, ux, uy, uz, islotf, mask_d), nrows = _pad_rows(
         [rij_d, ux, uy, uz, islotf, mask_d], block)
     padded = rij_d.shape[0]
+    # the multiplicity weights ride as a small broadcast INPUT (pallas
+    # rejects array constants captured by the kernel closure)
+    w_dm = jnp.asarray(t_dm[:, list(desc.moment_tensors)], rij_d.dtype)
     kernel = functools.partial(
         _grap_kernel, desc=desc, rcut=float(rcut), n_slots=n_slots,
-        moment_cols=moment_cols, t_dm=t_dm)
+        moment_cols=moment_cols)
     spec = pl.BlockSpec((block, n), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(padded // block,),
-        in_specs=[spec] * 6,
+        in_specs=[spec] * 6 + [
+            pl.BlockSpec(w_dm.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((block, out_cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded, out_cols), rij_d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block, n_mono, n), rij_d.dtype),
+            pltpu.VMEM((block, n_mono, desc.n_filters), rij_d.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
         interpret=_interpret(),
-    )(rij_d, ux, uy, uz, islotf, mask_d)
-    return out[:nrows]
+    )(rij_d, ux, uy, uz, islotf, mask_d, w_dm)
+    # kernel emits (slot, moment, filter) slabs; restore the dense
+    # path's (slot, filter, moment) column order
+    k_f, m_cnt = desc.n_filters, len(desc.moment_tensors)
+    src = np.empty(out_cols, np.int32)
+    for s in range(n_slots):
+        for k in range(k_f):
+            for m in range(m_cnt):
+                src[(s * k_f + k) * m_cnt + m] = (s * m_cnt + m) * k_f + k
+    return out[:nrows, src]
 
 
 def fused_grap(desc, features, rcut: float, n_slots: int) -> jnp.ndarray:
@@ -283,13 +325,17 @@ def _g2_kernel(rij_ref, islot_ref, mask_ref, out_ref, *, grid_rows,
     mask = mask_ref[:]
     r = jnp.where(mask > 0, rij_ref[:], 1.0)
     fc = apply_cutoff(cutoff_name, r, rc) * mask
-    cols = []
+    # per-column slab stores: Mosaic's layout inference rejects
+    # minor-axis concatenation of [blk, 1] vectors (same family as the
+    # GRAP kernel's 3D->2D shape cast), so each reduced column is
+    # written straight into the output ref
+    c = 0
     for s in range(n_slots):
         sel = jnp.where(islot_ref[:] == float(s), fc, 0.0)
         for eta, omega in grid_rows:
             v = jnp.exp(-eta * jnp.square(r - omega) / (rc * rc)) * sel
-            cols.append(jnp.sum(v, axis=1)[:, None])
-    out_ref[:] = jnp.concatenate(cols, axis=1)
+            out_ref[:, c:c + 1] = jnp.sum(v, axis=1)[:, None]
+            c += 1
 
 
 def _g2_pallas(sf, rcut, n_slots, rij_d, islotf, mask_d):
@@ -366,12 +412,13 @@ def _g4_kernel(rij_ref, rik_ref, rjk_ref, aslot_ref, mask_ref, out_ref,
     safe = lambda ref: jnp.where(mask > 0, ref[:], 1.0)
     vals = _g4_values(grid_rows, cutoff_name, acut,
                       safe(rij_ref), safe(rik_ref), safe(rjk_ref))
-    cols = []
+    # per-column slab stores (see _g2_kernel): no minor-axis concat
+    c = 0
     for s in range(n_slots):
         sel = jnp.where(aslot_ref[:] == float(s), mask, 0.0)
         for v in vals:
-            cols.append(jnp.sum(v * sel, axis=1)[:, None])
-    out_ref[:] = jnp.concatenate(cols, axis=1)
+            out_ref[:, c:c + 1] = jnp.sum(v * sel, axis=1)[:, None]
+            c += 1
 
 
 def _g4_pallas(sf, acut, n_slots, rij_d, rik_d, rjk_d, aslotf, mask_d):
