@@ -241,8 +241,11 @@ def _grap_pallas(desc, rcut, n_slots, rij_d, ux, uy, uz, islotf, mask_d):
     # temporaries ([blk, D, Kpad] x ~(2 + n_moments)).
     lane = lambda x: -(-x // 128) * 128
     kpad, npad = lane(desc.n_filters), lane(n)
-    per_row = 4 * (3 * n * kpad + n_mono * npad +
-                   (2 + len(desc.moment_tensors)) * n_mono * kpad)
+    # the slot loop is python-unrolled, so its hsel/s2/moment
+    # temporaries do NOT share buffers across slots — scale them
+    per_row = 4 * (n * kpad + n_mono * npad + n_slots * (
+        2 * n * kpad +
+        (2 + len(desc.moment_tensors)) * n_mono * kpad))
     # kernel temporaries live on Mosaic's scoped-VMEM stack; ask for
     # the budget we actually need (the 16 MB default rejected the
     # m0-5 x 16-filter config at production padding) and size the row
