@@ -262,6 +262,37 @@ def trajectory_heat_flux(model, params, structure, positions, velocities,
 EV_FS_A3_TO_PA_S = 1.602176634e-19 / 1e-30 * 1e-15
 
 
+def gk_plateau(acf: np.ndarray, running: np.ndarray
+               ) -> Dict[str, float]:
+    """Plateau estimate of a running Green-Kubo integral.
+
+    The long-lag tail of a finite trajectory carries no signal — once
+    the ACF has decayed, each added lag only random-walks the running
+    integral (a 600 ps chip seed went NEGATIVE at max lag), so 'mean
+    of the last half of lags' is biased by exactly the lags with the
+    least information.  Standard practice instead: find t0 = the
+    first lag where the ACF has decayed (first nonpositive value or
+    <1% of ACF[0], whichever comes first) and average the running
+    integral over the window [t0, 5*t0] — after decay, before the
+    noise accumulates.
+
+    Returns {"value", "stderr" (over the window, ddof=1), "lag_lo",
+    "lag_hi" (indices)}.
+    """
+    acf = np.asarray(acf, np.float64)
+    running = np.asarray(running, np.float64)
+    a0 = abs(float(acf[0])) + 1e-300
+    decayed = np.where((acf <= 0.0) | (np.abs(acf) < 0.01 * a0))[0]
+    t0 = int(decayed[0]) if len(decayed) else max(len(running) // 4, 1)
+    t0 = max(t0, 1)
+    hi = int(min(len(running), max(5 * t0, t0 + 4)))
+    win = running[t0:hi]
+    se = float(win.std(ddof=1) / np.sqrt(len(win))) if len(win) > 1 \
+        else 0.0
+    return {"value": float(win.mean()), "stderr": se,
+            "lag_lo": t0, "lag_hi": hi}
+
+
 def green_kubo_viscosity(stress: np.ndarray, dt: float, volume: float,
                          temperature: float,
                          max_lag: Optional[int] = None
@@ -291,8 +322,12 @@ def green_kubo_viscosity(stress: np.ndarray, dt: float, volume: float,
     integ = np.concatenate(
         [[0.0], np.cumsum(0.5 * (acf[1:] + acf[:-1]) * dt)])
     pref = EV_FS_A3_TO_PA_S * volume / (KB * temperature)
-    return {"lags": lags, "sacf": acf, "eta_running": pref * integ,
-            "eta": float(pref * integ[-1])}
+    eta_running = pref * integ
+    pl = gk_plateau(acf, eta_running)
+    return {"lags": lags, "sacf": acf, "eta_running": eta_running,
+            "eta": float(eta_running[-1]),
+            "eta_plateau": pl["value"], "eta_plateau_se": pl["stderr"],
+            "plateau_window": (pl["lag_lo"], pl["lag_hi"])}
 
 
 def green_kubo(J: np.ndarray, dt: float, volume: float,
@@ -327,6 +362,10 @@ def green_kubo(J: np.ndarray, dt: float, volume: float,
         [[0.0], np.cumsum(0.5 * (acf[1:] + acf[:-1]) * dt)])
     pref = EV_A_FS_TO_W_MK / (volume * KB * temperature ** 2)
     kappa_running = pref * integ
+    pl = gk_plateau(acf, kappa_running)
     return {"lags": lags, "hcacf": acf,
             "kappa_running": kappa_running,
-            "kappa": float(kappa_running[-1])}
+            "kappa": float(kappa_running[-1]),
+            "kappa_plateau": pl["value"],
+            "kappa_plateau_se": pl["stderr"],
+            "plateau_window": (pl["lag_lo"], pl["lag_hi"])}

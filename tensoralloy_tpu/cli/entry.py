@@ -1119,9 +1119,13 @@ def _compute_kappa_single(args, model=None, params=None, s=None):
                       (gk["lags"], gk["hcacf"], gk["kappa_running"]))
     kr = gk["kappa_running"]
     plateau = float(np.mean(kr[len(kr) // 2:]))
+    lo, hi = gk["plateau_window"]
     print(f"<T> = {t_mean:.1f} K over {len(J)} frames")
     print(f"kappa(max lag) = {gk['kappa']:.3f} W/m/K; "
           f"plateau mean (last half of lags) = {plateau:.3f} W/m/K")
+    print(f"kappa(ACF-decay window, lags {lo}..{hi}) = "
+          f"{gk['kappa_plateau']:.3f} +/- {gk['kappa_plateau_se']:.3f}"
+          f" W/m/K  <- headline estimator")
     if args.output:
         print(f"wrote {args.output}")
     return gk
@@ -1358,9 +1362,14 @@ def _compute_visc(args):
                   (gk["lags"], gk["sacf"], gk["eta_running"]))
     er = gk["eta_running"]
     plateau = float(np.mean(er[len(er) // 2:]))
+    lo, hi = gk["plateau_window"]
     print(f"<T> = {t_mean:.1f} K over {len(sig)} frames")
     print(f"eta(max lag) = {gk['eta'] * 1e3:.4f} mPa s; plateau mean "
           f"(last half of lags) = {plateau * 1e3:.4f} mPa s")
+    print(f"eta(ACF-decay window, lags {lo}..{hi}) = "
+          f"{gk['eta_plateau'] * 1e3:.4f} +/- "
+          f"{gk['eta_plateau_se'] * 1e3:.4f} mPa s  <- headline "
+          f"estimator")
     print(f"wrote {args.output}")
     return 0
 

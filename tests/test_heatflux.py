@@ -202,6 +202,42 @@ def test_green_kubo_cosine_acf():
     np.testing.assert_allclose(gk["hcacf"], expect, atol=1e-3)
 
 
+def test_gk_plateau_ignores_noisy_tail():
+    """gk_plateau: an exponentially-decaying ACF whose running
+    integral then random-walks must report the converged value (with
+    a finite stderr), where the max-lag value is corrupted.  Window:
+    [first decay below 1% of ACF[0], 5x that lag]."""
+    from tensoralloy_tpu.analysis.heatflux import gk_plateau
+    rng = np.random.RandomState(3)
+    tau, dt, n = 20.0, 1.0, 2000
+    lags = np.arange(n) * dt
+    acf = np.exp(-lags / tau)
+    integ = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (acf[1:] + acf[:-1]) * dt)])
+    # corrupt the tail: after the ACF has died, add a random walk that
+    # drags the running integral far from the converged tau
+    walk = np.cumsum(rng.randn(n) * 0.3)
+    walk[:300] = 0.0
+    running = integ + walk
+    pl = gk_plateau(acf, running)
+    # analytic integral = tau (to ~dt/2 trapezoid error)
+    assert pl["value"] == pytest.approx(tau, rel=0.05)
+    assert pl["stderr"] >= 0.0
+    # the decay window starts where exp(-t/tau) < 0.01 -> ~4.6 tau
+    assert 80 <= pl["lag_lo"] <= 120
+    assert abs(running[-1] - tau) > 5 * abs(pl["value"] - tau) + 1.0
+    # green_kubo surfaces the same fields
+    J = np.zeros((400, 3))
+    J[:, 0] = np.exp(-np.arange(400) / 10.0) * np.cos(
+        0.7 * np.arange(400))
+    gk = green_kubo(J, dt=1.0, volume=500.0, temperature=300.0,
+                    max_lag=150)
+    lo, hi = gk["plateau_window"]
+    assert 0 < lo < hi <= 151
+    assert np.isfinite(gk["kappa_plateau"])
+    assert np.isfinite(gk["kappa_plateau_se"])
+
+
 def test_trajectory_heat_flux_compiles_once(monkeypatch):
     """The capacity pre-scan must hold the whole trajectory to ONE
     compiled executable even when the pair count varies frame-to-frame
