@@ -48,6 +48,7 @@ from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields import full_to_voigt, EV_ANGSTROM3_TO_GPA
 from ...ops.dense import gather_vec, safe_norm_components
@@ -81,19 +82,47 @@ def _make_pass(model) -> Callable:
         n_vap = pos.shape[0]
 
         # per-pair vectors as a (vx, vy, vz) COMPONENT tuple of
-        # [n_vap, nnl] arrays: a [*, 3]-minor gather/temp is laid out
-        # in (8, 128) TPU tiles (42.7x padding tax; see ops/dense.py),
-        # so the whole pass is structure-of-arrays
-        v = gather_vec(pos, jd, features["pair_simg_d"], cell)
+        # [n_vap, nnl] arrays: the elementwise math is structure-of-
+        # arrays, but the position FETCH is one row gather — per-pair
+        # gathers of 1D operands serialize on TPU when fused with
+        # arithmetic (0.74 s vs 0.037 s at 131k/128 for the geometry
+        # stage alone; `artifacts/probe_fast_efs3.py`), so every
+        # per-pair lookup below rides a [n_vap, C] row-gather table.
+        elem_np = np.asarray(model.vap_element_idx)
+        n_el = len(elements)
+        dtype = pos.dtype
+        if n_el == 1:
+            v = gather_vec(pos, jd, features["pair_simg_d"], cell)
+            ej_eq = lambda b: np.bool_(b == 0)
+            ut = None
+        else:
+            # the neighbor-element lookup rides the SAME row gather as
+            # the positions (column 3 of the table)
+            from ...ops.dense import shift_dot_cell
+            sv = shift_dot_cell(features["pair_simg_d"], cell, dtype)
+            ptab = jnp.concatenate(
+                [pos, jnp.asarray(elem_np, dtype)[:, None]], axis=1)
+            g = ptab[jd]                       # [n_vap, nnl, 4]
+            v = tuple(g[..., a] + sv[a] - pos[:, a][:, None]
+                      for a in range(3))
+            ejf = g[..., 3]
+            ej_eq = lambda b: ejf == np.asarray(b, dtype)
+            # k-body term of each pair, assembled ELEMENTWISE from a
+            # per-atom row (no [n_el, n_el]-operand per-pair gather)
+            trow = jnp.asarray(model._uterm_table)[
+                jnp.asarray(elem_np)]          # [n_vap, n_el]
+            ut = jnp.zeros(jd.shape, jnp.int32)
+            for b in range(n_el):
+                ut = jnp.where(ej_eq(b), trow[:, b][:, None], ut)
         r = safe_norm_components(v)            # [n_vap, nnl]
         r = jnp.where(mask > 0, r, 1.0)
         mask = mask * (r < rcut).astype(mask.dtype)
         u = tuple(vc / r for vc in v)
 
-        elem = jnp.asarray(model.vap_element_idx)
-        ei = elem[:, None]                     # [n_vap, 1] broadcasts
-        ej = elem[jd]                          # [n_vap, nnl]
-        ut = jnp.asarray(model._uterm_table)[ei, ej]
+        ei = jnp.asarray(elem_np)[:, None]     # [n_vap, 1] broadcasts
+        ut_eq = ((lambda t: np.bool_(
+            int(model._uterm_table[0, 0]) == t)) if ut is None
+            else (lambda t: ut == t))
 
         # ---- per-pair function values + radial derivatives ----------
         # rho: 'self' = a_{kj} (center k), 'rev' = a_{jk} (center j).
@@ -108,8 +137,8 @@ def _make_pass(model) -> Callable:
                         continue
                     val, der = _val_and_deriv(
                         model._fn(params, a + b, "rho", "rho"), r)
-                    sel_s = (ei == a_i) & (ej == b_i)
-                    sel_r = (ej == a_i) & (ei == b_i)
+                    sel_s = (ei == a_i) & ej_eq(b_i)
+                    sel_r = ej_eq(a_i) & (ei == b_i)
                     rho_p = rho_p + jnp.where(sel_s, val, 0.0)
                     drho_self = drho_self + jnp.where(sel_s, der, 0.0)
                     drho_rev = drho_rev + jnp.where(sel_r, der, 0.0)
@@ -120,8 +149,8 @@ def _make_pass(model) -> Callable:
                 val, der = _val_and_deriv(
                     model._fn(params, e, "rho", "rho"), r)
                 # alloy: rho depends on the NEIGHBOR element only
-                rho_p = rho_p + jnp.where(ej == e_i, val, 0.0)
-                drho_self = drho_self + jnp.where(ej == e_i, der, 0.0)
+                rho_p = rho_p + jnp.where(ej_eq(e_i), val, 0.0)
+                drho_self = drho_self + jnp.where(ej_eq(e_i), der, 0.0)
                 drho_rev = drho_rev + jnp.where(ei == e_i, der, 0.0)
 
         phi_p = jnp.zeros_like(r)
@@ -131,7 +160,7 @@ def _make_pass(model) -> Callable:
                 continue
             val, der = _val_and_deriv(
                 model._fn(params, term, "phi", "phi"), r)
-            sel = ut == t
+            sel = ut_eq(t)
             phi_p = phi_p + jnp.where(sel, val, 0.0)
             dphi = dphi + jnp.where(sel, der, 0.0)
 
@@ -145,8 +174,12 @@ def _make_pass(model) -> Callable:
         g_rho = emb_pullback(am)[0]
 
         atomic_e = (embed_i + phi_i) * am
-        am_j = am[jd]
-        g_rho_j = g_rho[jd]
+        # per-atom adjoints fetched through ONE row gather (1D-operand
+        # per-pair gathers serialize; probe_fast_efs — stage 'forces'
+        # was 0.43 s of the old 1.0 s pass)
+        gt = jnp.stack([g_rho, am], axis=-1)[jd]   # [n_vap, nnl, 2]
+        g_rho_j = gt[..., 0]
+        am_j = gt[..., 1]
 
         # ---- radial force/virial coefficients ------------------------
         w_self = g_rho[:, None] * drho_self + 0.5 * am[:, None] * dphi
@@ -160,8 +193,10 @@ def _make_pass(model) -> Callable:
         ct_self = [w_self * uc for uc in u]
 
         if is_adp:
+            ut_arr = (jnp.zeros(jd.shape, jnp.int32) if ut is None
+                      else ut)
             adp_e, ct_a_self, ct_a_rev = _adp_terms(
-                model, params, features, v, r, u, mask, ut, am, jd,
+                model, params, features, v, r, u, mask, ut_arr, am, jd,
                 n_vap)
             atomic_e = atomic_e + adp_e * am
             forces_c = [fc + jnp.sum(cs - cr, axis=1)
@@ -232,10 +267,13 @@ def make_fast_heat_flux_fn(model) -> Callable:
         kin = 0.5 * masses * jnp.sum(jnp.square(velocities), axis=-1) \
             / FORCE_TO_ACC
         conv = jnp.sum((ae + kin * am)[:, None] * velocities, axis=0)
-        # per-component velocity gathers ([n_vap, nnl] each — never a
-        # [*, 3] gather); ct.vel contracted first, then dotted with v
+        # neighbor velocities through ONE row gather, sliced into
+        # components (per-component 1D-operand gathers serialize when
+        # fused — probe_fast_efs3); ct.vel contracted first, then
+        # dotted with v
         jd = features["pair_j_d"]
-        ct_dot_vel = sum(ct * velocities[:, a][jd]
+        vg = velocities[jd]                       # [n_vap, nnl, 3]
+        ct_dot_vel = sum(ct * vg[..., a]
                          for a, ct in enumerate(o["ct_self"]))
         jv = -jnp.stack([jnp.vdot(o["v"][b], ct_dot_vel)
                          for b in range(3)])

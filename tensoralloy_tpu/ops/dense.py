@@ -67,11 +67,23 @@ def shift_dot_cell(simg, cell, dtype):
 def gather_vec(pos, jd, simg, cell, centers=None):
     """Per-pair vectors r_j + S @ cell - r_i as THREE [A, N] component
     arrays — the structure-of-arrays form every dense consumer uses.
-    `centers` (row-chunked evaluation) defaults to `pos`."""
+    `centers` (row-chunked evaluation) defaults to `pos`.
+
+    The neighbor positions are fetched with ONE row gather `pos[jd]`
+    and sliced into components afterwards.  The seemingly equivalent
+    per-component form `pos[:, a][jd]` is catastrophic on TPU when it
+    fuses with the surrounding arithmetic: XLA serializes the fused
+    slice-operand gather (measured 0.74 s vs 0.037 s for this whole
+    function at the 131k-atom/nnl-128 bench shape; an
+    optimization_barrier does NOT recover it —
+    `artifacts/probe_fast_efs3.py`).  The row-gather output does pay
+    the (8, 128)-tile minor-axis padding once (~31 ms of HBM at that
+    shape), which is the measured residual."""
     c = pos if centers is None else centers
     dtype = pos.dtype
     sv = shift_dot_cell(simg, cell, dtype)
-    return tuple(pos[:, a][jd] + sv[a] - c[:, a][:, None]
+    g = pos[jd]                                    # [A, N, 3] row gather
+    return tuple(g[..., a] + sv[a] - c[:, a][:, None]
                  for a in range(3))
 
 
@@ -179,10 +191,15 @@ def transpose_reduce(g, trans_idx: jnp.ndarray,
     table enumerates every slot whose index equals a (full directed
     lists guarantee the occurrence count of a as a neighbor equals a's
     own neighbor count, so the table is never wider than the source).
-    `g` is a component tuple of [A, N] arrays (one flat [A*N] gather
-    per component — never a [*, 3] gather)."""
-    return tuple(jnp.sum(gc.reshape(-1)[trans_idx] * trans_mask, axis=1)
-                 for gc in g)
+    `g` is a component tuple of [A, N] arrays; the components are
+    stacked into one [A*N, 3] table fetched by a single ROW gather —
+    per-component 1D-operand gathers serialize on TPU when they fuse
+    with the multiply/reduce (0.74 s vs 0.037 s for the analogous
+    position fetch at 131k/128; `artifacts/probe_fast_efs3.py`)."""
+    tab = jnp.stack([gc.reshape(-1) for gc in g], axis=-1)  # [A*N, 3]
+    gt = tab[trans_idx]                                     # [A, C, 3]
+    return tuple(jnp.sum(gt[..., c] * trans_mask, axis=1)
+                 for c in range(len(g)))
 
 
 def make_dense_efs_fn(energy_fn, extras_fn=None):
