@@ -834,6 +834,23 @@ def main():
         print(json.dumps(cpu_selfcheck()), flush=True)
         return
 
+    # SIGTERM (e.g. an outer `timeout`) default-kills Python WITHOUT
+    # running except/atexit blocks — the silent parsed:null failure
+    # observed 2026-08-19 when a wrapper timeout fired mid-suite.
+    # Emit the partial record and exit 0 instead.
+    import signal
+
+    def _on_term(signum, frame):
+        RECORD["extras"].setdefault("reason", f"signal_{signum}")
+        _emit()
+        os._exit(0)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            signal.signal(_sig, _on_term)
+        except (ValueError, OSError):
+            pass
+
     # Hang watchdog: a wedged tunnel request cannot be caught by
     # try/except — force the partial record out and exit 0.
     import threading

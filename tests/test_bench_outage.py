@@ -26,6 +26,31 @@ def test_probe_passes_on_healthy_backend():
     assert mod._probe_backend(timeout_s=300) is True
 
 
+def test_bench_sigterm_emits_partial_record():
+    """A driver- or wrapper-side `timeout` SIGTERM must not produce a
+    silent parsed:null round: Python's default SIGTERM disposition
+    kills the process without running except/atexit blocks (observed
+    2026-08-19 — a 25-min wrapper timeout ate a full bench run's
+    output). bench.py installs a handler that emits the partial
+    record and exits 0."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)     # strip the axon plugin site
+    p = subprocess.Popen(
+        [sys.executable, "-u", os.path.join(REPO, "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        cwd=REPO)
+    import signal as _signal
+    import time
+    time.sleep(8)                   # past probe, inside a real stage
+    p.send_signal(_signal.SIGTERM)
+    out, err = p.communicate(timeout=120)
+    assert p.returncode == 0, err.decode()[-2000:]
+    rec = json.loads(out.decode().strip().splitlines()[-1])
+    assert rec["extras"]["ok"] is False
+    assert rec["extras"]["reason"].startswith("signal_")
+
+
 def test_bench_simulated_outage_emits_parseable_record():
     env = dict(os.environ)
     env["TA_BENCH_FORCE_OUTAGE"] = "1"
