@@ -53,6 +53,21 @@ def _emit():
     global _EMITTED
     if not _EMITTED:
         _EMITTED = True
+        # contention stamp (VERDICT r4 weak #7: a contended partial
+        # record sat next to the official idle one with no flag in the
+        # JSON itself — the 13.75-vs-6.57 ms bs-32 discrepancy). The
+        # 1-core host runs this process; loadavg > ~1.5 means another
+        # compute process shared the host during the run and marginal
+        # timings may be inflated.
+        try:
+            la = os.getloadavg()
+            RECORD["extras"]["loadavg_1m_end"] = round(la[0], 2)
+            RECORD["extras"]["loadavg_15m"] = round(la[2], 2)
+            RECORD["extras"]["idle_host"] = bool(
+                max(RECORD["extras"].get("loadavg_1m_start", 0.0),
+                    la[2]) < 1.5)
+        except OSError:
+            pass
         print(json.dumps(RECORD), flush=True)
 
 
@@ -670,6 +685,10 @@ def run_bench():
     from tensoralloy_tpu.nn.atomic import AtomicNN
 
     ex = RECORD["extras"]
+    try:
+        ex["loadavg_1m_start"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     ex["backend"] = jax.default_backend()
     ex["timing"] = ("marginal K-vs-2 fused scan, host-fetch forced "
                     "(block_until_ready does not block on this "

@@ -71,7 +71,8 @@ class TensorAlloyCalculator:
     def __init__(self, model_or_path, params: Optional[dict] = None,
                  chunked: "bool | str" = "auto", chunk_size: int = 0,
                  chunk_auto_pairs: int = 3_000_000,
-                 device_nl: bool = False,
+                 device_nl: "bool | str" = "auto",
+                 device_nl_auto_atoms: int = 8192,
                  fast_efs: "bool | str" = "auto"):
         """`chunked`: large-cell evaluation via the rematerialized
         chunk scan (`EamNN.energy_chunked` pair blocks /
@@ -89,7 +90,19 @@ class TensorAlloyCalculator:
         to size the capacities, every later call is pure device (bin,
         compact, evaluate — no host work). Builders are cached per
         (cell, symbol-sequence); capacity overflows self-heal by
-        growing and rebuilding."""
+        growing and rebuilding.
+
+        `device_nl="auto"` (the default): large SINGLE frames route
+        through the device builder too — at `device_nl_auto_atoms`+
+        atoms (default 8192) host featurization is the dominant cost
+        of a one-shot evaluation (14-38 s at 131k atoms on a 1-core
+        host vs ~1 s of device NL build), so the auto path sizes the
+        builder with the O(1)-host density census
+        (`DeviceNeighborList(census="density")`) and keeps every
+        O(N·nnl) step on device. Angular models (dense triples) stay
+        on host featurization under "auto" — their triple capacities
+        need the exact census. Small frames keep the host path (no
+        build compile for one cheap structure)."""
         if isinstance(model_or_path, str):
             from .io.model import load_model
             self.model, self.params, self.config = load_model(model_or_path)
@@ -100,7 +113,9 @@ class TensorAlloyCalculator:
         self.chunked = chunked
         self.chunk_size = int(chunk_size)
         self.chunk_auto_pairs = int(chunk_auto_pairs)
-        self.device_nl = bool(device_nl)
+        self.device_nl = ("auto" if device_nl == "auto"
+                          else bool(device_nl))
+        self.device_nl_auto_atoms = int(device_nl_auto_atoms)
         # Scatter-free analytic EFS for the EAM family
         # (`nn/eam/fast_efs.py`): gathers + dense row reductions only —
         # no XLA TPU scatters in forward or backward, no O(npairs)
@@ -151,13 +166,25 @@ class TensorAlloyCalculator:
             out[e] = b
         return out
 
-    def _get_variant(self, structure: Structure):
+    def _use_device_nl(self, structure: Structure) -> bool:
+        """Resolve the device_nl mode against this structure."""
+        if self.device_nl == "auto":
+            if len(structure) < self.device_nl_auto_atoms:
+                return False
+            # dense-triple capacities need the exact (host-NL) census,
+            # which costs what the auto path exists to avoid
+            if getattr(self.featurizer, "angular", False):
+                return False
+            return True
+        return bool(self.device_nl)
+
+    def _get_variant(self, structure: Structure, use_device: bool = False):
         """(model clone, jitted efs, jitted hessian) for this layout."""
         occurs = self._bucketed_occurs(structure)
-        key = tuple(sorted(occurs.items()))
+        key = (tuple(sorted(occurs.items())), bool(use_device))
         hit = self._variant_cache.get(key)
         if hit is None:
-            model = self.model.clone_for(Counter(dict(key)))
+            model = self.model.clone_for(Counter(dict(key[0])))
 
             # forces/stress/Hessian differentiate the variational energy
             # (free energy for finite-temperature models); atomic
@@ -179,7 +206,7 @@ class TensorAlloyCalculator:
                 # autodiff residuals, so no chunked variant is needed
                 efs = self._jit_efs(make_fast_efs_fn(model))
             elif (model_feature_layout(model) == "dense"
-                    and not self.device_nl):
+                    and not use_device):
                 # dense descriptor models: differentiate w.r.t. the
                 # pair/triple VECTORS and assemble forces through the
                 # featurizer's transpose tables — the autodiff-vs-
@@ -285,7 +312,12 @@ class TensorAlloyCalculator:
             b = DeviceNeighborList(
                 self.featurizer, vap, structure,
                 layout=model_feature_layout(self.model,
-                                            fast=self.fast_efs))
+                                            fast=self.fast_efs),
+                # one-shot auto routing must not pay a host neighbor
+                # list just to size capacities; explicit device_nl=True
+                # (trajectory mode) keeps the exact census it amortizes
+                census=("density" if self.device_nl == "auto"
+                        else "exact"))
             self._nl_cache[key] = b
         dtype = (np.float64 if jax.config.jax_enable_x64
                  else np.float32)
@@ -308,12 +340,22 @@ class TensorAlloyCalculator:
     # ------------------------------------------------------------------
     def calculate(self, structure: Structure) -> Dict[str, np.ndarray]:
         vap = self._get_vap(structure)
-        model, efs, _, efs_chunked = self._get_variant(structure)
-        feats = (self._features_device(structure, vap) if self.device_nl
+        use_device = self._use_device_nl(structure)
+        model, efs, _, efs_chunked = self._get_variant(structure,
+                                                       use_device)
+        feats = (self._features_device(structure, vap) if use_device
                  else self._features(structure, vap))
+        # chunk_auto_pairs is calibrated for the FLAT-segment autodiff
+        # backward (11.3M-pair residuals need ~24.5 GB HBM); the dense
+        # row layout holds ~8x less per padded pair and the monolithic
+        # dense GRAP backward at 131k atoms/16.8M pairs measured fine
+        # on chip (0.419 s, bench_inference_r4) — scale the threshold
+        # so large dense frames stay monolithic
+        auto_pairs = self.chunk_auto_pairs * (
+            8 if "pair_j_d" in feats else 1)
         use_chunked = efs_chunked is not None and (
             self.chunked is True or
-            self._padded_pairs(feats) > self.chunk_auto_pairs)
+            self._padded_pairs(feats) > auto_pairs)
         out = jax.device_get((efs_chunked if use_chunked else efs)(
             self.params, feats))
         self.results = self._assemble(out, vap)

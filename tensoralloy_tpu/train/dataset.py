@@ -154,9 +154,21 @@ class Dataset:
         labels = {k[2:]: v for k, v in data.items() if k.startswith("l_")}
         # pre-simg caches stored float [B, A, N, 3] shift arrays; the
         # packed int32 encoding is exactly recoverable on the host, so
-        # old caches upgrade in place instead of refeaturizing
+        # old caches upgrade in place: convert, then REWRITE the npz so
+        # the conversion (and the ~12x larger float arrays) are paid
+        # once, not on every load
         from ..ops.dense import convert_legacy_shifts
+        legacy = [k for k in feats
+                  if k in ("pair_shift_d", "trip_shift_j_d",
+                           "trip_shift_k_d")]
         feats = convert_legacy_shifts(feats)
+        if legacy:
+            try:
+                data = {**{f"f_{k}": v for k, v in feats.items()},
+                        **{f"l_{k}": v for k, v in labels.items()}}
+                np.savez_compressed(self.cache_path, **data)
+            except OSError:
+                pass        # read-only cache dir: converted copy stays
         return feats, labels
 
     # ------------------------------------------------------------------

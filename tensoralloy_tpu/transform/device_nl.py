@@ -88,7 +88,7 @@ class DeviceNeighborList:
                  cell_cap: Optional[int] = None,
                  ntl_cap: Optional[int] = None,
                  layout: str = "dense", angular: Optional[bool] = None,
-                 margin: float = 1.3):
+                 margin: float = 1.3, census: str = "exact"):
         if layout not in ("dense", "segment", "both"):
             raise ValueError(f"unknown layout {layout!r}")
         self.fz = featurizer
@@ -139,11 +139,25 @@ class DeviceNeighborList:
             np.int32)
         self.n_vap = vap.n_atoms_vap
 
-        # auto-size capacities from the representative structure
+        # auto-size capacities from the representative structure.
+        # census="exact" runs the host neighbor list once — right for
+        # trajectory builders that amortize it over many frames.
+        # census="density" sizes nnl from the uniform-density cutoff
+        # sphere instead (numpy binning only, no host NL): the O(N)
+        # host cost that dominates ONE-SHOT large cells disappears,
+        # and an underestimate self-heals through the grow() loop the
+        # same way any capacity overflow does. Angular models keep the
+        # exact census (triple counts are too sensitive to estimate).
+        if census not in ("exact", "density"):
+            raise ValueError(f"unknown census mode {census!r}")
         if cell_cap is None or nnl_cap is None or (
                 self.angular and ntl_cap is None):
-            occ, nnl_need, ntl_need = self._host_census(
-                structure.positions)
+            if census == "density" and not self.angular and n:
+                occ, nnl_need, ntl_need = self._density_census(
+                    structure.positions)
+            else:
+                occ, nnl_need, ntl_need = self._host_census(
+                    structure.positions)
             if cell_cap is None:
                 cell_cap = _round_up(int(np.ceil(occ * margin)))
             if nnl_cap is None:
@@ -161,6 +175,27 @@ class DeviceNeighborList:
         self._build_jit = jax.jit(self._build)
 
     # ------------------------------------------------------------------
+    def _density_census(self, positions) -> Tuple[int, int, int]:
+        """Capacity estimate without a host neighbor list: exact cell
+        occupancy from numpy binning (microseconds) + neighbors/atom
+        from the LOCAL density of the fullest bin — the cutoff-sphere
+        count at that density bounds the worst atom for any roughly
+        uniform system; pathological clustering self-heals via grow().
+        """
+        cell, g = self.cell0, np.asarray(self.grid)
+        frac = positions @ np.linalg.inv(cell)
+        wrap = np.where(self.pbc, np.floor(frac), 0.0)
+        fw = frac - wrap
+        c = np.clip((fw * g).astype(int), 0, g - 1)
+        cid = (c[:, 0] * g[1] + c[:, 1]) * g[2] + c[:, 2]
+        occ = int(np.bincount(cid, minlength=g.prod()).max())
+        vol = float(abs(np.linalg.det(cell)))
+        bin_vol = vol / float(g.prod())
+        local_density = occ / bin_vol
+        sphere = 4.0 / 3.0 * np.pi * self.cutoff ** 3
+        nnl = int(np.ceil(sphere * local_density))
+        return occ, max(nnl, 1), 0
+
     def _host_census(self, positions) -> Tuple[int, int, int]:
         """numpy mirror of the binning: exact (max cell occupancy,
         max neighbors/atom, max triples/atom) for the given positions."""
@@ -215,6 +250,15 @@ class DeviceNeighborList:
             raise RuntimeError(
                 f"device neighbor list overflow: needed ntl "
                 f"{int(diag['ntl_needed'])} (cap {self.ntl_cap})")
+        from ..ops.dense import SIMG_OFF
+        if int(diag.get("simg_overflow", 0)) > 0:
+            raise RuntimeError(
+                f"shift-image overflow: {int(diag['simg_overflow'])} "
+                f"pair components exceeded +-{SIMG_OFF} cells — "
+                f"positions have drifted too far from the home cell "
+                f"for the packed image code (the host featurizer "
+                f"raises on the same condition); wrap coordinates or "
+                f"rebuild from wrapped positions")
 
     def stencil_reach(self, cell) -> np.ndarray:
         """Physical distance the static stencil covers per axis for a
@@ -357,14 +401,26 @@ class DeviceNeighborList:
         wrap_i = wrap.astype(jnp.int32)                 # whole floats
         simg_o = jnp.zeros(j_o.shape, jnp.int32)
         mult = (1, SIMG_BASE, SIMG_BASE * SIMG_BASE)
+        # range guard: s_a is unbounded when MD drifts raw coordinates
+        # many cells from home (wrap_i - wrap_j grows without limit);
+        # the host featurizer's encode_simg_np raises on |s| > SIMG_OFF
+        # but a silent device-side wraparound would corrupt all three
+        # decoded components. Count overflows into diag (check() fails
+        # loudly) and clamp so even an unchecked build cannot poison
+        # slots beyond the offending pair.
+        simg_over = jnp.zeros((), jnp.int32)
         for a in range(3):
             s_a = jnp.where(
                 pbc[a],
                 jnp.floor_divide(c[:, a][:, None] + o_tab[:, a][blk],
                                  g[a]), 0)              # [n, NNL]
             s_a = s_a + wrap_i[:, a][:, None] - wrap_i[:, a][j_o]
+            simg_over = simg_over + jnp.sum(
+                (jnp.abs(s_a) > SIMG_OFF) & m_o).astype(jnp.int32)
+            s_a = jnp.clip(s_a, -SIMG_OFF, SIMG_OFF)
             simg_o = simg_o + mult[a] * (jnp.where(m_o, s_a, 0)
                                          + SIMG_OFF)
+        diag["simg_overflow"] = simg_over
         j_o = jnp.where(m_o, j_o, 0)
 
         elem = jnp.asarray(self.elem_idx_local)
@@ -385,7 +441,7 @@ class DeviceNeighborList:
             out = x[v2l]
             m = rmask.reshape((-1,) + (1,) * (x.ndim - 1))
             return jnp.where(m, out, jnp.asarray(fill, x.dtype)
-                             ) if n else jnp.zeros(shape, x.dtype)
+                             ) if n else jnp.full(shape, fill, x.dtype)
 
         mask_f = m_o.astype(fdt)
         feats: Dict[str, jnp.ndarray] = {
