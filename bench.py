@@ -285,7 +285,7 @@ def measure_peak_bandwidth():
 
 def measure_train(model, feats, labels, batch_size, k_hi=18,
                   minimize=("energy", "forces"),
-                  force_assembly="autodiff"):
+                  force_assembly="autodiff", microbatch=0):
     """-> (per_step_seconds, achieved_flops_per_s) via marginal fused
     programs (k_hi-step vs 2-step; fixed dispatch cost cancels)."""
     import jax
@@ -312,7 +312,8 @@ def measure_train(model, feats, labels, batch_size, k_hi=18,
         trainer = Trainer(
             model, L.LossParameters(), OptParameters(learning_rate=1e-3),
             TrainParameters(batch_size=batch_size, train_steps=10000,
-                            scan_steps=k, force_assembly=force_assembly),
+                            scan_steps=k, force_assembly=force_assembly,
+                            microbatch_size=microbatch),
             minimize_properties=minimize, n_devices=1)
         params = model.init_params(jax.random.PRNGKey(0))
         state = replicate(trainer.init_state(params), trainer.mesh)
@@ -584,6 +585,25 @@ def measure_bs_scaling(fz, feats, labels, model_fn,
             continue
         out[f"bs{bs}_structs_per_s"] = round(bs / step, 1)
         out[f"bs{bs}_achieved_tflops"] = round(fps / 1e12, 3)
+    # gradient accumulation (train.microbatch_size): the same optimizer
+    # batch scanned through the compiled step in small-batch chunks —
+    # probe_train_scaling_r5 measured the MONOLITHIC bs-512 step 1.6x
+    # slower per structure than bs-32 (XLA re-fuses the materialized
+    # row-gather tables under memory pressure, serializing them); this
+    # row measures whether accumulation restores small-batch throughput
+    # at the large optimizer batch
+    for bs, mb in ((128, 32), (512, 32), (512, 128)):
+        if deadline is not None and time.perf_counter() > deadline:
+            out[f"bs{bs}_mb{mb}_structs_per_s"] = -1.0
+            continue
+        try:
+            step, fps, _, _ = measure_train(model_fn(), feats, labels,
+                                            batch_size=bs, k_hi=6,
+                                            microbatch=mb)
+            out[f"bs{bs}_mb{mb}_structs_per_s"] = round(bs / step, 1)
+            out[f"bs{bs}_mb{mb}_achieved_tflops"] = round(fps / 1e12, 3)
+        except Exception as e:
+            out[f"bs{bs}_mb{mb}_error"] = repr(e)[:120]
     # scatter-free force assembly (force_assembly='dense'): the same
     # train step with the gather-VJP scatter replaced by transpose-
     # table gathers — the autodiff-vs-dense delta IS the measured

@@ -320,6 +320,8 @@ class TrainingManager:
             final_f32_steps=int(r.get("train.final_f32_steps", 0) or 0),
             force_assembly=str(
                 r.get("train.force_assembly", "auto") or "auto"),
+            microbatch_size=int(
+                r.get("train.microbatch_size", 0) or 0),
             seed=r["seed"],
             model_dir=r["train.model_dir"])
 

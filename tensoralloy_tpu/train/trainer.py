@@ -106,6 +106,31 @@ class TrainParameters:
     #       existing runs are unaffected because datasets do not emit
     #       transpose tables unless asked.
     force_assembly: str = "auto"
+    # Gradient accumulation: split each optimizer batch into
+    # batch_size/microbatch_size chunks inside the compiled step
+    # (lax.scan), averaging the per-chunk gradients before ONE
+    # optimizer update. 0 = off (monolithic batch). Motivation is a
+    # measured TPU compiler regime switch, not memory alone:
+    # probe_train_scaling_r5 (chip, idle) shows the SNAP train step at
+    # bs 512 runs 1.6x SLOWER per structure than at bs 32/128 (328 vs
+    # 202/209 us/struct) while XLA's bytes-accessed per structure
+    # DROPS ~2x in exactly the stage (position backward) that relies
+    # on materialized row-gather tables — at large live sets XLA fuses
+    # the gathers it materialized at small batch, which serializes
+    # them (the round-4 probe3 pathology, see ops/dense.py). Keeping
+    # the per-chunk shapes in the fast regime and scanning restores
+    # small-batch throughput at any optimizer batch size.
+    # Semantics: gradients are the MEAN over chunks of per-chunk
+    # batch gradients — identical to the monolithic batch whenever the
+    # loss is linear in the batch mean (logcosh/mse-type, uniform
+    # structure sizes, no sample weights; pinned to 1e-12 in
+    # test_training.py). With rmse-type losses (sqrt OF a batch mean)
+    # the objective becomes the mean of per-chunk RMSEs, and with
+    # sample weights / unequal structure sizes the normalization is
+    # per-chunk — both the standard gradient-accumulation convention
+    # (each chunk contributes equally, as in per-shard DDP-style
+    # accumulation). Requires batch_size % microbatch_size == 0.
+    microbatch_size: int = 0
 
     def __post_init__(self):
         # Fail at construction, not hours later when the first eval
@@ -116,6 +141,11 @@ class TrainParameters:
             raise ValueError(
                 f"eval_matmul_precision={self.eval_matmul_precision!r}"
                 f" is not one of {sorted(valid)}")
+        mb = int(self.microbatch_size or 0)
+        if mb < 0 or (mb and self.batch_size % mb != 0):
+            raise ValueError(
+                f"microbatch_size={self.microbatch_size} must be 0 or a "
+                f"positive divisor of batch_size={self.batch_size}")
         if self.force_assembly not in ("auto", "autodiff", "dense"):
             raise ValueError(
                 f"force_assembly={self.force_assembly!r} is not one of "
@@ -410,12 +440,48 @@ class Trainer:
         """Unjitted single optimizer step (shared by every fused
         variant)."""
         decay = self.train_parameters.ema_decay
+        mb = int(getattr(self.train_parameters, "microbatch_size", 0)
+                 or 0)
+        bs = int(self.train_parameters.batch_size)
+
+        def loss_and_grads(params, feats, labels, step):
+            if not (0 < mb < bs):
+                return jax.value_and_grad(
+                    self.total_loss, has_aux=True)(
+                        params, feats, labels, step)
+            # gradient accumulation: scan over [bs/mb, mb, ...] chunks
+            # so the position-backward compiles at the small-batch
+            # shapes where XLA keeps the row-gather tables materialized
+            # (see TrainParameters.microbatch_size)
+            n_chunks = bs // mb
+            split = lambda t: jax.tree_util.tree_map(
+                lambda x: x.reshape((n_chunks, mb) + x.shape[1:]), t)
+            fs, ls = split(feats), split(labels)
+            first = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
+            rest = lambda t: jax.tree_util.tree_map(lambda x: x[1:], t)
+            (_, m0), g0 = jax.value_and_grad(
+                self.total_loss, has_aux=True)(
+                    params, first(fs), first(ls), step)
+
+            def body(carry, chunk):
+                g_acc, m_acc = carry
+                bf, bl = chunk
+                (_, m), g = jax.value_and_grad(
+                    self.total_loss, has_aux=True)(params, bf, bl, step)
+                add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+                return (add(g_acc, g), add(m_acc, m)), None
+
+            (g, m), _ = jax.lax.scan(body, (g0, m0), (rest(fs), rest(ls)))
+            scale = 1.0 / n_chunks
+            mean = lambda t: jax.tree_util.tree_map(
+                lambda x: x * scale, t)
+            metrics = mean(m)
+            return (metrics["loss/total"], metrics), mean(g)
 
         def train_step(state, feats, labels):
             step = state["step"]
-            (loss, metrics), grads = jax.value_and_grad(
-                self.total_loss, has_aux=True)(
-                    state["params"], feats, labels, step)
+            (loss, metrics), grads = loss_and_grads(
+                state["params"], feats, labels, step)
             updates, opt_state = self.tx.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)

@@ -402,6 +402,48 @@ def test_scan_steps_equivalent(ethanol_db, tmp_path):
                                    atol=1e-12)
 
 
+def test_microbatch_grad_accumulation_equivalent(ethanol_db, tmp_path):
+    """train.microbatch_size=M (gradient accumulation inside the
+    compiled step) produces the same params as the monolithic batch
+    when the loss is linear in the batch mean (logcosh here: rmse is a
+    sqrt OF the batch mean, so its accumulated objective is the mean
+    of per-chunk RMSEs — the standard accumulation convention, see
+    TrainParameters.microbatch_size). Also fuses with scan_steps (the
+    accumulation scan nests inside the K-step scan)."""
+    from tensoralloy_tpu.nn.sf import SymmetryFunction as SF
+    fz = Featurizer(ethanol_db.elements, rcut=5.0)
+    ds = Dataset(ethanol_db, fz, name="ethanol", test_size=2,
+                 dtype=np.float64, cache_dir=str(tmp_path))
+    feats, labels = ds.build()
+    tf_, tl_, _, _ = ds.split(feats, labels)
+    model = AtomicNN(fz, ds.max_occurs, SF(ethanol_db.elements),
+                     hidden_sizes=[8], minmax_scale=False)
+    params0 = jax.device_get(
+        model.init_params(jax.random.PRNGKey(7)))
+    lp = L.LossParameters(
+        energy=L.LossOptions(method="logcosh"),
+        forces=L.LossOptions(method="logcosh"))
+    results = []
+    for mb in (0, 2):
+        trainer = Trainer(
+            model, lp,
+            OptParameters(learning_rate=1e-3),
+            TrainParameters(batch_size=4, train_steps=8, eval_steps=100,
+                            log_steps=1000, seed=123, scan_steps=2,
+                            microbatch_size=mb),
+            minimize_properties=("energy", "forces"), n_devices=1)
+        out = trainer.fit(tf_, tl_, params=params0, verbose=False)
+        assert int(out["state"]["step"]) == 8
+        results.append(jax.device_get(out["state"]["params"]))
+    for a, b in zip(jax.tree_util.tree_leaves(results[0]),
+                    jax.tree_util.tree_leaves(results[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=1e-9)
+    # non-divisor microbatch fails at construction, not trace time
+    with pytest.raises(ValueError, match="microbatch_size"):
+        TrainParameters(batch_size=4, microbatch_size=3)
+
+
 def test_spatial_pair_sharding_matches_single_device():
     """Spatial parallelism (parallel/spatial.py): one structure's pair
     arrays sharded over a 4-device mesh gives the same energy, forces
