@@ -1,5 +1,5 @@
 #!/bin/bash
-# Opportunistic chip probe: run probe_geom_layout.py on the TPU the
+# Opportunistic chip probes: run the two layout probes on the TPU the
 # moment queue20 releases it, if enough window remains before the
 # driver's round-end bench (KILL_TS leaves the chip idle for it).
 set -u
@@ -7,15 +7,17 @@ MARK=/root/repo/artifacts/markers
 KILL_TS=1787207700
 while :; do
   now=$(date +%s)
-  [ "$now" -ge $((KILL_TS - 900)) ] && { echo "no window"; exit 0; }
+  [ "$now" -ge $((KILL_TS - 1500)) ] && { echo "no window"; exit 0; }
   [ -f $MARK/queue20_done ] && break
   sleep 120
 done
-if [ ! -f $MARK/geom_probe_done ]; then
-  cd /root/repo/artifacts
-  PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 700 \
-    python -u probe_geom_layout.py > probe_geom_layout_r5.json \
-    2> probe_geom_layout_r5.err
-  echo "probe rc=$?"
-  touch $MARK/geom_probe_done
-fi
+cd /root/repo/artifacts
+for p in probe_geom_layout probe_grap_layout; do
+  [ "$(date +%s)" -ge $((KILL_TS - 1200)) ] && { echo "window closed before $p"; break; }
+  if [ ! -f $MARK/${p}_done ]; then
+    PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 900 \
+      python -u $p.py > ${p}_r5.json 2> ${p}_r5.err
+    echo "$p rc=$?"
+    touch $MARK/${p}_done
+  fi
+done
