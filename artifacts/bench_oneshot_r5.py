@@ -102,8 +102,10 @@ def bench_family(family, n_axis):
 
 def main():
     emit(tag="env", loadavg=os.getloadavg()[0])
+    axes = tuple(int(x) for x in os.environ.get(
+        "ONESHOT_AXES", "24,32").split(","))   # 4*ax^3 atoms
     for family in ("eam", "grap"):
-        for n_axis in (24, 32):     # 55,296 and 131,072 atoms
+        for n_axis in axes:         # default: 55,296 and 131,072 atoms
             try:
                 bench_family(family, n_axis)
             except Exception as e:

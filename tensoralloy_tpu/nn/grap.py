@@ -155,6 +155,35 @@ def moment_basis(unit: jnp.ndarray, max_moment: int) -> jnp.ndarray:
         (unit[:, 0], unit[:, 1], unit[:, 2]), max_moment)
 
 
+def moment_basis_c_t(comps, max_moment: int) -> jnp.ndarray:
+    """moment_basis_c with the monomial axis on AXIS 1: [A, D, N] from
+    (ux, uy, uz) [A, N] components — the lane axis stays NNL, so the
+    D-column basis sublane-pads (<=1.2x) instead of lane-padding
+    (up to 6.4x at D=20)."""
+    ux = comps[0]
+    cols = [jnp.ones_like(ux)]
+    if max_moment >= 1:
+        cols += [comps[0], comps[1], comps[2]]
+    prods = {(a,): comps[a] for a in range(3)}
+    for mono in moment_monomials(max_moment):
+        if len(mono) < 2:
+            continue
+        prods[mono] = prods[mono[:-1]] * comps[mono[-1]]
+        cols.append(prods[mono])
+    return jnp.stack(cols, axis=1)
+
+
+# Orientation of the dense descriptor contraction
+# (`artifacts/probe_grap_layout.py`; PERF.md round-5 rooflines):
+#   'lane-k' — einsum('ajx,ajd->axd'): filters K and monomials D ride
+#              the lane axis and pad to 128 (8x / up to 6.4x physical
+#              HBM traffic at K=16 / D=20).
+#   'lane-n' — einsum('akn,adn->akd'): NNL rides the lane axis (no
+#              pad); grid algorithms only ('nn' filter MLPs need the
+#              [*, K] matmul layout). Values identical (pinned).
+DENSE_ORIENTATION = "lane-k"
+
+
 # ----------------------------------------------------------------------
 class GenericRadialAtomicPotential:
     """Config + pure compute for GRAP descriptors."""
@@ -315,6 +344,67 @@ class GenericRadialAtomicPotential:
         p = jax.ops.segment_sum(hm, seg, num_segments=nseg)
         return self.invariants_from_p(p, n_vap, n_radial_slots)
 
+    def _filter_values_t(self, rij: jnp.ndarray, rcut: float
+                         ) -> jnp.ndarray:
+        """H as K stacked [A, N] maps -> [A, K, N] (lane axis = NNL):
+        no [.., K]-minor array ever exists, so nothing lane-pads
+        K -> 128. Grid algorithms only (the 'nn' filter MLP needs the
+        [*, K] matmul layout)."""
+        g = self._grid
+        cols = {k: np.asarray(g[:, i], np.float64)
+                for i, k in enumerate(self._grid_keys)}
+
+        def one(k):
+            if self.algorithm == "sf":
+                return jnp.exp(-float(cols["eta"][k]) *
+                               jnp.square(rij - float(cols["omega"][k]))
+                               / (rcut * rcut))
+            if self.algorithm == "density":
+                return density_exp(rij, float(cols["A"][k]),
+                                   float(cols["beta"][k]),
+                                   float(cols["re"][k]))
+            if self.algorithm == "morse":
+                return morse(rij, float(cols["D"][k]),
+                             float(cols["gamma"][k]),
+                             float(cols["r0"][k]))
+            if self.algorithm == "pexp":
+                return power_exp(rij, float(cols["rl"][k]),
+                                 float(cols["pl"][k]))
+            raise ValueError(self.algorithm)
+
+        return jnp.stack([one(k) for k in range(self.n_filters)], axis=1)
+
+    def _compute_dense_t(self, features, rcut: float, n_slots: int
+                         ) -> jnp.ndarray:
+        """[A, C, N]-oriented dense path (DENSE_ORIENTATION='lane-n'):
+        every per-pair operand carries NNL on the LANE axis, so the
+        einsum streams ~1x physical bytes where the 'lane-k'
+        orientation pays the (8, 128) tile pad on its K=16 / D<=56
+        minor axes (8x / up to 6.4x; see PERF.md round-5 rooflines and
+        `artifacts/probe_grap_layout.py`). Values identical to
+        `_compute_dense` (pinned by test_backends)."""
+        from ..ops.dense import dense_pair_geometry
+        rij, unit, islotf, mask = dense_pair_geometry(features)
+        a, n = rij.shape
+        fc = apply_cutoff(self.cutoff_function, rij, rcut) * mask
+        h = self._filter_values_t(rij, rcut) * fc[:, None, :]  # [A,K,N]
+        m = moment_basis_c_t(unit, self.max_moment)            # [A,D,N]
+        k = self.n_filters
+        if n_slots > 1:
+            # masked one-hot slot selection, per-slot [A, N] maps
+            # (slot_onehot_dense semantics without the [.., S]-minor
+            # array)
+            sel = [(islotf == s).astype(h.dtype) * mask
+                   for s in range(n_slots)]
+            hs = jnp.concatenate([h * s_[:, None, :] for s_ in sel],
+                                 axis=1)                       # [A,S*K,N]
+        else:
+            hs = h
+        p = jnp.einsum("akn,adn->akd", hs, m,
+                       preferred_element_type=m.dtype)
+        p = p.reshape(a * n_slots, k, m.shape[1])
+        return self.invariants_from_p(p, a, n_slots)
+
     def _compute_dense(self, features, rcut: float, n_slots: int,
                        params=None, vap_element_idx=None) -> jnp.ndarray:
         """Dense per-atom layout: the (pairs x filters x monomials)
@@ -322,6 +412,8 @@ class GenericRadialAtomicPotential:
         the MXU — gathers only, no scatter, no [nij, K, D] HBM
         intermediate."""
         from ..ops.dense import dense_pair_geometry, slot_onehot_dense
+        if DENSE_ORIENTATION == "lane-n" and self.algorithm != "nn":
+            return self._compute_dense_t(features, rcut, n_slots)
         rij, unit, islotf, mask = dense_pair_geometry(features)
         a, n = rij.shape
         fc = apply_cutoff(self.cutoff_function, rij, rcut) * mask

@@ -82,9 +82,38 @@ def gather_vec(pos, jd, simg, cell, centers=None):
     c = pos if centers is None else centers
     dtype = pos.dtype
     sv = shift_dot_cell(simg, cell, dtype)
+    if GATHER_LAYOUT == "t":
+        return tuple(
+            v + sv[a] - c[:, a][:, None]
+            for a, v in enumerate(_row_gather_t(pos, jd)))
     g = pos[jd]                                    # [A, N, 3] row gather
     return tuple(g[..., a] + sv[a] - c[:, a][:, None]
                  for a in range(3))
+
+
+# Layout of the neighbor-position row gather inside `gather_vec`:
+#   'row' — `pos[jd]` -> [A, N, 3]: the 3-wide minor axis lane-pads
+#           3 -> 128 (~42x physical bytes; probe_efs_gap_r5 measured
+#           this materialization at ~51% of the whole 131k EAM fast
+#           pass).
+#   't'   — explicit `lax.gather` with offset_dims=(1,) -> [A, 3, N]:
+#           lane axis = NNL (no pad), sublane pads 3 -> 8 (2.7x).
+# Both return the same (vx, vy, vz) component tuple (parity pinned in
+# test_dense_efs.py); the switch exists so the faster layout can be
+# selected from a chip measurement (artifacts/probe_geom_layout.py).
+GATHER_LAYOUT = "row"
+
+
+def _row_gather_t(pos, jd):
+    """out[i, c, k] = pos[jd[i, k], c] as three [A, N] slices of an
+    [A, 3, N]-layout gather (no lane-padded [A, N, 3] intermediate)."""
+    from jax import lax
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,),
+        start_index_map=(0,))
+    g = lax.gather(pos, jd[..., None], dn,
+                   slice_sizes=(1, pos.shape[1]))
+    return tuple(g[:, a, :] for a in range(pos.shape[1]))
 
 
 def convert_legacy_shifts(feats: dict) -> dict:

@@ -149,3 +149,81 @@ def test_backend_survives_model_save_roundtrip(tmp_path):
     save_model(path, model, params)
     model2, _, _ = load_model(path)
     assert model2.descriptor.backend == "dense"
+
+
+@pytest.mark.parametrize("algorithm,moments", [
+    ("pexp", [0, 1, 2, 3]),
+    ("pexp", [0, 1, 2, 3, 4, 5]),
+    ("sf", [0, 1, 2, 3]),
+    ("morse", [0, 1, 2]),
+    ("density", [0, 1, 2]),
+])
+def test_grap_dense_orientation_lane_n_matches(algorithm, moments):
+    """DENSE_ORIENTATION='lane-n' (NNL on the lane axis, the layout
+    that avoids the K/D minor-axis tile padding — PERF.md round-5)
+    produces identical descriptors AND position gradients to the
+    default 'lane-k' orientation, including the multi-slot (Mo+Ni)
+    selection."""
+    import tensoralloy_tpu.nn.grap as grap_mod
+    s, fz, feats = _feats(angular=False)
+    params = {
+        "pexp": {"rl": [1.0, 2.0, 3.0], "pl": [4.0, 3.0, 2.0]},
+        "sf": {"eta": [0.5, 2.0, 8.0], "omega": [0.0, 0.0, 0.0]},
+        "morse": {"D": [1.0, 1.0], "gamma": [0.5, 1.0], "r0": [2.0, 2.5]},
+        "density": {"A": [1.0, 1.0], "beta": [2.0, 4.0], "re": [3.0, 3.0]},
+    }[algorithm]
+    desc = GenericRadialAtomicPotential(
+        fz.elements, algorithm=algorithm, parameters=params,
+        moment_tensors=moments, backend="dense")
+    args = (feats, fz.rcut, fz.acut, fz.n_radial_slots,
+            fz.n_angular_slots, False)
+
+    def grad_pos():
+        def loss(pos):
+            f = dict(feats)
+            f["positions"] = pos
+            return jnp.sum(jnp.square(desc.compute(*((f,) + args[1:]))))
+        return jax.grad(loss)(feats["positions"])
+
+    g_ref = np.asarray(desc.compute(*args))
+    dg_ref = np.asarray(grad_pos())
+    old = grap_mod.DENSE_ORIENTATION
+    grap_mod.DENSE_ORIENTATION = "lane-n"
+    try:
+        g_t = np.asarray(desc.compute(*args))
+        dg_t = np.asarray(grad_pos())
+    finally:
+        grap_mod.DENSE_ORIENTATION = old
+    np.testing.assert_allclose(g_t, g_ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(dg_t, dg_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_gather_vec_layout_t_matches():
+    """GATHER_LAYOUT='t' ([A, 3, N]-layout neighbor gather, no
+    lane-padded [A, N, 3] intermediate) returns the same component
+    tuple and gradients as the default row gather."""
+    import tensoralloy_tpu.ops.dense as od
+    s, fz, feats = _feats(angular=False)
+    pos, jd = feats["positions"], feats["pair_j_d"]
+    simg, cell = feats["pair_simg_d"], feats["cell"]
+
+    def run():
+        v = od.gather_vec(pos, jd, simg, cell)
+        return [np.asarray(c) for c in v]
+
+    def grad_run():
+        def loss(p):
+            v = od.gather_vec(p, jd, simg, cell)
+            return sum(jnp.vdot(c, c) for c in v)
+        return np.asarray(jax.grad(loss)(pos))
+
+    ref, dref = run(), grad_run()
+    old = od.GATHER_LAYOUT
+    od.GATHER_LAYOUT = "t"
+    try:
+        got, dgot = run(), grad_run()
+    finally:
+        od.GATHER_LAYOUT = old
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    np.testing.assert_allclose(dgot, dref, rtol=1e-12, atol=1e-12)
