@@ -103,6 +103,12 @@ class TensorAlloyCalculator:
         on host featurization under "auto" — their triple capacities
         need the exact census. Small frames keep the host path (no
         build compile for one cheap structure)."""
+        # serving processes are usually one-shot: reuse compiled
+        # executables across processes (83-177 s cold vs 2.8-6.9 s
+        # warm at 131k atoms — bench_oneshot_r5); no-op on CPU,
+        # opt out with TENSORALLOY_NO_CACHE=1
+        from .cache import enable_compilation_cache
+        enable_compilation_cache()
         if isinstance(model_or_path, str):
             from .io.model import load_model
             self.model, self.params, self.config = load_model(model_or_path)

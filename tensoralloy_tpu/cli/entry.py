@@ -15,6 +15,11 @@ def main(argv=None):
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    # persistent XLA compilation cache: repeated CLI invocations
+    # (train resumes, compute verbs, one-shot serving) skip recompiles
+    # on accelerator backends; no-op on CPU (see cache.py)
+    from ..cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="tensoralloy_tpu",
         description="TPU-native neural-network interatomic potentials")
