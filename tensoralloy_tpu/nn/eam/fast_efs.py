@@ -98,14 +98,21 @@ def _make_pass(model) -> Callable:
         else:
             # the neighbor-element lookup rides the SAME row gather as
             # the positions (column 3 of the table)
-            from ...ops.dense import shift_dot_cell
-            sv = shift_dot_cell(features["pair_simg_d"], cell, dtype)
+            from ...ops import dense as _od
+            sv = _od.shift_dot_cell(features["pair_simg_d"], cell,
+                                    dtype)
             ptab = jnp.concatenate(
                 [pos, jnp.asarray(elem_np, dtype)[:, None]], axis=1)
-            g = ptab[jd]                       # [n_vap, nnl, 4]
-            v = tuple(g[..., a] + sv[a] - pos[:, a][:, None]
-                      for a in range(3))
-            ejf = g[..., 3]
+            if _od.GATHER_LAYOUT == "t":
+                cols = _od._row_gather_t(ptab, jd)   # 4x [n_vap, nnl]
+                v = tuple(cols[a] + sv[a] - pos[:, a][:, None]
+                          for a in range(3))
+                ejf = cols[3]
+            else:
+                g = ptab[jd]                   # [n_vap, nnl, 4]
+                v = tuple(g[..., a] + sv[a] - pos[:, a][:, None]
+                          for a in range(3))
+                ejf = g[..., 3]
             ej_eq = lambda b: ejf == np.asarray(b, dtype)
             # k-body term of each pair, assembled ELEMENTWISE from a
             # per-atom row (no [n_el, n_el]-operand per-pair gather)

@@ -165,3 +165,21 @@ def test_fast_efs_translation_and_newton():
     np.testing.assert_allclose(f.sum(axis=0), 0.0, atol=1e-9)
     w = np.asarray(fast["virial"])
     np.testing.assert_allclose(w, w.T, atol=1e-9)
+
+
+def test_fast_efs_gather_layout_t_matches():
+    """GATHER_LAYOUT='t' (the [A, C, N] gather that avoids the
+    lane-padded [A, N, C] table) through the BINARY fast path — the
+    4-column position+element table and the single-element gather_vec
+    both ride the switch; values must match autodiff at f64 1e-10
+    like the default layout."""
+    import tensoralloy_tpu.ops.dense as od
+    s = _structure(seed=5)
+    fz = Featurizer(["Mo", "Ni"], rcut=4.5)
+    model = EamAlloyNN(fz, Counter(s.symbols), hidden_sizes=[8, 8])
+    old = od.GATHER_LAYOUT
+    od.GATHER_LAYOUT = "t"
+    try:
+        _compare(model, s, fz)
+    finally:
+        od.GATHER_LAYOUT = old
