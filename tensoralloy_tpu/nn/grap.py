@@ -180,7 +180,17 @@ def moment_basis_c_t(comps, max_moment: int) -> jnp.ndarray:
 #              HBM traffic at K=16 / D=20).
 #   'lane-n' — einsum('akn,adn->akd'): NNL rides the lane axis (no
 #              pad); grid algorithms only ('nn' filter MLPs need the
-#              [*, K] matmul layout). Values identical (pinned).
+#              [*, K] matmul layout). Values identical (pinned) in
+#              f32 vector math — but on TPU this contraction (over
+#              the 128-wide lane axis) is matmul-shaped and XLA
+#              lowers it onto the bf16 MXU, where 'lane-k' (K=16 /
+#              D=20 minors) stays in f32 vector ops: measured chip
+#              parity 3.5e-3 at default matmul precision, 2.3e-6
+#              under default_matmul_precision('highest')
+#              (artifacts/probe_grap_layout_r5*.json). Any flip to
+#              'lane-n' for serving must pin the einsum at highest
+#              precision (f32-exact descriptors; see PERF.md round-4
+#              "Numerics") and re-measure with that cost included.
 DENSE_ORIENTATION = "lane-k"
 
 
