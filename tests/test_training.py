@@ -437,8 +437,13 @@ def test_microbatch_grad_accumulation_equivalent(ethanol_db, tmp_path):
         results.append(jax.device_get(out["state"]["params"]))
     for a, b in zip(jax.tree_util.tree_leaves(results[0]),
                     jax.tree_util.tree_leaves(results[1])):
+        # equality up to summation reassociation: the accumulated
+        # chunk-mean differs from the monolithic batch mean in add
+        # order, and XLA's fusion choices (which shift with global
+        # compile state set by earlier tests) move the noise floor —
+        # observed 1.9e-9 abs in full-suite order vs <1e-12 standalone
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-9, rtol=1e-9)
+                                   atol=1e-8, rtol=1e-7)
     # non-divisor microbatch fails at construction, not trace time
     with pytest.raises(ValueError, match="microbatch_size"):
         TrainParameters(batch_size=4, microbatch_size=3)
