@@ -191,6 +191,10 @@ def moment_basis_c_t(comps, max_moment: int) -> jnp.ndarray:
 #              'lane-n' for serving must pin the einsum at highest
 #              precision (f32-exact descriptors; see PERF.md round-4
 #              "Numerics") and re-measure with that cost included.
+#              Measured at 131k on chip (probe_grap_layout_r5b):
+#              lane-n forward is 17% SLOWER (72.9/78.2 ms bf16/f32
+#              MXU vs lane-k 62.5 ms), gradients a wash — flip
+#              rejected; 'lane-k' is the measured production choice.
 DENSE_ORIENTATION = "lane-k"
 
 
