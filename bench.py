@@ -71,12 +71,18 @@ def _emit():
         print(json.dumps(RECORD), flush=True)
 
 
-def _probe_backend(timeout_s: int = 240) -> bool:
+def _probe_backend(timeout_s: int = 720) -> bool:
     """True iff the default JAX backend answers a trivial program.
 
     Runs in a SUBPROCESS with a hard timeout: the axon tunnel can hang
     a single in-flight request for 25+ minutes, and an in-process probe
-    would take the whole bench down with it."""
+    would take the whole bench down with it. The timeout must cover the
+    tunnel's worst observed FIRST-CONTACT latency, not just compute:
+    on 2026-08-20 two independent fresh processes took 334 s and 239 s
+    to answer this 8x8 matmul (connection setup, not compile) while the
+    pool was otherwise healthy — a 240 s probe falsely declared an
+    outage and benched the CPU fallback. 720 s ≈ 2x the worst observed
+    setup; a true outage costs those extra minutes once, at round end."""
     if os.environ.get("TA_BENCH_FORCE_OUTAGE"):
         return False   # simulated-outage path for tests
     code = ("import jax, jax.numpy as jnp;"
